@@ -1,0 +1,37 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes (SURVEY.md section 5: sharding
+tests assert sharded-vs-replicated equality on simulated devices; Pallas
+kernels run in interpret mode on CPU).
+"""
+
+import os
+
+# NOTE: this image's sitecustomize registers the axon TPU plugin and forces
+# jax_platforms="axon,cpu" at interpreter start, so the JAX_PLATFORMS env var
+# is ineffective. Override via jax.config BEFORE any backend is instantiated.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_debug_nans", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

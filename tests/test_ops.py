@@ -1,0 +1,138 @@
+"""Unit tests for core ops vs closed forms and naive/scipy/torch oracles.
+
+Mirrors SURVEY.md section 5's required unit tests: Gaussian KL vs hand
+formula; masked Bernoulli log-lik vs a naive Python loop; link functions vs
+scipy; IWAE >= ELBO and IWAE-1 ~= ELBO; jit determinism.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special
+import scipy.stats
+
+from vibo_tpu.ops import distributions as dist
+from vibo_tpu.ops import likelihood as lik
+from vibo_tpu.ops import links, objectives
+
+
+def test_kl_standard_normal_closed_form(rng):
+    mu = rng.standard_normal((5, 3)).astype(np.float32)
+    logvar = rng.standard_normal((5, 3)).astype(np.float32)
+    got = np.asarray(dist.kl_standard_normal(jnp.array(mu), jnp.array(logvar)))
+    sigma2 = np.exp(logvar)
+    want = 0.5 * (mu**2 + sigma2 - logvar - 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    # KL(N(0,1) || N(0,1)) == 0
+    z = jnp.zeros((4,))
+    np.testing.assert_allclose(np.asarray(dist.kl_standard_normal(z, z)), 0.0, atol=1e-7)
+
+
+def test_gaussian_log_prob_vs_scipy(rng):
+    z = rng.standard_normal(10).astype(np.float32)
+    mu = rng.standard_normal(10).astype(np.float32)
+    logvar = (0.5 * rng.standard_normal(10)).astype(np.float32)
+    got = np.asarray(dist.gaussian_log_prob(jnp.array(z), jnp.array(mu), jnp.array(logvar)))
+    want = scipy.stats.norm.logpdf(z, loc=mu, scale=np.exp(0.5 * logvar))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    got0 = np.asarray(dist.standard_normal_log_prob(jnp.array(z)))
+    np.testing.assert_allclose(got0, scipy.stats.norm.logpdf(z), rtol=1e-5, atol=1e-5)
+
+
+def test_reparameterize_moments():
+    key = jax.random.key(0)
+    mu = jnp.array([1.5, -2.0])
+    logvar = jnp.array([0.0, 1.0])
+    zs = jax.vmap(lambda k: dist.reparameterize(k, mu, logvar))(
+        jax.random.split(key, 20000))
+    np.testing.assert_allclose(np.asarray(zs.mean(0)), np.asarray(mu), atol=0.05)
+    np.testing.assert_allclose(np.asarray(zs.var(0)), np.exp(np.asarray(logvar)),
+                               rtol=0.05)
+
+
+def test_links_vs_scipy(rng):
+    b_, m, k = 7, 11, 3
+    theta = rng.standard_normal((b_, k)).astype(np.float32)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    g_hat = rng.standard_normal(m).astype(np.float32)
+
+    p1 = np.asarray(links.prob_1pl(jnp.array(theta), jnp.array(b)))
+    want1 = scipy.special.expit(theta.sum(-1, keepdims=True) - b[None])
+    np.testing.assert_allclose(p1, want1, rtol=1e-5, atol=1e-6)
+
+    p2 = np.asarray(links.prob_2pl(jnp.array(theta), jnp.array(a), jnp.array(b)))
+    want2 = scipy.special.expit(theta @ a.T - b[None])
+    np.testing.assert_allclose(p2, want2, rtol=1e-5, atol=1e-6)
+
+    p3 = np.asarray(links.prob_3pl(jnp.array(theta), jnp.array(a), jnp.array(b),
+                                   jnp.array(g_hat)))
+    g = scipy.special.expit(g_hat)[None]
+    want3 = g + (1 - g) * want2
+    np.testing.assert_allclose(p3, want3, rtol=1e-5, atol=1e-6)
+
+
+def test_masked_loglik_vs_naive_loop(rng):
+    b_, m = 6, 9
+    logits = (3 * rng.standard_normal((b_, m))).astype(np.float32)
+    resp = (rng.random((b_, m)) < 0.5).astype(np.float32)
+    mask = (rng.random((b_, m)) < 0.7).astype(np.float32)
+    got = np.asarray(lik.masked_loglik_per_person(
+        jnp.array(logits), jnp.array(resp), jnp.array(mask)))
+    want = np.zeros(b_)
+    for i in range(b_):
+        for j in range(m):
+            if mask[i, j] > 0:
+                p = scipy.special.expit(logits[i, j])
+                want[i] += resp[i, j] * np.log(p) + (1 - resp[i, j]) * np.log1p(-p)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_loglik_3pl_vs_naive(rng):
+    b_, m = 5, 8
+    logits = (2 * rng.standard_normal((b_, m))).astype(np.float32)
+    g_hat = rng.standard_normal(m).astype(np.float32)
+    resp = (rng.random((b_, m)) < 0.5).astype(np.float32)
+    mask = (rng.random((b_, m)) < 0.8).astype(np.float32)
+    got = np.asarray(lik.bernoulli_loglik_3pl(
+        jnp.array(logits), jnp.array(g_hat), jnp.array(resp), jnp.array(mask)))
+    g = scipy.special.expit(g_hat)[None]
+    pi = g + (1 - g) * scipy.special.expit(logits)
+    want = mask * (resp * np.log(pi) + (1 - resp) * np.log1p(-pi))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_loglik_extreme_logits_no_nan():
+    logits = jnp.array([[1e4, -1e4, 0.0]])
+    resp = jnp.array([[1.0, 0.0, 1.0]])
+    mask = jnp.array([[0.0, 1.0, 1.0]])  # the 1e4 cell is masked out
+    out = lik.masked_loglik_per_person(logits, resp, mask)
+    assert np.isfinite(np.asarray(out)).all()
+    out3 = lik.bernoulli_loglik_3pl(logits, jnp.array([-1.0, -1.0, -1.0]), resp, mask)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_iwae_bound_properties(rng):
+    # IWAE-1 == mean of single weight; bound increases (in expectation) with S.
+    log_w = jnp.array(rng.standard_normal((100, 4)).astype(np.float32))
+    b1 = objectives.iwae_bound(log_w[:1])
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(log_w[0]), rtol=1e-6)
+    b100 = objectives.iwae_bound(log_w)
+    # logsumexp/S of iid weights >= mean log weight (Jensen)
+    assert (np.asarray(b100) >= np.asarray(log_w.mean(0)) - 1e-5).all()
+
+
+def test_elbo_assembly():
+    got = objectives.elbo(jnp.float32(-100.0), jnp.float32(5.0), jnp.float32(40.0),
+                          item_scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), -100.0 - 5.0 - 10.0, rtol=1e-6)
+
+
+def test_jit_determinism(rng):
+    theta = jnp.array(rng.standard_normal((4, 2)).astype(np.float32))
+    a = jnp.array(rng.standard_normal((6, 2)).astype(np.float32))
+    b = jnp.array(rng.standard_normal(6).astype(np.float32))
+    f = jax.jit(links.logits_2pl)
+    np.testing.assert_array_equal(np.asarray(f(theta, a, b)),
+                                  np.asarray(f(theta, a, b)))

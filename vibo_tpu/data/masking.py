@@ -1,0 +1,112 @@
+"""Hold-out masking, train/test person splits, and the Dataset container.
+
+Implements the reference's evaluation protocol (SURVEY.md sections 3.3, 4.3;
+arXiv:2002.00276 section 6.3): artificially hide a fraction (default 10%) of
+*observed* cells; train on the remainder; the hidden cells form the
+missing-response imputation set. Separately, persons can be split into
+train/test groups to evaluate amortization on unseen students.
+
+All arrays stay dense (TPU-friendly); sparsity is carried by the masks.
+Padding helpers round the student/item axes up to multiples (MXU/VPU tiling,
+even mesh sharding) — padded cells simply carry mask = 0 so every objective
+ignores them by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Dense response data with train/held-out masks.
+
+    response:    (N, M) float32 {0,1}; zero where unobserved.
+    train_mask:  (N, M) float32; observed cells used for training.
+    heldout_mask:(N, M) float32; observed cells hidden for imputation eval.
+                 Disjoint from train_mask; train+heldout = observed.
+    num_persons / num_items may be smaller than the padded array shape.
+    """
+    response: np.ndarray
+    train_mask: np.ndarray
+    heldout_mask: np.ndarray
+    name: str = "dataset"
+    num_persons: int | None = None
+    num_items: int | None = None
+
+    def __post_init__(self):
+        if self.num_persons is None:
+            self.num_persons = self.response.shape[0]
+        if self.num_items is None:
+            self.num_items = self.response.shape[1]
+
+    @property
+    def shape(self):
+        return self.response.shape
+
+
+def holdout_split(response: np.ndarray, mask: np.ndarray,
+                  holdout_frac: float = 0.1, seed: int = 0,
+                  name: str = "dataset") -> Dataset:
+    """Hide `holdout_frac` of the observed cells uniformly at random."""
+    rng = np.random.default_rng(seed + 101)
+    observed = mask > 0
+    hide = (rng.random(mask.shape) < holdout_frac) & observed
+    heldout_mask = hide.astype(np.float32)
+    train_mask = (observed & ~hide).astype(np.float32)
+    return Dataset(response=response.astype(np.float32), train_mask=train_mask,
+                   heldout_mask=heldout_mask, name=name)
+
+
+def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
+                  ) -> tuple[Dataset, Dataset]:
+    """Split persons into train/test groups (amortized-inference eval on new
+    students, arXiv:2002.00276 section 6: the amortization headline)."""
+    rng = np.random.default_rng(seed + 202)
+    n = ds.response.shape[0]
+    perm = rng.permutation(n)
+    n_test = max(1, int(round(n * test_frac)))
+    test_idx, train_idx = np.sort(perm[:n_test]), np.sort(perm[n_test:])
+
+    def take(idx, tag):
+        return Dataset(response=ds.response[idx], train_mask=ds.train_mask[idx],
+                       heldout_mask=ds.heldout_mask[idx], name=f"{ds.name}/{tag}")
+    return take(train_idx, "train"), take(test_idx, "test")
+
+
+def pad_to_multiple(ds: Dataset, person_multiple: int = 8,
+                    item_multiple: int = 128) -> Dataset:
+    """Zero-pad students/items up to tile multiples. Padded cells have mask=0
+    everywhere, so objectives and metrics are unchanged exactly."""
+    n, m = ds.response.shape
+    np_pad = (-n) % person_multiple
+    mi_pad = (-m) % item_multiple
+    if np_pad == 0 and mi_pad == 0:
+        return ds
+    pad = ((0, np_pad), (0, mi_pad))
+    return Dataset(
+        response=np.pad(ds.response, pad), train_mask=np.pad(ds.train_mask, pad),
+        heldout_mask=np.pad(ds.heldout_mask, pad), name=ds.name,
+        num_persons=n, num_items=m)
+
+
+def batch_iterator(ds: Dataset, batch_size: int, seed: int, epoch: int):
+    """Yield (response, train_mask) person-minibatches, reshuffled per epoch.
+
+    The last partial batch is zero-padded (mask=0 rows) so every step has a
+    static shape — one XLA compilation for the whole run.
+    """
+    n = ds.response.shape[0]
+    rng = np.random.default_rng((seed * 100003 + epoch) & 0x7FFFFFFF)
+    perm = rng.permutation(n)
+    for start in range(0, n, batch_size):
+        idx = perm[start:start + batch_size]
+        resp = ds.response[idx]
+        mask = ds.train_mask[idx]
+        if idx.shape[0] < batch_size:
+            pad = batch_size - idx.shape[0]
+            resp = np.concatenate([resp, np.zeros((pad, resp.shape[1]), resp.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
+        yield resp, mask

@@ -1,0 +1,75 @@
+"""Synthetic IRT response simulators with ground-truth parameters.
+
+Samples theta ~ N(0, I_K), item params ~ N(0, I) (guess logits g~ ~ N(-1.5, 1)
+so guess probs center near 0.18, classical for multiple-choice), responses
+r_ij ~ Bernoulli(link(theta_i, d_j)); optional missing-at-random observation
+mask. Returns ground truth for parameter-recovery correlation eval.
+
+Parity contract: SURVEY.md section 3.3 "Synthetic IRT simulator" and
+section 4.5; arXiv:2002.00276 section 6.1. Ground-truth recovery is the
+reference family's de-facto integration test (SURVEY.md section 5).
+
+Host-side NumPy (cheap, runs once); seeded and deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticIRT:
+    """A simulated response matrix plus the ground truth that generated it."""
+    response: np.ndarray        # (N, M) float32 in {0,1}
+    mask: np.ndarray            # (N, M) float32, 1 = observed (MAR missingness)
+    theta: np.ndarray           # (N, K) true abilities
+    a: np.ndarray               # (M, K) true discriminations (ones for 1PL)
+    b: np.ndarray               # (M,)  true difficulties
+    g_hat: np.ndarray | None    # (M,)  true guess logits (3PL only)
+    prob: np.ndarray            # (N, M) true response probabilities
+    irt_model: str
+    seed: int
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def simulate_irt(irt_model: str, num_persons: int, num_items: int,
+                 ability_dim: int = 1, seed: int = 0,
+                 missing_rate: float = 0.0) -> SyntheticIRT:
+    """Simulate a dense binary response matrix under a 1PL/2PL/3PL model."""
+    if irt_model not in ("1pl", "2pl", "3pl"):
+        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl, got {irt_model!r}")
+    rng = np.random.default_rng(seed)
+    k = ability_dim
+    theta = rng.standard_normal((num_persons, k)).astype(np.float32)
+    b = rng.standard_normal(num_items).astype(np.float32)
+    if irt_model == "1pl":
+        a = np.ones((num_items, k), dtype=np.float32)
+        logits = theta.sum(-1, keepdims=True) - b[None, :]
+    else:
+        # Discriminations scaled so the K-dim dot product keeps unit-ish scale
+        # (a_jk ~ N(0,1)/sqrt(K)); keeps 2PL/3PL probabilities well-spread for
+        # any ability_dim.
+        a = (rng.standard_normal((num_items, k)) / np.sqrt(k)).astype(np.float32)
+        logits = theta @ a.T - b[None, :]
+    if irt_model == "3pl":
+        g_hat = (rng.standard_normal(num_items) - 1.5).astype(np.float32)
+        g = _sigmoid(g_hat)[None, :]
+        prob = g + (1.0 - g) * _sigmoid(logits)
+    else:
+        g_hat = None
+        prob = _sigmoid(logits)
+    prob = prob.astype(np.float32)
+    response = (rng.random((num_persons, num_items)) < prob).astype(np.float32)
+    if missing_rate > 0.0:
+        mask = (rng.random((num_persons, num_items)) >= missing_rate).astype(np.float32)
+    else:
+        mask = np.ones((num_persons, num_items), dtype=np.float32)
+    # Unobserved responses are zeroed so they can never leak through a bug.
+    response = response * mask
+    return SyntheticIRT(response=response, mask=mask, theta=theta, a=a, b=b,
+                        g_hat=g_hat, prob=prob, irt_model=irt_model, seed=seed)

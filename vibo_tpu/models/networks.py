@@ -1,0 +1,151 @@
+"""Neural building blocks: MLP init/apply, ability encoder, item posteriors,
+deep nonlinear link.
+
+Parity contract: SURVEY.md section 3.3 ("VIBO encoders (inference networks)",
+"IRT decoders (link functions)" deep variant); arXiv:2002.00276 sections 4-5.
+The reference realizes these as torch nn.Modules; here they are explicit
+param-pytree init + pure apply functions, which is what pjit/optax want.
+
+TPU notes:
+- All hot paths are dense matmuls (MXU). The deep link's pairwise MLP is
+  computed with a split first layer: Linear([theta; d]) == theta @ W_t + d @ W_d,
+  so the (B, M, H) pair tensor is only formed once, after the big matmuls.
+- Hidden sizes default to multiples of 128 (lane width).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- MLP core
+
+def init_linear(key, in_dim: int, out_dim: int, scale: float | None = None):
+    """Glorot-uniform weight + zero bias."""
+    if scale is None:
+        scale = jnp.sqrt(6.0 / (in_dim + out_dim))
+    w = jax.random.uniform(key, (in_dim, out_dim), jnp.float32, -scale, scale)
+    return {"w": w, "b": jnp.zeros((out_dim,), jnp.float32)}
+
+
+def linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def init_mlp(key, dims: list[int]):
+    """dims = [in, h1, ..., out]; relu between layers, linear output."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return [init_linear(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]
+
+
+def mlp(params, x):
+    for layer in params[:-1]:
+        x = jax.nn.relu(linear(layer, x))
+    return linear(params[-1], x)
+
+
+# ------------------------------------------------------- ability encoder
+
+def ability_encoder_input_dim(num_items: int, item_feat_dim: int) -> int:
+    return 2 * num_items + item_feat_dim
+
+
+def init_ability_encoder(key, num_items: int, item_feat_dim: int,
+                         ability_dim: int, hidden_dim: int):
+    """q(theta_i | r_i, d): MLP([r_i * m_i, m_i, flat(d)]) -> (mu, logvar).
+
+    item_feat_dim = 0 gives the mean-field ablation q(theta_i | r_i)
+    (arXiv:2002.00276 section 6.4 compares VIBO against exactly this).
+    """
+    in_dim = ability_encoder_input_dim(num_items, item_feat_dim)
+    return init_mlp(key, [in_dim, hidden_dim, hidden_dim, 2 * ability_dim])
+
+
+def apply_ability_encoder(params, response, mask, item_feats=None):
+    """response/mask (..., B, M); item_feats (..., F) broadcast over persons.
+
+    Returns (mu, logvar), each (..., B, K).
+    """
+    x = jnp.concatenate([response * mask, mask], axis=-1)
+    if item_feats is not None:
+        feats = jnp.broadcast_to(item_feats[..., None, :],
+                                 x.shape[:-1] + item_feats.shape[-1:])
+        x = jnp.concatenate([x, feats], axis=-1)
+    out = mlp(params, x)
+    mu, logvar = jnp.split(out, 2, axis=-1)
+    # Clamp logvar for optimization stability (VAE-standard).
+    return mu, jnp.clip(logvar, -8.0, 8.0)
+
+
+# ------------------------------------------------------ item posteriors
+
+def init_item_posterior(key, num_items: int, irt_model: str, ability_dim: int,
+                        item_latent_dim: int = 0):
+    """Per-item free-form Gaussian posteriors q(d_j | r).
+
+    For the training items, the optimal amortized q(d|r) reduces to one
+    Gaussian per item; we parameterize those directly (SURVEY.md section 3.3
+    allows "free params and/or amortized"). Keys present depend on the link:
+      1pl: b            2pl: a, b           3pl: a, b, g_hat
+      deep: d (latent vector of dim item_latent_dim)
+    Each entry holds {'mu': (M, D), 'logvar': (M, D)} with logvar init -2
+    (sigma ~ 0.37) so early ELBO gradients are informative.
+    """
+    def gauss(k, dim):
+        mu = 0.1 * jax.random.normal(k, (num_items, dim), jnp.float32)
+        return {"mu": mu, "logvar": jnp.full((num_items, dim), -2.0, jnp.float32)}
+
+    keys = jax.random.split(key, 4)
+    if irt_model == "1pl":
+        return {"b": gauss(keys[0], 1)}
+    if irt_model == "2pl":
+        return {"a": gauss(keys[0], ability_dim), "b": gauss(keys[1], 1)}
+    if irt_model == "3pl":
+        return {"a": gauss(keys[0], ability_dim), "b": gauss(keys[1], 1),
+                "g_hat": gauss(keys[2], 1)}
+    if irt_model == "deep":
+        return {"d": gauss(keys[3], item_latent_dim)}
+    raise ValueError(irt_model)
+
+
+def item_feat_dim(num_items: int, irt_model: str, ability_dim: int,
+                  item_latent_dim: int = 0) -> int:
+    """Flattened width of one item-parameter sample (encoder conditioning)."""
+    dims = {"1pl": 1, "2pl": ability_dim + 1, "3pl": ability_dim + 2,
+            "deep": item_latent_dim}[irt_model]
+    return num_items * dims
+
+
+def flatten_item_sample(sample: dict) -> jax.Array:
+    """Deterministically flatten an item-sample dict to a feature vector."""
+    parts = [sample[k].reshape(sample[k].shape[:-2] + (-1,)) for k in sorted(sample)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ------------------------------------------------------------ deep link
+
+def init_deep_link(key, ability_dim: int, item_latent_dim: int, hidden_dim: int):
+    """p(r_ij | theta_i, d_j) = Bernoulli(sigmoid(MLP([theta_i, d_j]))).
+
+    First layer is stored split (w_theta, w_item) so apply() is two big
+    matmuls + a broadcast add instead of materializing B*M concat inputs.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    scale = jnp.sqrt(6.0 / (ability_dim + item_latent_dim + hidden_dim))
+    return {
+        "w_theta": jax.random.uniform(k1, (ability_dim, hidden_dim), jnp.float32, -scale, scale),
+        "w_item": jax.random.uniform(k2, (item_latent_dim, hidden_dim), jnp.float32, -scale, scale),
+        "b1": jnp.zeros((hidden_dim,), jnp.float32),
+        "layer2": init_linear(k3, hidden_dim, hidden_dim),
+        "out": init_linear(k4, hidden_dim, 1),
+    }
+
+
+def apply_deep_link(params, theta, d):
+    """theta (..., B, K), d (..., M, D) -> logits (..., B, M)."""
+    ht = theta @ params["w_theta"]                      # (..., B, H)
+    hd = d @ params["w_item"]                           # (..., M, H)
+    h = jax.nn.relu(ht[..., :, None, :] + hd[..., None, :, :] + params["b1"])
+    h = jax.nn.relu(linear(params["layer2"], h))        # (..., B, M, H)
+    return linear(params["out"], h)[..., 0]             # (..., B, M)

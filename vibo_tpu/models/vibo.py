@@ -1,0 +1,229 @@
+"""VIBO: amortized variational inference for IRT (the framework's flagship).
+
+Generative model (arXiv:2002.00276 section 3; SURVEY.md section 3.4):
+  theta_i ~ N(0, I_K);  item d_j ~ N(0, I);  r_ij ~ Bernoulli(link(theta_i, d_j))
+  for observed cells (i, j) only.
+
+Structured posterior (section 4):
+  q(theta, d | r) = q(d | r) * prod_i q(theta_i | d, r_i)
+  - q(d | r): per-item diagonal Gaussians (networks.init_item_posterior);
+  - q(theta_i | d, r_i): amortized MLP encoder on the person's masked response
+    row, conditioned on a sampled d (conditional_posterior=True) or not
+    (the mean-field ablation).
+
+Objectives: reparameterized ELBO with analytic Gaussian KLs (item KL scaled
+by batch/N under person minibatching) and the IWAE-S bound for test
+log-likelihood — both assembled from vibo_tpu.ops.
+
+TPU design: every method is a pure function of (params, arrays, key) under a
+static, hashable config — jit/vmap/pjit compose directly. MC/IWAE samples run
+under vmap (SURVEY.md section 3.2, "MC-sample parallel"). The masked
+Bernoulli reduction dispatches to the fused Pallas kernel on TPU for linear
+links (use_pallas=True).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from vibo_tpu.models import networks
+from vibo_tpu.ops import distributions as dist
+from vibo_tpu.ops import likelihood as lik
+from vibo_tpu.ops import links, objectives
+
+
+@dataclasses.dataclass(frozen=True)
+class VIBOConfig:
+    num_items: int
+    irt_model: str = "2pl"              # 1pl | 2pl | 3pl | deep
+    ability_dim: int = 1
+    hidden_dim: int = 256               # ability-encoder width
+    conditional_posterior: bool = True  # q(theta | d, r) vs mean-field q(theta | r)
+    item_latent_dim: int = 16           # deep link only
+    deep_hidden_dim: int = 128          # deep link MLP width
+    use_pallas: bool = False            # fused masked-ELBO kernel (linear links)
+
+    def __post_init__(self):
+        if self.irt_model not in links.IRT_MODELS:
+            raise ValueError(f"irt_model must be one of {links.IRT_MODELS}")
+
+
+class VIBO:
+    """Pure-functional VIBO model; `cfg` is static, params are a pytree."""
+
+    def __init__(self, cfg: VIBOConfig):
+        self.cfg = cfg
+        self._item_feat_dim = (
+            networks.item_feat_dim(cfg.num_items, cfg.irt_model, cfg.ability_dim,
+                                   cfg.item_latent_dim)
+            if cfg.conditional_posterior else 0)
+
+    # ------------------------------------------------------------- params
+
+    def init_params(self, key: jax.Array) -> dict:
+        cfg = self.cfg
+        k_item, k_enc, k_deep = jax.random.split(key, 3)
+        params = {
+            "item_post": networks.init_item_posterior(
+                k_item, cfg.num_items, cfg.irt_model, cfg.ability_dim,
+                cfg.item_latent_dim),
+            "encoder": networks.init_ability_encoder(
+                k_enc, cfg.num_items, self._item_feat_dim, cfg.ability_dim,
+                cfg.hidden_dim),
+        }
+        if cfg.irt_model == "deep":
+            params["deep_link"] = networks.init_deep_link(
+                k_deep, cfg.ability_dim, cfg.item_latent_dim, cfg.deep_hidden_dim)
+        return params
+
+    # ------------------------------------------------------ item posterior
+
+    def sample_items(self, params: dict, key: jax.Array) -> dict:
+        """One reparameterized draw from every q(d_j | r). Returns a dict of
+        (M, D) arrays keyed like item_post."""
+        post = params["item_post"]
+        keys = jax.random.split(key, len(post))
+        return {name: dist.reparameterize(k, post[name]["mu"], post[name]["logvar"])
+                for k, name in zip(keys, sorted(post))}
+
+    def item_posterior_mean(self, params: dict) -> dict:
+        return {name: p["mu"] for name, p in params["item_post"].items()}
+
+    def item_kl(self, params: dict) -> jax.Array:
+        """Analytic sum_j KL(q(d_j) || N(0, I)) over all items and params."""
+        return sum(dist.kl_standard_normal(p["mu"], p["logvar"]).sum()
+                   for p in params["item_post"].values())
+
+    def item_log_ratio(self, params: dict, sample: dict) -> jax.Array:
+        """log p(d_s) - log q(d_s) for an item sample (IWAE weights)."""
+        total = 0.0
+        for name, p in params["item_post"].items():
+            z = sample[name]
+            total = total + (dist.standard_normal_log_prob(z).sum()
+                             - dist.gaussian_log_prob(z, p["mu"], p["logvar"]).sum())
+        return total
+
+    # ---------------------------------------------------- ability encoder
+
+    def encode(self, params: dict, response: jax.Array, mask: jax.Array,
+               item_sample: dict | None):
+        feats = None
+        if self.cfg.conditional_posterior:
+            assert item_sample is not None
+            feats = networks.flatten_item_sample(item_sample)
+        return networks.apply_ability_encoder(params["encoder"], response, mask, feats)
+
+    # ------------------------------------------------------------ decoder
+
+    def _link_params(self, item_sample: dict) -> dict:
+        """Item-sample dict -> link-function kwargs (squeeze scalar dims)."""
+        out = {}
+        if "a" in item_sample:
+            out["a"] = item_sample["a"]
+        if "b" in item_sample:
+            out["b"] = item_sample["b"][..., 0]
+        if "g_hat" in item_sample:
+            out["g_hat"] = item_sample["g_hat"][..., 0]
+        return out
+
+    def loglik_per_person(self, params: dict, theta: jax.Array, item_sample: dict,
+                          response: jax.Array, mask: jax.Array) -> jax.Array:
+        """Masked Bernoulli log p(r_i | theta_i, d) summed over items -> (B,)."""
+        cfg = self.cfg
+        if cfg.irt_model == "deep":
+            logits = networks.apply_deep_link(params["deep_link"], theta,
+                                              item_sample["d"])
+            return lik.masked_loglik_per_person(logits, response, mask)
+        lp = self._link_params(item_sample)
+        if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl"):
+            from vibo_tpu.ops import pallas_elbo
+            a = lp.get("a")
+            if a is None:  # 1PL == 2PL with unit discriminations on summed theta
+                a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+            return pallas_elbo.masked_loglik_2pl(theta, a, lp["b"], response, mask)
+        if cfg.irt_model == "1pl":
+            logits = links.logits_1pl(theta, lp["b"])
+            return lik.masked_loglik_per_person(logits, response, mask)
+        logits = links.logits_2pl(theta, lp["a"], lp["b"])
+        g_hat = lp.get("g_hat") if cfg.irt_model == "3pl" else None
+        return lik.masked_loglik_per_person(logits, response, mask, g_hat=g_hat)
+
+    def response_prob(self, params: dict, theta: jax.Array, item_sample: dict
+                      ) -> jax.Array:
+        """p(r_ij = 1) matrix (B, M) — used for imputation."""
+        cfg = self.cfg
+        if cfg.irt_model == "deep":
+            return jax.nn.sigmoid(
+                networks.apply_deep_link(params["deep_link"], theta, item_sample["d"]))
+        return links.response_prob(cfg.irt_model, theta, self._link_params(item_sample))
+
+    # --------------------------------------------------------------- ELBO
+
+    def elbo(self, params: dict, key: jax.Array, response: jax.Array,
+             mask: jax.Array, item_scale: float | jax.Array = 1.0,
+             num_samples: int = 1):
+        """Minibatch ELBO (scalar) + aux metrics dict.
+
+        E_q[log p(r | theta, d)] estimated with `num_samples` reparameterized
+        draws (vmap over the sample axis); KLs analytic.
+        """
+        def one_sample(k):
+            k_item, k_theta = jax.random.split(k)
+            item_sample = self.sample_items(params, k_item)
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            ll = self.loglik_per_person(params, theta, item_sample, response, mask)
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1)
+            return ll.sum(), kl_theta.sum()
+
+        lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        loglik = lls.mean()
+        kl_theta = kl_thetas.mean()
+        kl_items = self.item_kl(params)
+        bound = objectives.elbo(loglik, kl_theta, kl_items, item_scale)
+        aux = {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
+               "kl_items": kl_items}
+        return bound, aux
+
+    # --------------------------------------------------------------- IWAE
+
+    def iwae(self, params: dict, key: jax.Array, response: jax.Array,
+             mask: jax.Array, num_samples: int = 100,
+             item_scale: float | jax.Array = 1.0) -> jax.Array:
+        """IWAE-S joint bound on log p(r) for the minibatch (scalar).
+
+        log (1/S) sum_s exp( log p(r, theta_s, d_s) - log q(theta_s, d_s) ),
+        item terms scaled by item_scale under minibatching (SURVEY.md 3.4).
+        """
+        def one_sample(k):
+            k_item, k_theta = jax.random.split(k)
+            item_sample = self.sample_items(params, k_item)
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            ll = self.loglik_per_person(params, theta, item_sample, response,
+                                        mask).sum()
+            lp_theta = dist.standard_normal_log_prob(theta).sum()
+            lq_theta = dist.gaussian_log_prob(theta, mu, logvar).sum()
+            item_ratio = self.item_log_ratio(params, item_sample)
+            return objectives.importance_log_weights(
+                ll, lp_theta, lq_theta, item_ratio, 0.0, item_scale)
+
+        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        return objectives.iwae_bound(log_w)
+
+    # ---------------------------------------------------------- imputation
+
+    def impute_prob(self, params: dict, response: jax.Array, mask: jax.Array
+                    ) -> jax.Array:
+        """Predicted response probabilities from posterior means (B, M).
+
+        Protocol per SURVEY.md section 4.3: encode the train-visible
+        responses, take posterior means for theta and d, push through the
+        link. Hidden cells are then thresholded at 0.5 by the caller.
+        """
+        item_mean = self.item_posterior_mean(params)
+        mu, _ = self.encode(params, response, mask, item_mean)
+        return self.response_prob(params, mu, item_mean)

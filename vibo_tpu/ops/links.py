@@ -1,0 +1,72 @@
+"""IRT link functions: response-probability logits from ability + item params.
+
+Conventions (pinned per SURVEY.md section 3.4; reference mount empty so these
+follow the paper, arXiv:2002.00276 section 3, and classical IRT):
+
+- ability theta_i in R^K, prior N(0, I_K)
+- 1PL (Rasch):  p(r_ij=1) = sigmoid( sum_k theta_ik - b_j )
+  (multidimensional 1PL sums the ability dims; discrimination fixed at 1)
+- 2PL:          p = sigmoid( a_j . theta_i - b_j )
+- 3PL:          p = g_j + (1 - g_j) * sigmoid( a_j . theta_i - b_j ),
+  with the guess probability parameterized unconstrained as g_j = sigmoid(g~_j)
+- deep:         logit = MLP([theta_i, d_j]) — lives in models/networks.py since
+  it carries parameters; here we only expose the linear-link family.
+
+All functions are batched over leading axes by construction (plain matmuls),
+so they vmap/pjit cleanly. The student x item contraction is a single MXU
+matmul; keep K >= 1 static.
+
+Shapes:
+  theta: (..., B, K)   ability
+  a:     (M, K)        discrimination
+  b:     (M,)          difficulty
+  g_hat: (M,)          unconstrained guess logit (3PL only)
+  -> logits / probs: (..., B, M)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IRT_MODELS = ("1pl", "2pl", "3pl", "deep")
+
+
+def logits_1pl(theta: jax.Array, b: jax.Array) -> jax.Array:
+    """Rasch logits: sum_k theta_k - b_j.  theta (...,B,K), b (M,) -> (...,B,M)."""
+    return theta.sum(-1, keepdims=True) - b[..., None, :]
+
+
+def logits_2pl(theta: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """2PL logits: a_j . theta_i - b_j.  theta (...,B,K), a (M,K), b (M,)."""
+    return jnp.einsum("...bk,mk->...bm", theta, a) - b[..., None, :]
+
+
+def logits_3pl(theta: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """The sigmoid-logit part of 3PL (guessing handled in the likelihood)."""
+    return logits_2pl(theta, a, b)
+
+
+def prob_1pl(theta, b):
+    return jax.nn.sigmoid(logits_1pl(theta, b))
+
+
+def prob_2pl(theta, a, b):
+    return jax.nn.sigmoid(logits_2pl(theta, a, b))
+
+
+def prob_3pl(theta, a, b, g_hat):
+    """3PL success probability: g + (1-g) * sigmoid(a.theta - b), g = sigmoid(g~)."""
+    g = jax.nn.sigmoid(g_hat)[..., None, :]
+    return g + (1.0 - g) * jax.nn.sigmoid(logits_3pl(theta, a, b))
+
+
+def response_prob(irt_model: str, theta, item_params) -> jax.Array:
+    """Dispatch: item_params is a dict with keys among {'a','b','g_hat'}."""
+    if irt_model == "1pl":
+        return prob_1pl(theta, item_params["b"])
+    if irt_model == "2pl":
+        return prob_2pl(theta, item_params["a"], item_params["b"])
+    if irt_model == "3pl":
+        return prob_3pl(theta, item_params["a"], item_params["b"], item_params["g_hat"])
+    raise ValueError(f"unknown linear-link irt_model {irt_model!r} (deep link lives in models/)")
