@@ -1,0 +1,75 @@
+"""Checkpoint/resume: byte-exact round trip, structure-mismatch detection,
+and exact-resume training equivalence (SURVEY.md section 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vibo_tpu.data import simulate_irt, holdout_split
+from vibo_tpu.models import VIBO, VIBOConfig
+from vibo_tpu.train import Trainer, TrainConfig, save_checkpoint, load_checkpoint
+
+
+def _setup():
+    sim = simulate_irt("2pl", 64, 16, ability_dim=1, seed=0)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=16, irt_model="2pl", ability_dim=1,
+                            hidden_dim=16))
+    return ds, model
+
+
+def test_roundtrip_exact(tmp_path):
+    ds, model = _setup()
+    tr = Trainer(model, TrainConfig(epochs=1))
+    params, opt_state = tr.init_state(jax.random.key(0))
+    key = jax.random.key(42)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, (params, opt_state), key, step=7, extra={"epoch": 3})
+    template = tr.init_state(jax.random.key(1))
+    (p2, o2), key2, step, extra = load_checkpoint(path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert step == 7 and int(extra["epoch"]) == 3
+    np.testing.assert_array_equal(jax.random.key_data(key), jax.random.key_data(key2))
+
+
+def test_structure_mismatch_raises(tmp_path):
+    ds, model = _setup()
+    tr = Trainer(model, TrainConfig(epochs=1))
+    state = tr.init_state(jax.random.key(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, jax.random.key(0), 0)
+    other = VIBO(VIBOConfig(num_items=16, irt_model="2pl", ability_dim=1,
+                            hidden_dim=32))
+    bad_template = Trainer(other, TrainConfig(epochs=1)).init_state(jax.random.key(0))
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(path, bad_template)
+
+
+def test_resume_is_exact(tmp_path):
+    """Training 4 steps == training 2, checkpointing, resuming, training 2."""
+    ds, model = _setup()
+    tr = Trainer(model, TrainConfig(epochs=1))
+    step_fn = tr.make_step(item_scale=1.0, num_samples=1)
+    resp, mask = jnp.asarray(ds.response), jnp.asarray(ds.train_mask)
+
+    def run(params, opt_state, key, steps):
+        for _ in range(steps):
+            key, k = jax.random.split(key)
+            params, opt_state, _ = step_fn(params, opt_state, k, resp, mask)
+        return params, opt_state, key
+
+    p, o = tr.init_state(jax.random.key(0))
+    p4, _, _ = run(p, o, jax.random.key(1), 4)
+
+    p, o = tr.init_state(jax.random.key(0))
+    p2, o2, key2 = run(p, o, jax.random.key(1), 2)
+    path = str(tmp_path / "mid.npz")
+    save_checkpoint(path, (p2, o2), key2, step=2)
+    template = tr.init_state(jax.random.key(5))
+    (pr, orr), keyr, _, _ = load_checkpoint(path, template)
+    pr4, _, _ = run(pr, orr, keyr, 2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p4), jax.tree_util.tree_leaves(pr4)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

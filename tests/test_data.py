@@ -1,0 +1,104 @@
+"""Data layer tests: simulator statistics, hold-out invariants, loaders."""
+
+import numpy as np
+import pytest
+
+from vibo_tpu.data import simulate_irt, holdout_split, load_dataset
+from vibo_tpu.data.loaders import long_to_matrix
+from vibo_tpu.data.masking import pad_to_multiple, split_persons, batch_iterator
+
+
+def test_simulator_reproducible_and_calibrated():
+    s1 = simulate_irt("2pl", 500, 40, ability_dim=2, seed=7)
+    s2 = simulate_irt("2pl", 500, 40, ability_dim=2, seed=7)
+    np.testing.assert_array_equal(s1.response, s2.response)
+    # empirical response rate tracks the true probabilities
+    assert abs(s1.response.mean() - s1.prob.mean()) < 0.02
+
+
+def test_simulator_3pl_guess_floor():
+    s = simulate_irt("3pl", 2000, 30, seed=1)
+    # even the hardest item's success rate should exceed half its guess prob
+    g = 1 / (1 + np.exp(-s.g_hat))
+    rates = s.response.mean(0)
+    assert (rates > 0.25 * g).all()
+
+
+def test_simulator_missingness():
+    s = simulate_irt("1pl", 300, 20, seed=2, missing_rate=0.3)
+    assert 0.6 < s.mask.mean() < 0.8
+    assert (s.response * (1 - s.mask) == 0).all()
+
+
+def test_holdout_split_invariants():
+    s = simulate_irt("1pl", 200, 25, seed=3, missing_rate=0.2)
+    ds = holdout_split(s.response, s.mask, holdout_frac=0.1, seed=3)
+    # disjoint, and union = observed
+    assert (ds.train_mask * ds.heldout_mask == 0).all()
+    np.testing.assert_array_equal(ds.train_mask + ds.heldout_mask, s.mask)
+    frac = ds.heldout_mask.sum() / s.mask.sum()
+    assert 0.07 < frac < 0.13
+
+
+def test_split_persons():
+    s = simulate_irt("1pl", 100, 10, seed=4)
+    ds = holdout_split(s.response, s.mask, 0.1, seed=4)
+    tr, te = split_persons(ds, test_frac=0.2, seed=4)
+    assert tr.response.shape[0] + te.response.shape[0] == 100
+    assert te.response.shape[0] == 20
+
+
+def test_pad_to_multiple():
+    s = simulate_irt("1pl", 100, 50, seed=5)
+    ds = holdout_split(s.response, s.mask, 0.1, seed=5)
+    padded = pad_to_multiple(ds, 8, 128)
+    assert padded.response.shape == (104, 128)
+    assert padded.train_mask[100:].sum() == 0
+    assert padded.train_mask[:, 50:].sum() == 0
+    assert padded.num_persons == 100 and padded.num_items == 50
+
+
+def test_batch_iterator_covers_all_rows():
+    s = simulate_irt("1pl", 37, 10, seed=6)
+    ds = holdout_split(s.response, s.mask, 0.0, seed=6)
+    seen = 0
+    for resp, mask in batch_iterator(ds, 16, seed=0, epoch=0):
+        assert resp.shape == (16, 10)
+        seen += int((mask.sum(1) > 0).sum())
+    assert seen == 37  # every person exactly once (mask>0 rows)
+
+
+def test_long_to_matrix_filtering():
+    rows = []
+    for p in range(10):
+        for i in range(8):
+            rows.append((f"p{p}", f"i{i}", 1.0 if (p + i) % 2 else 0.0))
+    rows.append(("sparse_person", "i0", 1.0))  # only 1 response -> dropped
+    resp, mask = long_to_matrix(rows, min_per_person=5, min_per_item=5)
+    assert resp.shape == (10, 8)
+    assert mask.all()
+
+
+def test_load_dataset_surrogates():
+    for name in ("pisa", "wordbank", "gradescope"):
+        ds = load_dataset(name, data_dir=None, seed=0)
+        assert ds.name.endswith("surrogate")
+        assert ds.response.shape[0] > 100
+        assert (ds.train_mask * ds.heldout_mask == 0).all()
+    with pytest.raises(ValueError):
+        load_dataset("nope")
+
+
+def test_load_dataset_from_csv(tmp_path):
+    import csv
+    path = tmp_path / "pisa.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["student_id", "item_id", "correct"])
+        w.writeheader()
+        for p in range(20):
+            for i in range(10):
+                w.writerow({"student_id": p, "item_id": i,
+                            "correct": int((p * 7 + i) % 3 > 0)})
+    ds = load_dataset("pisa", data_dir=str(tmp_path), seed=0)
+    assert ds.name == "pisa"
+    assert ds.response.shape == (20, 10)

@@ -1,0 +1,69 @@
+"""Statistical integration tests (SURVEY.md section 5): synthetic recovery,
+ELBO improvement, imputation beats base rate — the reference family's
+de-facto integration test, made automatic."""
+
+import numpy as np
+import pytest
+
+from vibo_tpu import evaluation
+from vibo_tpu.data import simulate_irt, holdout_split
+from vibo_tpu.models import VIBO, VIBOConfig
+from vibo_tpu.train import Trainer, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def trained_1pl():
+    sim = simulate_irt("1pl", 600, 64, ability_dim=1, seed=0)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=64, irt_model="1pl", ability_dim=1,
+                            hidden_dim=64))
+    cfg = TrainConfig(lr=8e-3, epochs=150, eval_every=150, log_every=150)
+    res = Trainer(model, cfg).fit(ds, truth=sim)
+    return sim, ds, model, res
+
+
+def test_elbo_improves(trained_1pl):
+    sim, ds, model, res = trained_1pl
+    evs = [h for h in res["history"] if h["event"] == "train"]
+    assert evs[-1]["elbo"] > -1e9
+    # compare against the untrained model's ELBO
+    import jax, jax.numpy as jnp
+    params0 = model.init_params(jax.random.key(99))
+    b0, _ = model.elbo(params0, jax.random.key(1), jnp.asarray(ds.response),
+                       jnp.asarray(ds.train_mask), 1.0, 1)
+    assert evs[-1]["elbo"] > float(b0) + 100.0
+
+
+def test_parameter_recovery_1pl(trained_1pl):
+    sim, ds, model, res = trained_1pl
+    theta_hat, items = evaluation.infer_posterior_means(model, res["params"], ds)
+    assert evaluation.correlation(theta_hat, sim.theta)["pearson"] > 0.85
+    assert evaluation.correlation(items["b"][:, 0], sim.b)["pearson"] > 0.85
+
+
+def test_imputation_beats_base_rate(trained_1pl):
+    sim, ds, model, res = trained_1pl
+    ev = evaluation.imputation_accuracy(model, res["params"], ds)
+    assert ev["acc"] > ev["base_rate"] + 0.03
+    assert ev["acc"] > 0.6
+
+
+def test_minibatch_training_runs():
+    sim = simulate_irt("2pl", 200, 32, ability_dim=2, seed=3)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=3)
+    model = VIBO(VIBOConfig(num_items=32, irt_model="2pl", ability_dim=2,
+                            hidden_dim=32))
+    cfg = TrainConfig(lr=5e-3, epochs=8, batch_size=64, eval_every=8, log_every=8)
+    res = Trainer(model, cfg).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+
+
+def test_iwae_eval_runs(trained_1pl):
+    sim, ds, model, res = trained_1pl
+    import jax
+    out = evaluation.iwae_loglik(model, res["params"], jax.random.key(7), ds,
+                                 num_samples=20)
+    assert np.isfinite(out["loglik"])
+    assert out["loglik_per_cell"] < 0
+    # a trained model should beat coin-flip log-lik (log 0.5 = -0.693)/cell
+    assert out["loglik_per_cell"] > np.log(0.5)

@@ -1,0 +1,129 @@
+"""Evaluation suite: imputation accuracy, IWAE test log-lik, parameter recovery.
+
+Parity contract: SURVEY.md section 3.3 "Evaluation suite" and section 4.2-4.3;
+arXiv:2002.00276 sections 6.3-6.5:
+- held-out missing-response imputation accuracy (p > 0.5 vs hidden cells);
+- multi-sample IWAE bound on test log-likelihood (S ~= 100, vmap'd);
+- Pearson/Spearman correlation of inferred vs ground-truth (synthetic) or
+  vs HMC-posterior (real) parameters.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from vibo_tpu.data.masking import Dataset
+from vibo_tpu.models.vibo import VIBO
+
+
+def _person_blocks(n: int, block: int):
+    for start in range(0, n, block):
+        yield start, min(start + block, n)
+
+
+def imputation_accuracy(model: VIBO, params, ds: Dataset,
+                        block_size: int = 4096) -> dict:
+    """Predict held-out cells from posterior means of the train-visible data.
+
+    Returns accuracy, base-rate (majority-class) accuracy, and counts.
+    """
+    impute = jax.jit(model.impute_prob)
+    correct = 0.0
+    total = 0.0
+    ones = 0.0
+    n = ds.response.shape[0]
+    for s, e in _person_blocks(n, block_size):
+        resp = jnp.asarray(ds.response[s:e])
+        tmask = jnp.asarray(ds.train_mask[s:e])
+        hmask = np.asarray(ds.heldout_mask[s:e])
+        prob = np.asarray(impute(params, resp, tmask))
+        pred = (prob > 0.5).astype(np.float32)
+        truth = ds.response[s:e]
+        correct += float((hmask * (pred == truth)).sum())
+        total += float(hmask.sum())
+        ones += float((hmask * truth).sum())
+    base_rate = max(ones, total - ones) / max(total, 1.0)
+    return {"acc": correct / max(total, 1.0), "base_rate": base_rate,
+            "num_heldout": int(total)}
+
+
+def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
+                num_samples: int = 100, block_size: int = 2048,
+                on: str = "train") -> dict:
+    """IWAE-S bound on log p(r) over observed cells, summed over person blocks.
+
+    on='train' evaluates the training-visible cells; on='heldout' the hidden
+    ones (conditioning the encoder on the train-visible responses either way,
+    matching the imputation protocol).
+    """
+    n = ds.response.shape[0]
+    total = 0.0
+    cells = 0.0
+
+    @jax.jit
+    def block_bound(params, key, resp, tmask, emask):
+        # Encoder conditions on train-visible data; likelihood on emask cells.
+        def one_sample(k):
+            from vibo_tpu.ops import distributions as dist
+            from vibo_tpu.ops import objectives
+            k_item, k_theta = jax.random.split(k)
+            item_sample = model.sample_items(params, k_item)
+            mu, logvar = model.encode(params, resp, tmask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            ll = model.loglik_per_person(params, theta, item_sample, resp, emask).sum()
+            lp = dist.standard_normal_log_prob(theta).sum()
+            lq = dist.gaussian_log_prob(theta, mu, logvar).sum()
+            ratio = model.item_log_ratio(params, item_sample)
+            return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0, 1.0)
+        from vibo_tpu.ops import objectives
+        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        return objectives.iwae_bound(log_w)
+
+    for i, (s, e) in enumerate(_person_blocks(n, block_size)):
+        resp = jnp.asarray(ds.response[s:e])
+        tmask = jnp.asarray(ds.train_mask[s:e])
+        emask = tmask if on == "train" else jnp.asarray(ds.heldout_mask[s:e])
+        key, sub = jax.random.split(key)
+        total += float(block_bound(params, sub, resp, tmask, emask))
+        cells += float(np.asarray(emask).sum())
+    return {"loglik": total, "loglik_per_cell": total / max(cells, 1.0),
+            "num_cells": int(cells), "num_samples": num_samples}
+
+
+def infer_posterior_means(model: VIBO, params, ds: Dataset,
+                          block_size: int = 4096):
+    """Posterior-mean abilities (N, K) and item-parameter means (dict)."""
+    item_mean = model.item_posterior_mean(params)
+    encode = jax.jit(lambda p, r, m: model.encode(p, r, m, item_mean)[0])
+    thetas = []
+    for s, e in _person_blocks(ds.response.shape[0], block_size):
+        thetas.append(np.asarray(encode(params, jnp.asarray(ds.response[s:e]),
+                                        jnp.asarray(ds.train_mask[s:e]))))
+    return np.concatenate(thetas, 0), {k: np.asarray(v) for k, v in item_mean.items()}
+
+
+def correlation(inferred: np.ndarray, truth: np.ndarray,
+                align_sign: bool = True) -> dict:
+    """Pearson/Spearman correlation per trailing dim, averaged.
+
+    align_sign flips each inferred dim to positively correlate with truth —
+    IRT latent dims are sign-invariant (theta, a) -> (-theta, -a).
+    """
+    inferred = np.asarray(inferred, np.float64)
+    truth = np.asarray(truth, np.float64)
+    if inferred.ndim == 1:
+        inferred, truth = inferred[:, None], truth[:, None]
+    pearsons, spearmans = [], []
+    for d in range(truth.shape[1]):
+        x, y = inferred[:, d], truth[:, d]
+        p = scipy.stats.pearsonr(x, y).statistic
+        if align_sign and p < 0:
+            x = -x
+            p = -p
+        pearsons.append(p)
+        spearmans.append(scipy.stats.spearmanr(x, y).statistic)
+    return {"pearson": float(np.mean(pearsons)),
+            "spearman": float(np.mean(spearmans))}

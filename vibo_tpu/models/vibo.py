@@ -110,6 +110,10 @@ class VIBO:
 
     def encode(self, params: dict, response: jax.Array, mask: jax.Array,
                item_sample: dict | None):
+        if response.shape[-1] != self.cfg.num_items:
+            raise ValueError(
+                f"response has {response.shape[-1]} items but the model was "
+                f"configured with num_items={self.cfg.num_items}")
         feats = None
         if self.cfg.conditional_posterior:
             assert item_sample is not None

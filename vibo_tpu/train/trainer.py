@@ -1,0 +1,182 @@
+"""VIBO training harness: jit'd optax step, epoch loop, eval, checkpointing.
+
+Parity contract: SURVEY.md section 3.3 "VIBO training harness" and
+section 4.1's call stack (argparse CLI lives in vibo_tpu/cli.py; this module
+is the library core). TPU design:
+
+- One XLA compilation per run: static batch shape (minibatches zero-padded),
+  MC samples vmap'd, params/opt-state donated.
+- Optional ('students','items') mesh: batches sharded over students, item
+  posteriors over items (vibo_tpu.parallel); the identical step function
+  works 1-chip or N-chip.
+- Throughput metric: response-cells/sec/chip = B * M * steps / wall-clock —
+  the [B] benchmark's primary metric — measured with block_until_ready.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vibo_tpu import evaluation
+from vibo_tpu.data.masking import Dataset, batch_iterator
+from vibo_tpu.models.vibo import VIBO
+from vibo_tpu.parallel import mesh as meshlib
+from vibo_tpu.train import checkpoint as ckpt
+from vibo_tpu.utils.metrics import AverageMeter, MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 5e-3
+    epochs: int = 50
+    batch_size: int | None = None      # None => full-batch
+    num_mc_samples: int = 1            # S for the training ELBO
+    seed: int = 0
+    eval_every: int = 10               # epochs between held-out evals
+    out_dir: str | None = None         # checkpoints + metrics.jsonl
+    log_every: int = 10                # epochs between train-metric logs
+    max_grad_norm: float | None = 10.0
+
+
+class Trainer:
+    def __init__(self, model: VIBO, cfg: TrainConfig, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        tx = optax.adam(cfg.lr)
+        if cfg.max_grad_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        self.optimizer = tx
+        self._step_fn = None
+
+    # ------------------------------------------------------------- setup
+
+    def init_state(self, key: jax.Array):
+        params = self.model.init_params(key)
+        if self.mesh is not None:
+            shardings = meshlib.param_shardings(params, self.mesh)
+            params = jax.tree.map(jax.device_put, params, shardings)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def make_step(self, item_scale: float, num_samples: int):
+        model, optimizer = self.model, self.optimizer
+
+        def step(params, opt_state, key, resp, mask):
+            def loss_fn(p):
+                bound, aux = model.elbo(p, key, resp, mask, item_scale, num_samples)
+                return -bound, aux
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        donate = (0, 1)
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=donate)
+        batch_sh = meshlib.batch_sharding(self.mesh)
+        return jax.jit(step, donate_argnums=donate,
+                       in_shardings=(None, None, None, batch_sh, batch_sh))
+
+    # --------------------------------------------------------------- fit
+
+    def fit(self, ds: Dataset, truth=None, key: jax.Array | None = None):
+        """Train on ds.train_mask; periodically evaluate held-out imputation.
+
+        truth: optional SyntheticIRT for parameter-recovery correlations.
+        Returns a results dict (history + best metrics + final state).
+        """
+        cfg = self.cfg
+        n, m = ds.response.shape
+        batch_size = cfg.batch_size or n
+        batch_size = min(batch_size, n)
+        item_scale = batch_size / n
+        key = jax.random.key(cfg.seed) if key is None else key
+        key, k_init = jax.random.split(key)
+        params, opt_state = self.init_state(k_init)
+        step_fn = self.make_step(item_scale, cfg.num_mc_samples)
+
+        if cfg.out_dir:
+            os.makedirs(cfg.out_dir, exist_ok=True)
+        logger = MetricsLogger(
+            os.path.join(cfg.out_dir, "metrics.jsonl") if cfg.out_dir else None)
+
+        full_batch = batch_size >= n
+        if full_batch:
+            resp_dev = jnp.asarray(ds.response)
+            mask_dev = jnp.asarray(ds.train_mask)
+            if self.mesh is not None:
+                resp_dev, mask_dev = meshlib.shard_arrays(self.mesh, resp_dev, mask_dev)
+
+        history = []
+        best = {"heldout_acc": -1.0, "epoch": -1}
+        cells_meter = AverageMeter()
+        t_train = 0.0
+        global_step = 0
+        for epoch in range(cfg.epochs):
+            elbo_meter = AverageMeter()
+            t0 = time.perf_counter()
+            if full_batch:
+                key, k = jax.random.split(key)
+                params, opt_state, aux = step_fn(params, opt_state, k,
+                                                 resp_dev, mask_dev)
+                elbo_meter.update(float(aux["elbo"]))
+                global_step += 1
+                steps = 1
+            else:
+                steps = 0
+                for resp, mask in batch_iterator(ds, batch_size, cfg.seed, epoch):
+                    key, k = jax.random.split(key)
+                    resp, mask = jnp.asarray(resp), jnp.asarray(mask)
+                    if self.mesh is not None:
+                        resp, mask = meshlib.shard_arrays(self.mesh, resp, mask)
+                    params, opt_state, aux = step_fn(params, opt_state, k, resp, mask)
+                    steps += 1
+                    global_step += 1
+                elbo_meter.update(float(aux["elbo"]))
+            jax.block_until_ready(params)
+            dt = time.perf_counter() - t0
+            t_train += dt
+            cells_meter.update(batch_size * m * steps / dt)
+
+            if (epoch + 1) % cfg.log_every == 0 or epoch == cfg.epochs - 1:
+                rec = {"event": "train", "epoch": epoch, "step": global_step,
+                       "elbo": elbo_meter.avg,
+                       "loglik": float(aux["loglik"]),
+                       "kl_theta": float(aux["kl_theta"]),
+                       "kl_items": float(aux["kl_items"]),
+                       "cells_per_sec": cells_meter.avg}
+                logger.log(**rec)
+                history.append(rec)
+
+            if ((epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1) \
+                    and ds.heldout_mask.sum() > 0:
+                ev = evaluation.imputation_accuracy(self.model, params, ds)
+                rec = {"event": "eval", "epoch": epoch, **ev}
+                if truth is not None:
+                    theta_hat, _ = evaluation.infer_posterior_means(self.model, params, ds)
+                    rec["theta_pearson"] = evaluation.correlation(
+                        theta_hat[:truth.theta.shape[0]], truth.theta)["pearson"]
+                logger.log(**rec)
+                history.append(rec)
+                if ev["acc"] > best["heldout_acc"]:
+                    best = {"heldout_acc": ev["acc"], "epoch": epoch}
+                    if cfg.out_dir:
+                        ckpt.save_checkpoint(
+                            os.path.join(cfg.out_dir, "best.npz"),
+                            (params, opt_state), key, global_step,
+                            extra={"epoch": epoch, "heldout_acc": ev["acc"]})
+
+        logger.close()
+        return {"params": params, "opt_state": opt_state, "key": key,
+                "history": history, "best": best,
+                "final_elbo": elbo_meter.avg,
+                "train_seconds": t_train,
+                "cells_per_sec": cells_meter.avg}
