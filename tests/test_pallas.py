@@ -1,0 +1,139 @@
+"""Pallas fused masked-loglik kernel vs the pure-JAX reference
+(interpret mode on CPU; the same asserts run compiled on real TPU via
+bench.py --check). SURVEY.md section 5: 'Pallas kernels tested in
+interpret=True mode vs the pure-JAX reference implementation.'"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vibo_tpu.ops import likelihood as lik
+from vibo_tpu.ops import links
+from vibo_tpu.ops.pallas_elbo import masked_loglik_2pl
+
+
+def _inputs(rng, bsz, m, k):
+    theta = jnp.asarray(rng.standard_normal((bsz, k)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    resp = jnp.asarray((rng.random((bsz, m)) < 0.5).astype(np.float32))
+    mask = jnp.asarray((rng.random((bsz, m)) < 0.8).astype(np.float32))
+    return theta, a, b, resp, mask
+
+
+def _ref(theta, a, b, resp, mask):
+    return lik.masked_loglik_per_person(links.logits_2pl(theta, a, b), resp, mask)
+
+
+@pytest.mark.parametrize("shape", [(8, 128, 1), (16, 256, 4), (300, 640, 8)])
+def test_forward_matches_reference(rng, shape):
+    bsz, m, k = shape
+    args = _inputs(rng, bsz, m, k)
+    got = masked_loglik_2pl(*args, interpret=True)
+    want = _ref(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_gradients_match_reference(rng):
+    theta, a, b, resp, mask = _inputs(rng, 64, 256, 4)
+
+    def loss_pallas(theta, a, b):
+        return masked_loglik_2pl(theta, a, b, resp, mask, interpret=True).sum()
+
+    def loss_ref(theta, a, b):
+        return _ref(theta, a, b, resp, mask).sum()
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(theta, a, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(theta, a, b)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-4)
+
+
+def test_weighted_cotangent(rng):
+    """Backward must honor arbitrary per-person cotangents, not just sum()."""
+    theta, a, b, resp, mask = _inputs(rng, 32, 128, 2)
+    w = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+
+    def f(fn):
+        return jax.grad(lambda t: (fn(t, a, b, resp, mask) * w).sum())(theta)
+
+    g1 = f(lambda *xs: masked_loglik_2pl(*xs, interpret=True))
+    g2 = f(lambda t, a, b, r, m: _ref(t, a, b, r, m))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-5, atol=3e-4)
+
+
+def test_vmap_sample_axis(rng):
+    """IWAE-style leading sample axis on theta AND per-sample item draws."""
+    s, bsz, m, k = 3, 16, 128, 2
+    theta = jnp.asarray(rng.standard_normal((s, bsz, k)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((s, m, k)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((s, m)).astype(np.float32))
+    resp = jnp.asarray((rng.random((bsz, m)) < 0.5).astype(np.float32))
+    mask = jnp.ones((bsz, m), jnp.float32)
+    got = masked_loglik_2pl(theta, a, b, resp, mask, interpret=True)
+    want = jax.vmap(lambda t, aa, bb: _ref(t, aa, bb, resp, mask))(theta, a, b)
+    assert got.shape == (s, bsz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+    # shared items across samples
+    got2 = masked_loglik_2pl(theta, a[0], b[0], resp, mask, interpret=True)
+    want2 = jax.vmap(lambda t: _ref(t, a[0], b[0], resp, mask))(theta)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_ragged_tiles(rng):
+    """Shapes not divisible by the block sizes still compute correctly."""
+    args = _inputs(rng, 70, 330, 3)
+    got = masked_loglik_2pl(*args, interpret=True)
+    want = _ref(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_vibo_model_pallas_path(rng):
+    """VIBOConfig(use_pallas=True) ELBO == use_pallas=False ELBO (same key)."""
+    import os
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.data import simulate_irt
+    sim = simulate_irt("2pl", 48, 160, ability_dim=2, seed=0, missing_rate=0.2)
+    resp, mask = jnp.asarray(sim.response), jnp.asarray(sim.mask)
+    key = jax.random.key(0)
+    base = VIBO(VIBOConfig(num_items=160, irt_model="2pl", ability_dim=2,
+                           hidden_dim=32))
+    fused = VIBO(VIBOConfig(num_items=160, irt_model="2pl", ability_dim=2,
+                            hidden_dim=32, use_pallas=True))
+    params = base.init_params(jax.random.key(1))
+    b1, _ = base.elbo(params, key, resp, mask, 1.0, 2)
+    b2, _ = fused.elbo(params, key, resp, mask, 1.0, 2)
+    np.testing.assert_allclose(float(b1), float(b2), rtol=1e-5)
+
+
+def test_packed_representation(rng):
+    from vibo_tpu.ops.pallas_elbo import pack_responses, masked_loglik_2pl_packed
+    theta, a, b, resp, mask = _inputs(rng, 48, 200, 3)
+    packed = pack_responses(resp, mask)
+    assert packed.dtype == jnp.int8
+    got = masked_loglik_2pl_packed(theta, a, b, packed, interpret=True)
+    want = _ref(theta, a, b, resp, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+    # gradients
+    g1 = jax.grad(lambda t, aa, bb: masked_loglik_2pl_packed(
+        t, aa, bb, packed, interpret=True).sum(), argnums=(0, 1, 2))(theta, a, b)
+    g2 = jax.grad(lambda t, aa, bb: _ref(t, aa, bb, resp, mask).sum(),
+                  argnums=(0, 1, 2))(theta, a, b)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-4)
+
+    # vmap over sample axis
+    s = 3
+    theta_s = jnp.stack([theta] * s) + 0.1
+    got_s = masked_loglik_2pl_packed(theta_s, a, b, packed, interpret=True)
+    assert got_s.shape == (s, 48)

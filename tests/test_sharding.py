@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md section 5):
+sharded-vs-replicated numerical equality for the ELBO, the train step, and
+mesh/sharding plumbing — the 'distributed tests without a cluster' strategy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vibo_tpu.data import simulate_irt, holdout_split
+from vibo_tpu.models import VIBO, VIBOConfig
+from vibo_tpu.parallel import make_mesh, batch_sharding, param_shardings
+from vibo_tpu.train import Trainer, TrainConfig
+
+N, M, K = 64, 32, 2
+
+
+def _setup():
+    sim = simulate_irt("2pl", N, M, ability_dim=K, seed=0, missing_rate=0.1)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                            hidden_dim=32))
+    return ds, model
+
+
+def test_make_mesh_shapes(eight_devices):
+    mesh = make_mesh(eight_devices)
+    assert mesh.shape == {"students": 8, "items": 1}
+    mesh2 = make_mesh(eight_devices, item_axis=2)
+    assert mesh2.shape == {"students": 4, "items": 2}
+    with pytest.raises(ValueError):
+        make_mesh(eight_devices, item_axis=3)
+
+
+def test_param_shardings_rules(eight_devices):
+    ds, model = _setup()
+    mesh = make_mesh(eight_devices, item_axis=2)
+    params = model.init_params(jax.random.key(0))
+    sh = param_shardings(params, mesh)
+    assert sh["item_post"]["a"]["mu"].spec == P("items", None)
+    assert sh["encoder"][0]["w"].spec == P()
+
+
+@pytest.mark.parametrize("item_axis", [1, 2])
+def test_elbo_sharded_equals_replicated(eight_devices, item_axis):
+    ds, model = _setup()
+    mesh = make_mesh(eight_devices, item_axis=item_axis)
+    params = model.init_params(jax.random.key(0))
+    resp, mask = jnp.asarray(ds.response), jnp.asarray(ds.train_mask)
+    key = jax.random.key(1)
+
+    ref, _ = jax.jit(lambda p, k: model.elbo(p, k, resp, mask, 1.0, 2))(params, key)
+
+    p_sh = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+    b_sh = batch_sharding(mesh)
+    resp_s, mask_s = jax.device_put(resp, b_sh), jax.device_put(mask, b_sh)
+    got, _ = jax.jit(lambda p, k, r, m: model.elbo(p, k, r, m, 1.0, 2))(
+        p_sh, key, resp_s, mask_s)
+    np.testing.assert_allclose(float(ref), float(got), rtol=2e-5)
+
+
+def test_train_step_sharded_equals_replicated(eight_devices):
+    ds, model = _setup()
+    mesh = make_mesh(eight_devices)
+    key = jax.random.key(0)
+
+    tr_ref = Trainer(model, TrainConfig(lr=1e-2))
+    p_ref, o_ref = tr_ref.init_state(key)
+    step_ref = tr_ref.make_step(1.0, 1)
+
+    tr_sh = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    p_sh, o_sh = tr_sh.init_state(key)
+    step_sh = tr_sh.make_step(1.0, 1)
+
+    resp, mask = jnp.asarray(ds.response), jnp.asarray(ds.train_mask)
+    from vibo_tpu.parallel import mesh as meshlib
+    resp_s, mask_s = meshlib.shard_arrays(mesh, resp, mask)
+
+    k = jax.random.key(7)
+    for _ in range(3):
+        k, sub = jax.random.split(k)
+        p_ref, o_ref, aux_ref = step_ref(p_ref, o_ref, sub, resp, mask)
+        p_sh, o_sh, aux_sh = step_sh(p_sh, o_sh, sub, resp_s, mask_s)
+    np.testing.assert_allclose(float(aux_ref["elbo"]), float(aux_sh["elbo"]),
+                               rtol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_trainer_fit_on_mesh(eight_devices):
+    """Full fit() with sharding enabled stays finite and improves."""
+    ds, model = _setup()
+    mesh = make_mesh(eight_devices, item_axis=2)
+    res = Trainer(model, TrainConfig(lr=1e-2, epochs=10, eval_every=10,
+                                     log_every=10), mesh=mesh).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+    assert res["best"]["heldout_acc"] >= 0
