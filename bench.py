@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark: 2PL VIBO training on one TPU chip vs the CPU reference.
+
+Primary metric (BASELINE.md / BASELINE.json): response-cells/sec/chip of the
+full jit'd 2PL VIBO ELBO train step (encoder + item sampling + fused masked
+Bernoulli loglik + Adam) on a 10k-student x 1k-item matrix.
+vs_baseline: ratio over the torch-CPU reference implementation of the same
+step (the reference repo is PyTorch; see vibo_tpu/oracle_torch.py).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Measurement protocol (this image's axon TPU relay lies to block_until_ready;
+see tests/conftest.py + memory notes): N train steps run INSIDE one jit via
+lax.scan with the params as carry; a scalar is fetched to force completion;
+two different N values remove the fixed RPC overhead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas):
+    import jax
+    import jax.numpy as jnp
+    from vibo_tpu.data import simulate_irt, holdout_split
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("2pl", num_persons, num_items, ability_dim=ability_dim,
+                       seed=0, missing_rate=0.1)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0, name="bench")
+    model = VIBO(VIBOConfig(num_items=num_items, irt_model="2pl",
+                            ability_dim=ability_dim, hidden_dim=hidden_dim,
+                            use_pallas=use_pallas))
+    trainer = Trainer(model, TrainConfig(lr=5e-3))
+    params, opt_state = trainer.init_state(jax.random.key(0))
+    step = trainer.make_step(item_scale=1.0, num_samples=1)
+
+    resp = jnp.asarray(ds.response)
+    mask = jnp.asarray(ds.train_mask)
+    return model, trainer, params, opt_state, resp, mask, ds, sim
+
+
+def make_scan_steps(trainer, n_steps):
+    """n_steps full train steps inside one jit; returns final elbo scalar."""
+    import jax
+
+    inner = trainer.make_step(item_scale=1.0, num_samples=1)
+    # re-build the raw (unjitted) step: jit-of-jit is fine, but keep it flat
+    model, optimizer = trainer.model, trainer.optimizer
+    import optax
+
+    def raw_step(params, opt_state, key, resp, mask):
+        def loss_fn(p):
+            bound, aux = model.elbo(p, key, resp, mask, 1.0, 1)
+            return -bound, aux
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    @jax.jit
+    def run(params, opt_state, key, resp, mask):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            params, opt_state, aux = raw_step(params, opt_state, sub, resp, mask)
+            return (params, opt_state, key), aux["elbo"]
+        (params, opt_state, key), elbos = jax.lax.scan(
+            body, (params, opt_state, key), None, length=n_steps)
+        return params, opt_state, elbos[-1]
+
+    return run
+
+
+def measure_throughput(trainer, params, opt_state, resp, mask,
+                       n_small=20, n_large=100):
+    """Two-point scan timing -> (per-step seconds, fixed overhead seconds)."""
+    import jax
+
+    times = {}
+    for n in (n_small, n_large):
+        run = make_scan_steps(trainer, n)
+        p, o, e = run(params, opt_state, jax.random.key(1), resp, mask)
+        float(e)  # warm/compile, forced
+        t0 = time.perf_counter()
+        p, o, e = run(params, opt_state, jax.random.key(2), resp, mask)
+        float(e)
+        times[n] = time.perf_counter() - t0
+    per_step = (times[n_large] - times[n_small]) / (n_large - n_small)
+    fixed = times[n_small] - n_small * per_step
+    return per_step, fixed
+
+
+def measure_time_to_train(trainer, model, params, opt_state, resp, mask, ds,
+                          target_epochs=300, chunk=50):
+    """Wall-clock to train 300 full-batch epochs (compile excluded) +
+    final held-out accuracy."""
+    import jax
+    from vibo_tpu import evaluation
+
+    run = make_scan_steps(trainer, chunk)
+    p, o, e = run(params, opt_state, jax.random.key(3), resp, mask)
+    float(e)  # compile once
+    p, o = params, opt_state
+    key = jax.random.key(4)
+    t0 = time.perf_counter()
+    elbo = None
+    for i in range(target_epochs // chunk):
+        key, sub = jax.random.split(key)
+        p, o, e = run(p, o, sub, resp, mask)
+        elbo = float(e)  # forces completion of the chunk
+    seconds = time.perf_counter() - t0
+    acc = evaluation.imputation_accuracy(model, p, ds)
+    return seconds, elbo, acc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--persons", type=int, default=10240)
+    ap.add_argument("--items", type=int, default=1024)
+    ap.add_argument("--ability-dim", type=int, default=4)
+    ap.add_argument("--hidden-dim", type=int, default=256)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--skip-cpu", action="store_true",
+                    help="skip the torch-CPU reference measurement")
+    args = ap.parse_args()
+
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = on_tpu and not args.no_pallas
+
+    model, trainer, params, opt_state, resp, mask, ds, sim = build(
+        args.persons, args.items, args.ability_dim, args.hidden_dim, use_pallas)
+
+    per_step, fixed = measure_throughput(trainer, params, opt_state, resp, mask)
+    cells = args.persons * args.items
+    cells_per_sec = cells / per_step
+
+    train_seconds, final_elbo, acc = measure_time_to_train(
+        trainer, model, params, opt_state, resp, mask, ds)
+
+    if args.skip_cpu:
+        cpu_cells_per_sec = None
+        vs_baseline = None
+    else:
+        from vibo_tpu.oracle_torch import time_cpu_reference_step
+        cpu_cells_per_sec = time_cpu_reference_step(
+            num_persons=min(2048, args.persons), num_items=args.items,
+            ability_dim=args.ability_dim, hidden_dim=args.hidden_dim)
+        vs_baseline = cells_per_sec / cpu_cells_per_sec
+
+    record = {
+        "metric": "response_cells_per_sec_per_chip",
+        "value": round(cells_per_sec, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "extra": {
+            "matrix": f"{args.persons}x{args.items}",
+            "step_ms": round(per_step * 1e3, 4),
+            "fixed_overhead_ms": round(fixed * 1e3, 2),
+            "train_300_epochs_seconds": round(train_seconds, 3),
+            "final_elbo": round(final_elbo, 1),
+            "heldout_acc": round(acc["acc"], 4),
+            "heldout_base_rate": round(acc["base_rate"], 4),
+            "cpu_reference_cells_per_sec": (round(cpu_cells_per_sec, 1)
+                                            if cpu_cells_per_sec else None),
+            "backend": jax.default_backend(),
+            "use_pallas": use_pallas,
+        },
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Baseline parity tests (SURVEY.md section 5, [B] config 5): MLE/MAP, EM,
+and HMC on the same tiny synthetic sets — parameter recovery + imputation
+above base rate, and cross-method agreement."""
+
+import jax
+import numpy as np
+import pytest
+
+from vibo_tpu import evaluation
+from vibo_tpu.data import simulate_irt, holdout_split
+from vibo_tpu.models import em, hmc, mle
+
+
+@pytest.fixture(scope="module")
+def synth_2pl():
+    sim = simulate_irt("2pl", 400, 48, ability_dim=1, seed=5)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=5)
+    return sim, ds
+
+
+def test_mle_recovery(synth_2pl):
+    sim, ds = synth_2pl
+    cfg = mle.MLEConfig(irt_model="2pl", ability_dim=1, steps=400, lr=0.05)
+    params, loss = mle.fit_mle(ds.response, ds.train_mask, cfg)
+    assert np.isfinite(loss)
+    corr = evaluation.correlation(np.asarray(params["theta"])[:, 0], sim.theta[:, 0])
+    assert corr["pearson"] > 0.8
+    bcorr = evaluation.correlation(np.asarray(params["b"]), sim.b)
+    assert bcorr["pearson"] > 0.8
+    # imputation above base rate
+    prob = np.asarray(mle.response_prob(params, cfg))
+    pred = (prob > 0.5).astype(np.float32)
+    h = ds.heldout_mask
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    ones = (h * ds.response).sum() / h.sum()
+    assert acc > max(ones, 1 - ones) + 0.02
+
+
+def test_mle_1pl_and_3pl_run():
+    sim = simulate_irt("3pl", 120, 24, ability_dim=1, seed=2)
+    for model in ("1pl", "3pl"):
+        cfg = mle.MLEConfig(irt_model=model, ability_dim=1, steps=100)
+        params, loss = mle.fit_mle(sim.response, sim.mask, cfg)
+        assert np.isfinite(loss)
+
+
+def test_em_recovery(synth_2pl):
+    sim, ds = synth_2pl
+    res = em.fit_em(ds.response, ds.train_mask, em.EMConfig(irt_model="2pl"))
+    assert res["iterations"] >= 2
+    assert np.isfinite(res["log_marginal"])
+    # recovery: note sim scales a by 1/sqrt(K)=1 here
+    assert evaluation.correlation(res["b"], sim.b)["pearson"] > 0.85
+    assert evaluation.correlation(res["a"], sim.a[:, 0])["pearson"] > 0.5
+    assert evaluation.correlation(res["theta_eap"], sim.theta[:, 0])["pearson"] > 0.8
+
+
+def test_em_marginal_loglik_increases(synth_2pl):
+    """EM's defining property: the marginal log-lik is monotone."""
+    sim, ds = synth_2pl
+    import jax.numpy as jnp
+    resp = jnp.asarray(ds.response)
+    mask = jnp.asarray(ds.train_mask)
+    nodes, w = em.gauss_hermite_nodes(41)
+    log_w = np.log(np.asarray(w))
+    a = np.ones(48, np.float32)
+    pval = (ds.response * ds.train_mask).sum(0) / np.maximum(ds.train_mask.sum(0), 1)
+    b = -np.log(np.clip(pval, 0.05, 0.95) / (1 - np.clip(pval, 0.05, 0.95)))
+    lls = []
+    import jax.numpy as jnp
+    a_j, b_j = jnp.asarray(a), jnp.asarray(b)
+    for _ in range(6):
+        post, ll = em.e_step(resp, mask, nodes, jnp.asarray(log_w), a_j, b_j)
+        lls.append(float(ll))
+        a_j, b_j = em.m_step(resp, mask, post, nodes, a_j, b_j, 8, True)
+    assert all(lls[i + 1] >= lls[i] - 1e-3 for i in range(len(lls) - 1)), lls
+
+
+def test_em_1pl():
+    sim = simulate_irt("1pl", 300, 30, ability_dim=1, seed=9)
+    res = em.fit_em(sim.response, sim.mask, em.EMConfig(irt_model="1pl"))
+    assert evaluation.correlation(res["b"], sim.b)["pearson"] > 0.9
+    np.testing.assert_allclose(res["a"], 1.0)  # 1PL keeps a fixed
+
+
+def test_em_posterior_predictive(synth_2pl):
+    sim, ds = synth_2pl
+    res = em.fit_em(ds.response, ds.train_mask, em.EMConfig(irt_model="2pl"))
+    prob = em.response_prob(res)
+    assert prob.shape == ds.response.shape
+    pred = (prob > 0.5).astype(np.float32)
+    h = ds.heldout_mask
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    ones = (h * ds.response).sum() / h.sum()
+    assert acc > max(ones, 1 - ones) + 0.02
+
+
+@pytest.fixture(scope="module")
+def hmc_run():
+    sim = simulate_irt("2pl", 120, 24, ability_dim=1, seed=11)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=11)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1, num_warmup=200,
+                        num_samples=200, num_leapfrog=12)
+    out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
+    return sim, ds, out
+
+
+def test_hmc_diagnostics(hmc_run):
+    sim, ds, out = hmc_run
+    assert 0.4 < out["accept_rate"] <= 1.0, out
+    assert out["step_size"] > 1e-4
+    assert out["samples"]["theta"].shape == (200, 120, 1)
+
+
+def test_hmc_recovery_and_imputation(hmc_run):
+    sim, ds, out = hmc_run
+    theta_mean = out["samples"]["theta"].mean(0)[:, 0]
+    assert evaluation.correlation(theta_mean, sim.theta[:, 0])["pearson"] > 0.7
+    b_mean = out["samples"]["b"].mean(0)
+    assert evaluation.correlation(b_mean, sim.b)["pearson"] > 0.7
+    prob = hmc.posterior_mean_prob(out["samples"], "2pl")
+    pred = (prob > 0.5).astype(np.float32)
+    h = ds.heldout_mask
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    ones = (h * ds.response).sum() / h.sum()
+    assert acc > max(ones, 1 - ones)
+
+
+def test_method_agreement(synth_2pl):
+    """VIBO-family promise: methods agree on ability ranking (paper table)."""
+    sim, ds = synth_2pl
+    res_em = em.fit_em(ds.response, ds.train_mask, em.EMConfig(irt_model="2pl"))
+    params, _ = mle.fit_mle(ds.response, ds.train_mask,
+                            mle.MLEConfig(irt_model="2pl", steps=400))
+    c = evaluation.correlation(res_em["theta_eap"],
+                               np.asarray(params["theta"])[:, 0])
+    assert c["pearson"] > 0.9

@@ -1,0 +1,183 @@
+"""HMC baseline: full-posterior sampling over abilities + item parameters.
+
+Parity contract: SURVEY.md section 3.3 "HMC/NUTS baseline";
+arXiv:2002.00276 sections 6.4-6.5 — HMC provides the "gold" posteriors VIBO
+is correlated against and the slow baseline the speedup is measured from.
+The reference uses Pyro's NUTS; pyro/numpyro are unavailable here
+(SURVEY.md section 8), so this is a from-scratch JAX HMC:
+
+- joint potential U(theta, d) = -[masked loglik + N(0,I) log-priors]
+  (the exact same ops the VIBO decoder uses);
+- leapfrog integrator with dual-averaging step-size adaptation to a target
+  acceptance rate during warmup (Hoffman & Gelman 2014, Algo 5's adaptation);
+- fixed trajectory length (jittered via randomized sign) instead of NUTS's
+  dynamic tree — standard practice for fixed-budget samplers;
+- the whole chain is one lax.scan under jit: leapfrog steps are matmul +
+  masked-reduction heavy and run entirely on the TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vibo_tpu.ops import likelihood as lik
+from vibo_tpu.ops import links
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    irt_model: str = "2pl"
+    ability_dim: int = 1
+    num_warmup: int = 300
+    num_samples: int = 300
+    num_leapfrog: int = 20
+    target_accept: float = 0.8
+    init_step_size: float = 0.05
+    seed: int = 0
+    thin: int = 1
+
+
+def _flatten_spec(n, m, cfg):
+    spec = {"theta": (n, cfg.ability_dim), "b": (m,)}
+    if cfg.irt_model in ("2pl", "3pl"):
+        spec["a"] = (m, cfg.ability_dim)
+    if cfg.irt_model == "3pl":
+        spec["g_hat"] = (m,)
+    return spec
+
+
+def make_potential(resp, mask, cfg: HMCConfig):
+    """U(params) = -log p(r, theta, d) with standard-normal priors."""
+    def u(params):
+        theta = params["theta"]
+        if cfg.irt_model == "1pl":
+            logits = links.logits_1pl(theta, params["b"])
+            g_hat = None
+        else:
+            logits = links.logits_2pl(theta, params["a"], params["b"])
+            g_hat = params.get("g_hat") if cfg.irt_model == "3pl" else None
+        ll = lik.masked_loglik_total(logits, resp, mask, g_hat=g_hat)
+        prior = sum(0.5 * jnp.square(v).sum() for v in params.values())
+        return -(ll) + prior
+    return u
+
+
+def run_hmc(resp, mask, cfg: HMCConfig, key=None):
+    """Returns dict of posterior sample stacks {name: (S, ...)} plus
+    diagnostics (accept rate, adapted step size)."""
+    resp = jnp.asarray(resp, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    n, m = resp.shape
+    key = jax.random.key(cfg.seed) if key is None else key
+    spec = _flatten_spec(n, m, cfg)
+    u_fn = make_potential(resp, mask, cfg)
+    grad_u = jax.grad(u_fn)
+
+    k_init, k_chain = jax.random.split(key)
+    init_keys = jax.random.split(k_init, len(spec))
+    position = {name: 0.1 * jax.random.normal(k, shape)
+                for k, (name, shape) in zip(init_keys, sorted(spec.items()))}
+
+    def leapfrog(pos, mom, eps):
+        g = grad_u(pos)
+        mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g)
+
+        def body(carry, _):
+            pos, mom = carry
+            pos = jax.tree.map(lambda q, p: q + eps * p, pos, mom)
+            g = grad_u(pos)
+            mom = jax.tree.map(lambda p, gg: p - eps * gg, mom, g)
+            return (pos, mom), None
+
+        (pos, mom), _ = jax.lax.scan(body, (pos, mom), None,
+                                     length=cfg.num_leapfrog - 1)
+        pos = jax.tree.map(lambda q, p: q + eps * p, pos, mom)
+        g = grad_u(pos)
+        mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g)
+        return pos, mom
+
+    def kinetic(mom):
+        return sum(0.5 * jnp.square(p).sum() for p in jax.tree.leaves(mom))
+
+    # dual averaging state: (log_eps, log_eps_bar, h_bar)
+    mu = jnp.log(10.0 * cfg.init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def step(carry, inp):
+        pos, log_eps, log_eps_bar, h_bar, t = carry
+        k = inp["key"]
+        adapt = inp["adapt"]
+        k_mom, k_acc = jax.random.split(k)
+        mom_keys = jax.random.split(k_mom, len(spec))
+        mom = {name: jax.random.normal(kk, shape)
+               for kk, (name, shape) in zip(mom_keys, sorted(spec.items()))}
+        eps = jnp.exp(jnp.where(adapt, log_eps, log_eps_bar))
+        u0 = u_fn(pos) + kinetic(mom)
+        new_pos, new_mom = leapfrog(pos, mom, eps)
+        u1 = u_fn(new_pos) + kinetic(new_mom)
+        log_accept = jnp.minimum(0.0, u0 - u1)
+        # guard NaN trajectories (divergence): reject
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
+        pos = jax.tree.map(lambda newq, q: jnp.where(accept, newq, q),
+                           new_pos, pos)
+        # dual averaging update (only during warmup)
+        t = t + adapt
+        accept_prob = jnp.exp(log_accept)
+        h_bar_new = (1.0 - 1.0 / (t + t0)) * h_bar + \
+            (cfg.target_accept - accept_prob) / (t + t0)
+        log_eps_new = mu - jnp.sqrt(t) / gamma * h_bar_new
+        eta = t ** (-kappa)
+        log_eps_bar_new = eta * log_eps_new + (1.0 - eta) * log_eps_bar
+        log_eps = jnp.where(adapt, log_eps_new, log_eps)
+        log_eps_bar = jnp.where(adapt, log_eps_bar_new, log_eps_bar)
+        h_bar = jnp.where(adapt, h_bar_new, h_bar)
+        return ((pos, log_eps, log_eps_bar, h_bar, t),
+                {"pos": pos, "accept": accept_prob, "is_sample": 1.0 - adapt})
+
+    total = cfg.num_warmup + cfg.num_samples
+
+    @jax.jit
+    def run_chain(position, key, resp_unused):
+        keys = jax.random.split(key, total)
+        adapt = (jnp.arange(total) < cfg.num_warmup).astype(jnp.float32)
+        carry0 = (position, jnp.log(cfg.init_step_size),
+                  jnp.log(cfg.init_step_size), jnp.float32(0.0),
+                  jnp.float32(0.0))
+        carry, out = jax.lax.scan(step, carry0,
+                                  {"key": keys, "adapt": adapt})
+        return carry, out
+
+    carry, out = run_chain(position, k_chain, resp)
+    pos_stack = out["pos"]
+    sample_slice = slice(cfg.num_warmup, total, cfg.thin)
+    samples = {name: np.asarray(v[sample_slice]) for name, v in pos_stack.items()}
+    accept_rate = float(out["accept"][cfg.num_warmup:].mean())
+    step_size = float(jnp.exp(carry[2]))
+    return {"samples": samples, "accept_rate": accept_rate,
+            "step_size": step_size}
+
+
+def posterior_mean_prob(samples: dict, irt_model: str) -> np.ndarray:
+    """Posterior-predictive response probabilities E_s[link(theta_s, d_s)],
+    averaged over HMC samples — used for imputation accuracy."""
+    thetas = jnp.asarray(samples["theta"])            # (S, N, K)
+    bs = jnp.asarray(samples["b"])                    # (S, M)
+
+    if irt_model == "1pl":
+        f = jax.vmap(lambda t, b: jax.nn.sigmoid(links.logits_1pl(t, b)))
+        probs = f(thetas, bs)
+    elif irt_model == "2pl":
+        a_s = jnp.asarray(samples["a"])
+        f = jax.vmap(lambda t, a, b: jax.nn.sigmoid(links.logits_2pl(t, a, b)))
+        probs = f(thetas, a_s, bs)
+    else:
+        a_s = jnp.asarray(samples["a"])
+        g_s = jnp.asarray(samples["g_hat"])
+        f = jax.vmap(links.prob_3pl)
+        probs = f(thetas, a_s, bs, g_s)
+    return np.asarray(probs.mean(0))
