@@ -1,0 +1,61 @@
+"""CLI harness tests: every [B] config shape runs end-to-end via main(argv)."""
+
+import json
+
+import pytest
+
+from vibo_tpu.cli import main
+
+
+def run(argv):
+    return main(argv)
+
+
+def test_train_synthetic_1pl(tmp_path):
+    s = run(["train", "synthetic-1pl", "--num-persons", "200", "--num-items",
+             "32", "--epochs", "30", "--eval-every", "30",
+             "--out-dir", str(tmp_path)])
+    assert s["heldout_acc"] > 0.4
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert (tmp_path / "best.npz").exists()
+
+
+def test_train_3pl_iwae():
+    s = run(["train", "synthetic-3pl", "--irt-model", "3pl", "--num-persons",
+             "128", "--num-items", "24", "--epochs", "10", "--eval-every", "10",
+             "--missing-rate", "0.2", "--iwae-samples", "10"])
+    assert "iwae_loglik_per_cell" in s
+    assert s["iwae_loglik_per_cell"] < 0
+
+
+def test_train_deep_link():
+    s = run(["train", "synthetic-2pl", "--irt-model", "deep", "--num-persons",
+             "96", "--num-items", "16", "--epochs", "10", "--eval-every", "10",
+             "--hidden-dim", "32", "--item-latent-dim", "4"])
+    assert s["final_elbo"] is not None
+
+
+def test_train_minibatch_real_surrogate():
+    s = run(["train", "gradescope", "--epochs", "5", "--eval-every", "5",
+             "--batch-size", "256", "--hidden-dim", "32"])
+    assert s["dataset"] == "gradescope-surrogate"
+
+
+def test_baseline_mle():
+    s = run(["baseline", "synthetic-2pl", "--method", "mle", "--num-persons",
+             "150", "--num-items", "24", "--steps", "150"])
+    assert s["heldout_acc"] is not None
+
+
+def test_baseline_hmc():
+    s = run(["baseline", "synthetic-1pl", "--method", "hmc", "--irt-model",
+             "1pl", "--num-persons", "60", "--num-items", "12",
+             "--hmc-warmup", "50", "--hmc-samples", "50"])
+    assert 0.2 < s["accept_rate"] <= 1.0
+
+
+def test_mean_field_ablation():
+    s = run(["train", "synthetic-2pl", "--mean-field", "--num-persons", "96",
+             "--num-items", "16", "--epochs", "10", "--eval-every", "10",
+             "--hidden-dim", "32"])
+    assert s["final_elbo"] is not None

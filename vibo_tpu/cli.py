@@ -1,0 +1,217 @@
+"""Command-line harness: train/evaluate VIBO and baselines on any dataset.
+
+Parity contract: SURVEY.md sections 2 (L4), 3.3 "VIBO training harness",
+"Utils & config": the reference drives everything through argparse scripts
+(`python <script>.py <dataset> --irt-model 2pl --ability-dim K ...`); this CLI
+exposes the same surface, with every BASELINE.md config expressible as one
+command:
+
+  # [B] cfg 1: synthetic 1PL, 1k x 100, VIBO ELBO train+eval
+  python -m vibo_tpu.cli train synthetic-1pl --num-persons 1000 --num-items 100
+
+  # [B] cfg 2: synthetic 2PL/3PL with MAR masking + IWAE-100 test loglik
+  python -m vibo_tpu.cli train synthetic-3pl --artificial-missing-perc 0.2 \
+      --iwae-samples 100
+
+  # [B] cfg 3/4: real matrices (surrogates offline)
+  python -m vibo_tpu.cli train pisa --irt-model 2pl
+  python -m vibo_tpu.cli train duolingo --batch-size 4096
+
+  # [B] cfg 5: deep link + baselines
+  python -m vibo_tpu.cli train wordbank --irt-model deep
+  python -m vibo_tpu.cli baseline pisa --method em
+  python -m vibo_tpu.cli baseline synthetic-2pl --method hmc --hmc-samples 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("dataset",
+                   help="synthetic-{1pl,2pl,3pl} | pisa | duolingo | wordbank "
+                        "| critlangacq | gradescope")
+    p.add_argument("--num-persons", type=int, default=1000)
+    p.add_argument("--num-items", type=int, default=100)
+    p.add_argument("--ability-dim", type=int, default=1)
+    p.add_argument("--artificial-missing-perc", type=float, default=0.1,
+                   help="fraction of observed cells hidden for imputation eval")
+    p.add_argument("--missing-rate", type=float, default=0.0,
+                   help="synthetic MAR missingness at generation time")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _load(args):
+    from vibo_tpu.data import holdout_split, load_dataset, simulate_irt
+    if args.dataset.startswith("synthetic-"):
+        model = args.dataset.split("-", 1)[1]
+        sim = simulate_irt(model, args.num_persons, args.num_items,
+                           ability_dim=args.ability_dim, seed=args.seed,
+                           missing_rate=args.missing_rate)
+        ds = holdout_split(sim.response, sim.mask,
+                           args.artificial_missing_perc, seed=args.seed,
+                           name=args.dataset)
+        return ds, sim
+    ds = load_dataset(args.dataset, data_dir=args.data_dir,
+                      holdout_frac=args.artificial_missing_perc,
+                      seed=args.seed)
+    return ds, None
+
+
+def cmd_train(args):
+    import jax
+    from vibo_tpu import evaluation
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    ds, sim = _load(args)
+    n, m = ds.shape
+    model = VIBO(VIBOConfig(
+        num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
+        hidden_dim=args.hidden_dim,
+        conditional_posterior=not args.mean_field,
+        item_latent_dim=args.item_latent_dim,
+        use_pallas=(jax.default_backend() == "tpu"
+                    and args.irt_model in ("1pl", "2pl"))))
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from vibo_tpu.parallel import make_mesh
+        mesh = make_mesh()
+    trainer = Trainer(model, TrainConfig(
+        lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        num_mc_samples=args.num_posterior_samples, seed=args.seed,
+        eval_every=args.eval_every, out_dir=args.out_dir), mesh=mesh)
+    res = trainer.fit(ds, truth=sim)
+
+    summary = {"dataset": ds.name, "shape": list(ds.shape),
+               "irt_model": args.irt_model,
+               "final_elbo": res["final_elbo"],
+               "train_seconds": round(res["train_seconds"], 3),
+               "cells_per_sec": round(res["cells_per_sec"], 1),
+               "best": res["best"]}
+    ev = evaluation.imputation_accuracy(model, res["params"], ds)
+    summary["heldout_acc"] = round(ev["acc"], 4)
+    summary["heldout_base_rate"] = round(ev["base_rate"], 4)
+    if args.iwae_samples:
+        iw = evaluation.iwae_loglik(model, res["params"],
+                                    jax.random.key(args.seed + 1), ds,
+                                    num_samples=args.iwae_samples)
+        summary["iwae_loglik_per_cell"] = round(iw["loglik_per_cell"], 5)
+        summary["iwae_samples"] = args.iwae_samples
+    if sim is not None:
+        theta_hat, items = evaluation.infer_posterior_means(model, res["params"], ds)
+        summary["theta_pearson"] = round(evaluation.correlation(
+            theta_hat[:sim.theta.shape[0]], sim.theta)["pearson"], 4)
+        if "b" in items:
+            summary["b_pearson"] = round(evaluation.correlation(
+                items["b"][:sim.b.shape[0], 0], sim.b)["pearson"], 4)
+    print(json.dumps(summary))
+    return summary
+
+
+def cmd_baseline(args):
+    from vibo_tpu import evaluation
+    ds, sim = _load(args)
+
+    def impute_acc(prob):
+        pred = (prob > 0.5).astype(np.float32)
+        h = ds.heldout_mask
+        if h.sum() == 0:
+            return None
+        return float((h * (pred == ds.response)).sum() / h.sum())
+
+    summary = {"dataset": ds.name, "shape": list(ds.shape), "method": args.method}
+    if args.method == "mle" or args.method == "map":
+        from vibo_tpu.models import mle
+        cfg = mle.MLEConfig(irt_model=args.irt_model,
+                            ability_dim=args.ability_dim,
+                            map_prior=(args.method == "map"),
+                            steps=args.steps, seed=args.seed)
+        params, loss = mle.fit_mle(ds.response, ds.train_mask, cfg)
+        summary["final_loss"] = loss
+        summary["heldout_acc"] = impute_acc(np.asarray(mle.response_prob(params, cfg)))
+        if sim is not None:
+            summary["theta_pearson"] = round(evaluation.correlation(
+                np.asarray(params["theta"]), sim.theta)["pearson"], 4)
+    elif args.method == "em":
+        from vibo_tpu.models import em
+        res = em.fit_em(ds.response, ds.train_mask,
+                        em.EMConfig(irt_model=args.irt_model))
+        summary["log_marginal"] = res["log_marginal"]
+        summary["iterations"] = res["iterations"]
+        summary["heldout_acc"] = impute_acc(em.response_prob(res))
+        if sim is not None:
+            summary["theta_pearson"] = round(evaluation.correlation(
+                res["theta_eap"], sim.theta[:, 0])["pearson"], 4)
+    elif args.method == "hmc":
+        from vibo_tpu.models import hmc
+        cfg = hmc.HMCConfig(irt_model=args.irt_model,
+                            ability_dim=args.ability_dim,
+                            num_warmup=args.hmc_warmup,
+                            num_samples=args.hmc_samples, seed=args.seed)
+        out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
+        summary["accept_rate"] = round(out["accept_rate"], 3)
+        summary["step_size"] = round(out["step_size"], 5)
+        summary["heldout_acc"] = impute_acc(
+            hmc.posterior_mean_prob(out["samples"], args.irt_model))
+        if sim is not None:
+            theta_mean = out["samples"]["theta"].mean(0)
+            summary["theta_pearson"] = round(evaluation.correlation(
+                theta_mean, sim.theta)["pearson"], 4)
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vibo_tpu",
+                                 description="TPU-native VIBO IRT framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train + evaluate a VIBO model")
+    _add_common(t)
+    t.add_argument("--irt-model", default="2pl",
+                   choices=["1pl", "2pl", "3pl", "deep"])
+    t.add_argument("--hidden-dim", type=int, default=256)
+    t.add_argument("--item-latent-dim", type=int, default=16)
+    t.add_argument("--lr", type=float, default=5e-3)
+    t.add_argument("--epochs", type=int, default=200)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--num-posterior-samples", type=int, default=1,
+                   help="MC samples for the training ELBO")
+    t.add_argument("--iwae-samples", type=int, default=0,
+                   help="if >0, evaluate the IWAE-S test log-lik")
+    t.add_argument("--eval-every", type=int, default=50)
+    t.add_argument("--mean-field", action="store_true",
+                   help="ablation: q(theta|r) without item conditioning")
+    t.add_argument("--data-parallel", action="store_true",
+                   help="shard students over all devices")
+    t.set_defaults(fn=cmd_train)
+
+    b = sub.add_parser("baseline", help="run an MLE/MAP/EM/HMC baseline")
+    _add_common(b)
+    b.add_argument("--method", required=True,
+                   choices=["mle", "map", "em", "hmc"])
+    b.add_argument("--irt-model", default="2pl", choices=["1pl", "2pl", "3pl"])
+    b.add_argument("--steps", type=int, default=500)
+    b.add_argument("--hmc-warmup", type=int, default=300)
+    b.add_argument("--hmc-samples", type=int, default=300)
+    b.set_defaults(fn=cmd_baseline)
+
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
