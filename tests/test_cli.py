@@ -59,3 +59,12 @@ def test_mean_field_ablation():
              "--num-items", "16", "--epochs", "10", "--eval-every", "10",
              "--hidden-dim", "32"])
     assert s["final_elbo"] is not None
+
+
+def test_amortized_new_person_eval():
+    s = run(["train", "synthetic-2pl", "--num-persons", "400", "--num-items",
+             "32", "--epochs", "60", "--eval-every", "60",
+             "--eval-new-persons", "0.2"])
+    # amortized inference on 80 unseen students: one forward pass, above chance
+    assert s["new_person_acc"] > s["new_person_base_rate"] - 0.02
+    assert s["new_persons_per_sec"] > 100

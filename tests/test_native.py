@@ -1,0 +1,83 @@
+"""Native C++ loader vs the Python reference implementation: byte-identical
+matrices on the same CSV, plus a throughput sanity check."""
+
+import csv
+import time
+
+import numpy as np
+import pytest
+
+from vibo_tpu.data import native
+from vibo_tpu.data.loaders import long_to_matrix
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def _write_csv(path, rows, header=("student_id", "item_id", "correct")):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def test_matches_python_reference(tmp_path, rng):
+    rows = []
+    for p in range(80):
+        for i in range(40):
+            if rng.random() < 0.6:
+                rows.append((f"p{p:03d}", f"i{i:02d}", int(rng.random() < 0.5)))
+    # duplicates: last wins
+    rows.append(("p000", "i00", 1))
+    rows.append(("p000", "i00", 0))
+    # a person and an item below the min-count filter
+    rows.append(("rare_person", "i00", 1))
+    rows.append(("p001", "rare_item", 1))
+    path = tmp_path / "data.csv"
+    _write_csv(path, rows)
+
+    resp_n, mask_n, pids, iids = native.parse_long_csv(
+        str(path), "student_id", "item_id", "correct")
+    resp_p, mask_p = long_to_matrix(
+        [(str(p), str(i), float(c)) for p, i, c in rows])
+    np.testing.assert_array_equal(resp_n, resp_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
+    assert pids == sorted(pids) and iids == sorted(iids)
+    assert "rare_person" not in pids and "rare_item" not in iids
+
+
+def test_missing_column_error(tmp_path):
+    path = tmp_path / "bad.csv"
+    _write_csv(path, [("a", "b", 1)], header=("x", "y", "z"))
+    with pytest.raises(ValueError, match="missing column"):
+        native.parse_long_csv(str(path), "student_id", "item_id", "correct")
+
+
+def test_throughput_vs_python(tmp_path, rng):
+    """Native should beat the Python csv path by a wide margin."""
+    rows = [(f"u{p%2000}", f"lex{i%500}", int((p + i) % 2))
+            for p in range(2000) for i in range(100)]
+    path = tmp_path / "big.csv"
+    _write_csv(path, rows)
+
+    t0 = time.perf_counter()
+    resp_n, mask_n, _, _ = native.parse_long_csv(
+        str(path), "student_id", "item_id", "correct")
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    resp_p, mask_p = long_to_matrix(
+        [(str(p), str(i), float(c)) for p, i, c in rows])
+    t_python = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(resp_n, resp_p)
+    assert t_native < t_python, (t_native, t_python)
+
+
+def test_load_dataset_uses_native(tmp_path):
+    from vibo_tpu.data import load_dataset
+    rows = [(p, i, int((p * 7 + i) % 3 > 0)) for p in range(30) for i in range(12)]
+    _write_csv(tmp_path / "pisa.csv", rows)
+    ds = load_dataset("pisa", data_dir=str(tmp_path), seed=0)
+    assert ds.name == "pisa"
+    assert ds.response.shape == (30, 12)

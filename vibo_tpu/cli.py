@@ -72,6 +72,11 @@ def cmd_train(args):
     from vibo_tpu.train import Trainer, TrainConfig
 
     ds, sim = _load(args)
+    test_ds = None
+    if args.eval_new_persons > 0:
+        from vibo_tpu.data.masking import split_persons
+        ds, test_ds = split_persons(ds, test_frac=args.eval_new_persons,
+                                    seed=args.seed)
     n, m = ds.shape
     model = VIBO(VIBOConfig(
         num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
@@ -88,7 +93,7 @@ def cmd_train(args):
         lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         num_mc_samples=args.num_posterior_samples, seed=args.seed,
         eval_every=args.eval_every, out_dir=args.out_dir), mesh=mesh)
-    res = trainer.fit(ds, truth=sim)
+    res = trainer.fit(ds, truth=sim if test_ds is None else None)
 
     summary = {"dataset": ds.name, "shape": list(ds.shape),
                "irt_model": args.irt_model,
@@ -105,7 +110,12 @@ def cmd_train(args):
                                     num_samples=args.iwae_samples)
         summary["iwae_loglik_per_cell"] = round(iw["loglik_per_cell"], 5)
         summary["iwae_samples"] = args.iwae_samples
-    if sim is not None:
+    if test_ds is not None:
+        ev_new = evaluation.amortized_new_person_eval(model, res["params"], test_ds)
+        summary["new_person_acc"] = round(ev_new["acc"], 4)
+        summary["new_person_base_rate"] = round(ev_new["base_rate"], 4)
+        summary["new_persons_per_sec"] = round(ev_new["persons_per_sec"], 1)
+    if sim is not None and test_ds is None:  # person split reorders rows
         theta_hat, items = evaluation.infer_posterior_means(model, res["params"], ds)
         summary["theta_pearson"] = round(evaluation.correlation(
             theta_hat[:sim.theta.shape[0]], sim.theta)["pearson"], 4)
@@ -192,6 +202,9 @@ def main(argv=None):
     t.add_argument("--eval-every", type=int, default=50)
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")
+    t.add_argument("--eval-new-persons", type=float, default=0.0,
+                   help="hold out this fraction of persons and score the "
+                        "amortized encoder on them (paper's headline eval)")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard students over all devices")
     t.set_defaults(fn=cmd_train)

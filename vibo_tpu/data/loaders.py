@@ -90,6 +90,15 @@ def _read_csv(path):
 
 
 def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None):
+    if binarize is None:
+        # hot path: the native C++ parser (semantics identical to
+        # long_to_matrix; ~100x faster at DuoLingo scale). Falls back to
+        # Python if the toolchain/.so is unavailable.
+        from vibo_tpu.data import native
+        if native.available():
+            resp, mask, _, _ = native.parse_long_csv(
+                path, person_col, item_col, correct_col)
+            return resp, mask
     rows = []
     for row in _read_csv(path):
         c = binarize(row) if binarize else float(row[correct_col])

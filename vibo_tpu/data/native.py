@@ -1,0 +1,99 @@
+"""ctypes bindings for the native C++ response-matrix loader.
+
+Builds native/libresponse_loader.so on first use (g++, cached) and exposes
+`parse_long_csv(path, person_col, item_col, correct_col, ...)` returning
+(response f32, mask f32, person_ids, item_ids) with semantics identical to
+vibo_tpu.data.loaders.long_to_matrix (tested for equality in
+tests/test_native.py). Callers fall back to the Python path when the
+toolchain or the .so is unavailable — never a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libresponse_loader.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "response_loader.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def load_library():
+    """Returns the ctypes library or None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO_PATH) and not _build():
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.rl_parse.restype = ctypes.c_void_p
+        lib.rl_parse.argtypes = [ctypes.c_char_p] * 4 + [ctypes.c_int] * 2
+        lib.rl_num_persons.restype = ctypes.c_int64
+        lib.rl_num_persons.argtypes = [ctypes.c_void_p]
+        lib.rl_num_items.restype = ctypes.c_int64
+        lib.rl_num_items.argtypes = [ctypes.c_void_p]
+        lib.rl_error.restype = ctypes.c_char_p
+        lib.rl_error.argtypes = [ctypes.c_void_p]
+        lib.rl_fill.restype = None
+        lib.rl_fill.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_int8)]
+        lib.rl_person_ids.restype = ctypes.c_char_p
+        lib.rl_person_ids.argtypes = [ctypes.c_void_p]
+        lib.rl_item_ids.restype = ctypes.c_char_p
+        lib.rl_item_ids.argtypes = [ctypes.c_void_p]
+        lib.rl_free.restype = None
+        lib.rl_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def parse_long_csv(path: str, person_col: str, item_col: str, correct_col: str,
+                   min_per_person: int = 5, min_per_item: int = 5):
+    """Native CSV -> (response, mask, person_ids, item_ids). Raises on error."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (no g++ / build failed)")
+    h = lib.rl_parse(path.encode(), person_col.encode(), item_col.encode(),
+                     correct_col.encode(), min_per_person, min_per_item)
+    try:
+        err = lib.rl_error(h)
+        if err:
+            raise ValueError(f"native loader: {err.decode()}")
+        n = lib.rl_num_persons(h)
+        m = lib.rl_num_items(h)
+        packed = np.zeros((n, m), dtype=np.int8)
+        lib.rl_fill(h, packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        person_ids = lib.rl_person_ids(h).decode().splitlines()
+        item_ids = lib.rl_item_ids(h).decode().splitlines()
+    finally:
+        lib.rl_free(h)
+    mask = (packed > 0).astype(np.float32)
+    response = (packed == 2).astype(np.float32)
+    return response, mask, person_ids, item_ids

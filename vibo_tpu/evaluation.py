@@ -105,6 +105,25 @@ def infer_posterior_means(model: VIBO, params, ds: Dataset,
     return np.concatenate(thetas, 0), {k: np.asarray(v) for k, v in item_mean.items()}
 
 
+def amortized_new_person_eval(model: VIBO, params, test_ds: Dataset,
+                              block_size: int = 4096) -> dict:
+    """The paper's headline capability (arXiv:2002.00276 section 6): a trained
+    VIBO encoder infers posteriors for UNSEEN students in one forward pass —
+    no per-student optimization. Feed the test persons' train-visible
+    responses through the trained encoder + item posterior means and score
+    their held-out cells.
+
+    Use with data.masking.split_persons: train on the train split, call this
+    on the test split. Requires identical item sets (same num_items).
+    """
+    import time
+    t0 = time.perf_counter()
+    out = imputation_accuracy(model, params, test_ds, block_size)
+    out["seconds"] = time.perf_counter() - t0
+    out["persons_per_sec"] = test_ds.response.shape[0] / max(out["seconds"], 1e-9)
+    return out
+
+
 def correlation(inferred: np.ndarray, truth: np.ndarray,
                 align_sign: bool = True) -> dict:
     """Pearson/Spearman correlation per trailing dim, averaged.

@@ -43,6 +43,8 @@ class TrainConfig:
     out_dir: str | None = None         # checkpoints + metrics.jsonl
     log_every: int = 10                # epochs between train-metric logs
     max_grad_norm: float | None = 10.0
+    check_finite: bool = True          # raise on NaN/Inf ELBO (SURVEY.md sec 6
+                                       # "sanitizers": NaN guard in the loop)
 
 
 class Trainer:
@@ -141,7 +143,13 @@ class Trainer:
                     steps += 1
                     global_step += 1
                 elbo_meter.update(float(aux["elbo"]))
-            jax.block_until_ready(params)
+            elbo_val = float(aux["elbo"])  # host fetch: completion barrier
+            if cfg.check_finite and not np.isfinite(elbo_val):
+                raise FloatingPointError(
+                    f"non-finite ELBO at epoch {epoch}: "
+                    f"loglik={float(aux['loglik'])} "
+                    f"kl_theta={float(aux['kl_theta'])} "
+                    f"kl_items={float(aux['kl_items'])} — check lr/grad-clip")
             dt = time.perf_counter() - t0
             t_train += dt
             cells_meter.update(batch_size * m * steps / dt)

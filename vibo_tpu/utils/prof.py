@@ -1,0 +1,52 @@
+"""Profiling / tracing support (SURVEY.md section 6 "Tracing / profiling").
+
+The reference's only instrumentation is time.time() around inference; here:
+- `trace(dir)` context manager wrapping jax.profiler (view in TensorBoard /
+  Perfetto) around any region;
+- `device_timer` for honest wall-clock brackets — forces a scalar host
+  transfer, which is the only reliable completion barrier through the axon
+  TPU relay (block_until_ready returns early there; see memory notes);
+- `throughput_report` turning (cells, seconds) into the [B] metric.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, create_perfetto_link: bool = False):
+    """Capture a jax.profiler trace for the enclosed region."""
+    import jax
+    jax.profiler.start_trace(log_dir, create_perfetto_link=create_perfetto_link)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def device_timer(result_box: dict, key: str = "seconds"):
+    """Times the enclosed block; call result_box['force'](array) on the final
+    device value inside the block to insert the completion barrier."""
+    forced = []
+
+    def force(x):
+        import numpy as np
+        arr = np.asarray(x)  # host transfer == real barrier
+        forced.append(True)
+        return arr
+
+    result_box["force"] = force
+    t0 = time.perf_counter()
+    try:
+        yield result_box
+    finally:
+        result_box[key] = time.perf_counter() - t0
+        result_box["forced"] = bool(forced)
+
+
+def throughput_report(num_cells: int, seconds: float) -> dict:
+    return {"response_cells_per_sec": num_cells / max(seconds, 1e-12),
+            "cells": num_cells, "seconds": seconds}
