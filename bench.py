@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 
-def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas):
+def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas,
+          compute_dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
     from vibo_tpu.data import simulate_irt, holdout_split
@@ -37,7 +38,7 @@ def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas):
     ds = holdout_split(sim.response, sim.mask, 0.1, seed=0, name="bench")
     model = VIBO(VIBOConfig(num_items=num_items, irt_model="2pl",
                             ability_dim=ability_dim, hidden_dim=hidden_dim,
-                            use_pallas=use_pallas))
+                            use_pallas=use_pallas, compute_dtype=compute_dtype))
     trainer = Trainer(model, TrainConfig(lr=5e-3))
     params, opt_state = trainer.init_state(jax.random.key(0))
     step = trainer.make_step(item_scale=1.0, num_samples=1)
@@ -128,6 +129,10 @@ def main():
     ap.add_argument("--ability-dim", type=int, default=4)
     ap.add_argument("--hidden-dim", type=int, default=256)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="encoder matmul precision (f32 accumulation either "
+                         "way; quality asserted via heldout_acc)")
     ap.add_argument("--skip-cpu", action="store_true",
                     help="skip the torch-CPU reference measurement")
     args = ap.parse_args()
@@ -137,7 +142,8 @@ def main():
     use_pallas = on_tpu and not args.no_pallas
 
     model, trainer, params, opt_state, resp, mask, ds, sim = build(
-        args.persons, args.items, args.ability_dim, args.hidden_dim, use_pallas)
+        args.persons, args.items, args.ability_dim, args.hidden_dim, use_pallas,
+        args.compute_dtype)
 
     per_step, fixed = measure_throughput(trainer, params, opt_state, resp, mask)
     cells = args.persons * args.items
@@ -173,6 +179,7 @@ def main():
                                             if cpu_cells_per_sec else None),
             "backend": jax.default_backend(),
             "use_pallas": use_pallas,
+            "compute_dtype": args.compute_dtype,
         },
     }
     print(json.dumps(record))

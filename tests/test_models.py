@@ -91,3 +91,50 @@ def test_elbo_grads_nonzero_and_finite():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_bfloat16_compute_matches_f32_loosely():
+    """bf16 encoder matmuls (f32 accumulate) track the f32 ELBO closely and
+    train to the same quality (bench asserts quality on TPU)."""
+    resp, mask = _data()
+    kw = dict(num_items=M, irt_model="2pl", ability_dim=K, hidden_dim=32)
+    m32 = VIBO(VIBOConfig(**kw))
+    m16 = VIBO(VIBOConfig(**kw, compute_dtype="bfloat16"))
+    params = m32.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b32, _ = m32.elbo(params, key, resp, mask, 1.0, 1)
+    b16, _ = m16.elbo(params, key, resp, mask, 1.0, 1)
+    np.testing.assert_allclose(float(b16), float(b32), rtol=0.02)
+
+
+def test_deep_link_chunked_matches_dense():
+    """Blockwise item streaming (remat) == dense pairwise MLP, values + grads."""
+    from vibo_tpu.models import networks
+    key = jax.random.key(0)
+    params = networks.init_deep_link(key, ability_dim=3, item_latent_dim=4,
+                                     hidden_dim=16)
+    theta = jax.random.normal(jax.random.key(1), (10, 3))
+    d = jax.random.normal(jax.random.key(2), (37, 4))  # ragged vs chunk 16
+    dense = networks.apply_deep_link(params, theta, d)
+    chunked = networks.apply_deep_link(params, theta, d, item_chunk=16)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda t: networks.apply_deep_link(params, t, d).sum())(theta)
+    g2 = jax.grad(lambda t: networks.apply_deep_link(
+        params, t, d, item_chunk=16).sum())(theta)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_deep_vibo_chunked_elbo():
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="deep", ability_dim=K,
+                     hidden_dim=32, item_latent_dim=4, deep_hidden_dim=16,
+                     deep_item_chunk=8)
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    bound, _ = model.elbo(params, jax.random.key(1), resp, mask, 1.0, 1)
+    cfg2 = VIBOConfig(num_items=M, irt_model="deep", ability_dim=K,
+                      hidden_dim=32, item_latent_dim=4, deep_hidden_dim=16)
+    bound2, _ = VIBO(cfg2).elbo(params, jax.random.key(1), resp, mask, 1.0, 1)
+    np.testing.assert_allclose(float(bound), float(bound2), rtol=1e-5)

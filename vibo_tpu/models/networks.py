@@ -62,17 +62,40 @@ def init_ability_encoder(key, num_items: int, item_feat_dim: int,
     return init_mlp(key, [in_dim, hidden_dim, hidden_dim, 2 * ability_dim])
 
 
-def apply_ability_encoder(params, response, mask, item_feats=None):
-    """response/mask (..., B, M); item_feats (..., F) broadcast over persons.
+def apply_ability_encoder(params, response, mask, item_feats=None,
+                          compute_dtype=jnp.float32):
+    """response/mask (..., B, M); item_feats (..., F) shared across persons.
 
     Returns (mu, logvar), each (..., B, K).
+
+    TPU notes: the item-feature block of the first layer is factored out —
+    item_feats is identical for every person in the batch, so its projection
+    is computed ONCE as a (H,) vector and broadcast-added, instead of
+    materializing a (B, F) tile and paying a B x F x H matmul (40% of the
+    encoder FLOPs at M=1k, K=4). compute_dtype=bfloat16 runs the big matmuls
+    natively on the MXU with f32 accumulation (params stay f32).
     """
+    w1, rest = params[0], params[1:]
     x = jnp.concatenate([response * mask, mask], axis=-1)
+    two_m = x.shape[-1]
+    cd = compute_dtype
+    h = jax.lax.dot_general(
+        x.astype(cd), w1["w"][:two_m].astype(cd),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     if item_feats is not None:
-        feats = jnp.broadcast_to(item_feats[..., None, :],
-                                 x.shape[:-1] + item_feats.shape[-1:])
-        x = jnp.concatenate([x, feats], axis=-1)
-    out = mlp(params, x)
+        feat_proj = jax.lax.dot_general(
+            item_feats.astype(cd), w1["w"][two_m:].astype(cd),
+            dimension_numbers=(((item_feats.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = h + feat_proj[..., None, :]
+    x = jax.nn.relu(h + w1["b"])
+    for layer in rest[:-1]:
+        x = jax.nn.relu(
+            jax.lax.dot_general(x.astype(cd), layer["w"].astype(cd),
+                                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + layer["b"])
+    out = linear(rest[-1], x)
     mu, logvar = jnp.split(out, 2, axis=-1)
     # Clamp logvar for optimization stability (VAE-standard).
     return mu, jnp.clip(logvar, -8.0, 8.0)
@@ -142,8 +165,29 @@ def init_deep_link(key, ability_dim: int, item_latent_dim: int, hidden_dim: int)
     }
 
 
-def apply_deep_link(params, theta, d):
-    """theta (..., B, K), d (..., M, D) -> logits (..., B, M)."""
+def apply_deep_link(params, theta, d, item_chunk: int = 0):
+    """theta (..., B, K), d (..., M, D) -> logits (..., B, M).
+
+    item_chunk > 0 streams item blocks through a lax.map with
+    rematerialization: peak memory drops from O(B*M*H) to O(B*chunk*H)
+    (the deep link's "long-context" story — blockwise item tiling, SURVEY.md
+    section 6), at the cost of recomputing activations in the backward pass.
+    """
+    m = d.shape[-2]
+    if item_chunk and m > item_chunk:
+        pad = (-m) % item_chunk
+        d_p = jnp.pad(d, [(0, 0)] * (d.ndim - 2) + [(0, pad), (0, 0)])
+        n_chunks = d_p.shape[-2] // item_chunk
+        # move chunk axis to front for lax.map
+        d_c = jnp.moveaxis(
+            d_p.reshape(d_p.shape[:-2] + (n_chunks, item_chunk, d.shape[-1])),
+            -3, 0)
+
+        f = jax.checkpoint(lambda dc: apply_deep_link(params, theta, dc))
+        logits_c = jax.lax.map(f, d_c)            # (nc, ..., B, chunk)
+        logits = jnp.moveaxis(logits_c, 0, -2)    # (..., B, nc, chunk)
+        logits = logits.reshape(logits.shape[:-2] + (n_chunks * item_chunk,))
+        return logits[..., :m]
     ht = theta @ params["w_theta"]                      # (..., B, H)
     hd = d @ params["w_item"]                           # (..., M, H)
     h = jax.nn.relu(ht[..., :, None, :] + hd[..., None, :, :] + params["b1"])

@@ -45,6 +45,10 @@ class VIBOConfig:
     item_latent_dim: int = 16           # deep link only
     deep_hidden_dim: int = 128          # deep link MLP width
     use_pallas: bool = False            # fused masked-ELBO kernel (linear links)
+    compute_dtype: str = "float32"      # "bfloat16" runs encoder matmuls on
+                                        # the MXU natively (f32 accumulate)
+    deep_item_chunk: int = 0            # deep link: stream item blocks of this
+                                        # size (remat) instead of B x M x H
 
     def __post_init__(self):
         if self.irt_model not in links.IRT_MODELS:
@@ -118,7 +122,9 @@ class VIBO:
         if self.cfg.conditional_posterior:
             assert item_sample is not None
             feats = networks.flatten_item_sample(item_sample)
-        return networks.apply_ability_encoder(params["encoder"], response, mask, feats)
+        return networks.apply_ability_encoder(
+            params["encoder"], response, mask, feats,
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype))
 
     # ------------------------------------------------------------ decoder
 
@@ -139,7 +145,8 @@ class VIBO:
         cfg = self.cfg
         if cfg.irt_model == "deep":
             logits = networks.apply_deep_link(params["deep_link"], theta,
-                                              item_sample["d"])
+                                              item_sample["d"],
+                                              item_chunk=cfg.deep_item_chunk)
             return lik.masked_loglik_per_person(logits, response, mask)
         lp = self._link_params(item_sample)
         if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl"):
