@@ -48,18 +48,23 @@ def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas,
     return model, trainer, params, opt_state, resp, mask, ds, sim
 
 
-def make_scan_steps(trainer, n_steps):
-    """n_steps full train steps inside one jit; returns final elbo scalar."""
-    import jax
+def make_scan_steps(trainer, n_steps, packed=False):
+    """n_steps full train steps inside one jit; returns final elbo scalar.
 
-    inner = trainer.make_step(item_scale=1.0, num_samples=1)
-    # re-build the raw (unjitted) step: jit-of-jit is fine, but keep it flat
-    model, optimizer = trainer.model, trainer.optimizer
+    packed=True consumes the int8 response code (model.elbo_packed) -- the
+    perf pipeline: one int8 matrix is the only response-sized HBM read.
+    """
+    import jax
     import optax
 
-    def raw_step(params, opt_state, key, resp, mask):
+    model, optimizer = trainer.model, trainer.optimizer
+
+    def raw_step(params, opt_state, key, *data):
         def loss_fn(p):
-            bound, aux = model.elbo(p, key, resp, mask, 1.0, 1)
+            if packed:
+                bound, aux = model.elbo_packed(p, key, data[0], 1.0, 1)
+            else:
+                bound, aux = model.elbo(p, key, data[0], data[1], 1.0, 1)
             return -bound, aux
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -67,11 +72,11 @@ def make_scan_steps(trainer, n_steps):
         return params, opt_state, aux
 
     @jax.jit
-    def run(params, opt_state, key, resp, mask):
+    def run(params, opt_state, key, *data):
         def body(carry, _):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            params, opt_state, aux = raw_step(params, opt_state, sub, resp, mask)
+            params, opt_state, aux = raw_step(params, opt_state, sub, *data)
             return (params, opt_state, key), aux["elbo"]
         (params, opt_state, key), elbos = jax.lax.scan(
             body, (params, opt_state, key), None, length=n_steps)
@@ -80,18 +85,18 @@ def make_scan_steps(trainer, n_steps):
     return run
 
 
-def measure_throughput(trainer, params, opt_state, resp, mask,
+def measure_throughput(trainer, params, opt_state, data, packed,
                        n_small=20, n_large=100):
     """Two-point scan timing -> (per-step seconds, fixed overhead seconds)."""
     import jax
 
     times = {}
     for n in (n_small, n_large):
-        run = make_scan_steps(trainer, n)
-        p, o, e = run(params, opt_state, jax.random.key(1), resp, mask)
+        run = make_scan_steps(trainer, n, packed=packed)
+        p, o, e = run(params, opt_state, jax.random.key(1), *data)
         float(e)  # warm/compile, forced
         t0 = time.perf_counter()
-        p, o, e = run(params, opt_state, jax.random.key(2), resp, mask)
+        p, o, e = run(params, opt_state, jax.random.key(2), *data)
         float(e)
         times[n] = time.perf_counter() - t0
     per_step = (times[n_large] - times[n_small]) / (n_large - n_small)
@@ -99,15 +104,15 @@ def measure_throughput(trainer, params, opt_state, resp, mask,
     return per_step, fixed
 
 
-def measure_time_to_train(trainer, model, params, opt_state, resp, mask, ds,
+def measure_time_to_train(trainer, model, params, opt_state, data, packed, ds,
                           target_epochs=300, chunk=50):
     """Wall-clock to train 300 full-batch epochs (compile excluded) +
     final held-out accuracy."""
     import jax
     from vibo_tpu import evaluation
 
-    run = make_scan_steps(trainer, chunk)
-    p, o, e = run(params, opt_state, jax.random.key(3), resp, mask)
+    run = make_scan_steps(trainer, chunk, packed=packed)
+    p, o, e = run(params, opt_state, jax.random.key(3), *data)
     float(e)  # compile once
     p, o = params, opt_state
     key = jax.random.key(4)
@@ -115,7 +120,7 @@ def measure_time_to_train(trainer, model, params, opt_state, resp, mask, ds,
     elbo = None
     for i in range(target_epochs // chunk):
         key, sub = jax.random.split(key)
-        p, o, e = run(p, o, sub, resp, mask)
+        p, o, e = run(p, o, sub, *data)
         elbo = float(e)  # forces completion of the chunk
     seconds = time.perf_counter() - t0
     acc = evaluation.imputation_accuracy(model, p, ds)
@@ -129,6 +134,9 @@ def main():
     ap.add_argument("--ability-dim", type=int, default=4)
     ap.add_argument("--hidden-dim", type=int, default=256)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-packed", action="store_true",
+                    help="use the dense f32 response/mask pipeline instead of "
+                         "the packed int8 code")
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="encoder matmul precision (f32 accumulation either "
@@ -144,13 +152,20 @@ def main():
     model, trainer, params, opt_state, resp, mask, ds, sim = build(
         args.persons, args.items, args.ability_dim, args.hidden_dim, use_pallas,
         args.compute_dtype)
+    packed = not args.no_packed
+    if packed:
+        import jax.numpy as jnp
+        from vibo_tpu.ops.pallas_elbo import pack_responses
+        data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),)
+    else:
+        data = (resp, mask)
 
-    per_step, fixed = measure_throughput(trainer, params, opt_state, resp, mask)
+    per_step, fixed = measure_throughput(trainer, params, opt_state, data, packed)
     cells = args.persons * args.items
     cells_per_sec = cells / per_step
 
     train_seconds, final_elbo, acc = measure_time_to_train(
-        trainer, model, params, opt_state, resp, mask, ds)
+        trainer, model, params, opt_state, data, packed, ds)
 
     if args.skip_cpu:
         cpu_cells_per_sec = None
@@ -179,6 +194,7 @@ def main():
                                             if cpu_cells_per_sec else None),
             "backend": jax.default_backend(),
             "use_pallas": use_pallas,
+            "packed_int8": packed,
             "compute_dtype": args.compute_dtype,
         },
     }

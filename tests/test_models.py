@@ -138,3 +138,34 @@ def test_deep_vibo_chunked_elbo():
                       hidden_dim=32, item_latent_dim=4, deep_hidden_dim=16)
     bound2, _ = VIBO(cfg2).elbo(params, jax.random.key(1), resp, mask, 1.0, 1)
     np.testing.assert_allclose(float(bound), float(bound2), rtol=1e-5)
+
+
+def test_iwae_per_person():
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K, hidden_dim=32)
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    pp = model.iwae_per_person(params, jax.random.key(1), resp, mask,
+                               num_samples=30)
+    assert pp.shape == (N,)
+    assert np.isfinite(np.asarray(pp)).all()
+    # sum of per-person bounds should be in the ballpark of the joint bound
+    joint = model.iwae(params, jax.random.key(1), resp, mask, num_samples=30)
+    assert abs(float(pp.sum()) - float(joint)) / abs(float(joint)) < 0.2
+
+
+def test_elbo_packed_matches_dense():
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K, hidden_dim=32)
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b1, _ = model.elbo(params, key, resp, mask, 0.5, 2)
+    b2, _ = model.elbo_packed(params, key, pack_responses(resp, mask), 0.5, 2)
+    np.testing.assert_allclose(float(b2), float(b1), rtol=1e-5)
+    # and with the pallas packed kernel path (interpret on CPU)
+    cfgp = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                      hidden_dim=32, use_pallas=True)
+    b3, _ = VIBO(cfgp).elbo_packed(params, key, pack_responses(resp, mask), 0.5, 2)
+    np.testing.assert_allclose(float(b3), float(b1), rtol=1e-5)

@@ -99,3 +99,29 @@ def test_trainer_fit_on_mesh(eight_devices):
                                      log_every=10), mesh=mesh).fit(ds)
     assert np.isfinite(res["final_elbo"])
     assert res["best"]["heldout_acc"] >= 0
+
+
+def test_packed_step_sharded_equals_replicated(eight_devices):
+    """The packed int8 perf pipeline under the mesh matches single-device."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    ds, model = _setup()
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    key = jax.random.key(0)
+
+    tr_ref = Trainer(model, TrainConfig(lr=1e-2))
+    p_ref, o_ref = tr_ref.init_state(key)
+    step_ref = tr_ref.make_step_packed(1.0, 1)
+
+    mesh = make_mesh(eight_devices)
+    tr_sh = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    p_sh, o_sh = tr_sh.init_state(key)
+    step_sh = tr_sh.make_step_packed(1.0, 1)
+    packed_sh = jax.device_put(packed, batch_sharding(mesh))
+
+    k = jax.random.key(3)
+    for _ in range(2):
+        k, sub = jax.random.split(k)
+        p_ref, o_ref, aux_ref = step_ref(p_ref, o_ref, sub, packed)
+        p_sh, o_sh, aux_sh = step_sh(p_sh, o_sh, sub, packed_sh)
+    np.testing.assert_allclose(float(aux_ref["elbo"]), float(aux_sh["elbo"]),
+                               rtol=5e-5)

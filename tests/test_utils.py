@@ -1,0 +1,58 @@
+"""Utils tests: meters, JSONL metrics, timers, profiling helpers."""
+
+import json
+
+import numpy as np
+
+from vibo_tpu.utils.metrics import AverageMeter, MetricsLogger, Timer
+from vibo_tpu.utils import prof
+
+
+def test_average_meter():
+    m = AverageMeter()
+    assert m.avg == 0.0
+    m.update(2.0)
+    m.update(4.0, n=3)
+    np.testing.assert_allclose(m.avg, (2 + 12) / 4)
+    m.reset()
+    assert m.count == 0
+
+
+def test_metrics_logger_jsonl(tmp_path, capsys):
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(str(path))
+    log.log(event="train", epoch=1, elbo=-12.345678)
+    log.log(event="eval", acc=0.91)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "train" and "time" in lines[0]
+    assert lines[1]["acc"] == 0.91
+    out = capsys.readouterr().out
+    assert "elbo=-12.3457" in out
+
+
+def test_timer_and_throughput():
+    with Timer() as t:
+        x = sum(range(1000))
+    assert t.elapsed >= 0
+    rep = prof.throughput_report(1_000_000, 0.5)
+    np.testing.assert_allclose(rep["response_cells_per_sec"], 2e6)
+
+
+def test_device_timer_forces():
+    import jax.numpy as jnp
+    box = {}
+    with prof.device_timer(box) as b:
+        y = jnp.ones((8, 8)).sum()
+        b["force"](y)
+    assert box["forced"] and box["seconds"] > 0
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+    with prof.trace(str(tmp_path)):
+        jnp.ones((16, 16)).sum().block_until_ready()
+    # a trace directory should have been produced
+    import os
+    found = any("plugins" in r or f for r, d, f in os.walk(tmp_path))
+    assert found

@@ -225,6 +225,77 @@ class VIBO:
         log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
         return objectives.iwae_bound(log_w)
 
+    def elbo_packed(self, params: dict, key: jax.Array, packed: jax.Array,
+                    item_scale: float | jax.Array = 1.0, num_samples: int = 1):
+        """ELBO from the packed int8 response code (pack_responses).
+
+        The perf pipeline (bench.py / packed train step): the int8 matrix is
+        the ONLY response-sized array read from HBM — the encoder consumes a
+        compute_dtype decode of it, and the masked loglik runs the packed
+        Pallas kernel (1PL/2PL on TPU). Semantics == elbo() on the unpacked
+        data (tested).
+        """
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        pk = packed.astype(cd)
+        mask = jnp.minimum(pk, 1.0)
+        response = jnp.maximum(pk - 1.0, 0.0)
+        use_packed_kernel = cfg.use_pallas and cfg.irt_model in ("1pl", "2pl")
+
+        def one_sample(k):
+            k_item, k_theta = jax.random.split(k)
+            item_sample = self.sample_items(params, k_item)
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            if use_packed_kernel:
+                from vibo_tpu.ops import pallas_elbo
+                lp = self._link_params(item_sample)
+                a = lp.get("a")
+                if a is None:
+                    a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+                ll = pallas_elbo.masked_loglik_2pl_packed(theta, a, lp["b"],
+                                                          packed)
+            else:
+                ll = self.loglik_per_person(params, theta, item_sample,
+                                            response.astype(jnp.float32),
+                                            mask.astype(jnp.float32))
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1)
+            return ll.sum(), kl_theta.sum()
+
+        lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        loglik = lls.mean()
+        kl_theta = kl_thetas.mean()
+        kl_items = self.item_kl(params)
+        bound = objectives.elbo(loglik, kl_theta, kl_items, item_scale)
+        return bound, {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
+                       "kl_items": kl_items}
+
+    def iwae_per_person(self, params: dict, key: jax.Array, response: jax.Array,
+                        mask: jax.Array, num_samples: int = 100,
+                        num_persons_total: int | None = None) -> jax.Array:
+        """Per-person IWAE-S bounds on log p(r_i) -> (B,).
+
+        Item-parameter prior/posterior terms are apportioned 1/N per person
+        (they are shared across the dataset), matching the ELBO's item-KL
+        scaling convention (SURVEY.md section 3.4).
+        """
+        n_total = num_persons_total or response.shape[-2]
+
+        def one_sample(k):
+            k_item, k_theta = jax.random.split(k)
+            item_sample = self.sample_items(params, k_item)
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            ll = self.loglik_per_person(params, theta, item_sample, response,
+                                        mask)                      # (B,)
+            lp = dist.standard_normal_log_prob(theta).sum(-1)      # (B,)
+            lq = dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+            item_ratio = self.item_log_ratio(params, item_sample) / n_total
+            return ll + lp - lq + item_ratio
+
+        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        return objectives.iwae_bound(log_w)  # (B,)
+
     # ---------------------------------------------------------- imputation
 
     def impute_prob(self, params: dict, response: jax.Array, mask: jax.Array

@@ -87,6 +87,27 @@ class Trainer:
         return jax.jit(step, donate_argnums=donate,
                        in_shardings=(None, None, None, batch_sh, batch_sh))
 
+    def make_step_packed(self, item_scale: float, num_samples: int):
+        """Train step consuming the packed int8 response code (perf pipeline:
+        the int8 matrix is the only response-sized HBM read per step)."""
+        model, optimizer = self.model, self.optimizer
+
+        def step(params, opt_state, key, packed):
+            def loss_fn(p):
+                bound, aux = model.elbo_packed(p, key, packed, item_scale,
+                                               num_samples)
+                return -bound, aux
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+        batch_sh = meshlib.batch_sharding(self.mesh)
+        return jax.jit(step, donate_argnums=(0, 1),
+                       in_shardings=(None, None, None, batch_sh))
+
     # --------------------------------------------------------------- fit
 
     def fit(self, ds: Dataset, truth=None, key: jax.Array | None = None):
