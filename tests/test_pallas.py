@@ -137,3 +137,112 @@ def test_packed_representation(rng):
     theta_s = jnp.stack([theta] * s) + 0.1
     got_s = masked_loglik_2pl_packed(theta_s, a, b, packed, interpret=True)
     assert got_s.shape == (s, 48)
+
+
+# ------------------------------------------------------------------- 3PL
+
+def _inputs_3pl(rng, bsz, m, k):
+    theta, a, b, resp, mask = _inputs(rng, bsz, m, k)
+    g_hat = jnp.asarray((rng.standard_normal(m) - 1.5).astype(np.float32))
+    return theta, a, b, g_hat, resp, mask
+
+
+def _ref_3pl(theta, a, b, g_hat, resp, mask):
+    return lik.masked_loglik_per_person(links.logits_2pl(theta, a, b), resp,
+                                        mask, g_hat=g_hat)
+
+
+@pytest.mark.parametrize("shape", [(8, 128, 1), (48, 300, 4)])
+def test_3pl_forward_matches_reference(rng, shape):
+    from vibo_tpu.ops.pallas_elbo import masked_loglik_3pl
+    bsz, m, k = shape
+    args = _inputs_3pl(rng, bsz, m, k)
+    got = masked_loglik_3pl(*args, interpret=True)
+    want = _ref_3pl(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_3pl_gradients_match_reference(rng):
+    from vibo_tpu.ops.pallas_elbo import masked_loglik_3pl
+    theta, a, b, g_hat, resp, mask = _inputs_3pl(rng, 64, 256, 4)
+    w = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+
+    def loss_pallas(theta, a, b, g_hat):
+        return (w * masked_loglik_3pl(theta, a, b, g_hat, resp, mask,
+                                      interpret=True)).sum()
+
+    def loss_ref(theta, a, b, g_hat):
+        return (w * _ref_3pl(theta, a, b, g_hat, resp, mask)).sum()
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-4)
+
+
+def test_3pl_gradient_extreme_logits():
+    """Branch-ratio gradients must stay finite at extreme logits/guess."""
+    from vibo_tpu.ops.pallas_elbo import masked_loglik_3pl
+    theta = jnp.array([[30.0], [-30.0], [0.0]], jnp.float32)
+    a = jnp.ones((128, 1), jnp.float32)
+    b = jnp.zeros(128, jnp.float32)
+    g_hat = jnp.full(128, -25.0, jnp.float32)
+    resp = jnp.ones((3, 128), jnp.float32)
+    mask = jnp.ones((3, 128), jnp.float32)
+
+    def loss(theta, a, b, g_hat):
+        return masked_loglik_3pl(theta, a, b, g_hat, resp, mask,
+                                 interpret=True).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_3pl_packed_matches_dense(rng):
+    from vibo_tpu.ops.pallas_elbo import (masked_loglik_3pl,
+                                          masked_loglik_3pl_packed,
+                                          pack_responses)
+    theta, a, b, g_hat, resp, mask = _inputs_3pl(rng, 40, 200, 2)
+    packed = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+
+    got = masked_loglik_3pl_packed(theta, a, b, g_hat, packed, interpret=True)
+    want = _ref_3pl(theta, a, b, g_hat, resp, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+    def loss_packed(theta, a, b, g_hat):
+        return masked_loglik_3pl_packed(theta, a, b, g_hat, packed,
+                                        interpret=True).sum()
+
+    def loss_dense(theta, a, b, g_hat):
+        return masked_loglik_3pl(theta, a, b, g_hat, resp, mask,
+                                 interpret=True).sum()
+
+    g1 = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-4)
+
+
+def test_3pl_vibo_model_pallas_path(rng):
+    """Full 3PL VIBO ELBO: pallas path == pure-JAX path, dense and packed."""
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    n, m, k = 24, 140, 2
+    resp = jnp.asarray((rng.random((n, m)) < 0.5).astype(np.float32))
+    mask = jnp.asarray((rng.random((n, m)) < 0.8).astype(np.float32))
+    base = dict(num_items=m, irt_model="3pl", ability_dim=k, hidden_dim=32)
+    model_ref = VIBO(VIBOConfig(**base))
+    model_pal = VIBO(VIBOConfig(**base, use_pallas=True))
+    params = model_ref.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b_ref, _ = model_ref.elbo(params, key, resp, mask, 0.7, 2)
+    b_pal, _ = model_pal.elbo(params, key, resp, mask, 0.7, 2)
+    np.testing.assert_allclose(float(b_pal), float(b_ref), rtol=1e-5)
+    packed = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+    b_pk, _ = model_pal.elbo_packed(params, key, packed, 0.7, 2)
+    np.testing.assert_allclose(float(b_pk), float(b_ref), rtol=1e-5)

@@ -149,11 +149,14 @@ class VIBO:
                                               item_chunk=cfg.deep_item_chunk)
             return lik.masked_loglik_per_person(logits, response, mask)
         lp = self._link_params(item_sample)
-        if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl"):
+        if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl", "3pl"):
             from vibo_tpu.ops import pallas_elbo
             a = lp.get("a")
             if a is None:  # 1PL == 2PL with unit discriminations on summed theta
                 a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+            if cfg.irt_model == "3pl":
+                return pallas_elbo.masked_loglik_3pl(theta, a, lp["b"],
+                                                     lp["g_hat"], response, mask)
             return pallas_elbo.masked_loglik_2pl(theta, a, lp["b"], response, mask)
         if cfg.irt_model == "1pl":
             logits = links.logits_1pl(theta, lp["b"])
@@ -232,15 +235,16 @@ class VIBO:
         The perf pipeline (bench.py / packed train step): the int8 matrix is
         the ONLY response-sized array read from HBM — the encoder consumes a
         compute_dtype decode of it, and the masked loglik runs the packed
-        Pallas kernel (1PL/2PL on TPU). Semantics == elbo() on the unpacked
-        data (tested).
+        Pallas kernel (1PL/2PL/3PL on TPU). Semantics == elbo() on the
+        unpacked data (tested).
         """
         cfg = self.cfg
         cd = jnp.dtype(cfg.compute_dtype)
         pk = packed.astype(cd)
         mask = jnp.minimum(pk, 1.0)
         response = jnp.maximum(pk - 1.0, 0.0)
-        use_packed_kernel = cfg.use_pallas and cfg.irt_model in ("1pl", "2pl")
+        use_packed_kernel = cfg.use_pallas and cfg.irt_model in ("1pl", "2pl",
+                                                                 "3pl")
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
@@ -253,8 +257,12 @@ class VIBO:
                 a = lp.get("a")
                 if a is None:
                     a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
-                ll = pallas_elbo.masked_loglik_2pl_packed(theta, a, lp["b"],
-                                                          packed)
+                if cfg.irt_model == "3pl":
+                    ll = pallas_elbo.masked_loglik_3pl_packed(
+                        theta, a, lp["b"], lp["g_hat"], packed)
+                else:
+                    ll = pallas_elbo.masked_loglik_2pl_packed(theta, a, lp["b"],
+                                                              packed)
             else:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),

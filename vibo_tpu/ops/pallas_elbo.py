@@ -24,7 +24,8 @@ tests/test_pallas.py, including interpret mode on CPU): softplus/sigmoid in
 f32, accumulation in f32.
 
 1PL reuses this kernel with unit discriminations (theta summed by a ones
-vector); 3PL's guess mixture stays on the pure-JAX path for now.
+vector); 3PL has its own fused kernels below (the guess mixture adds a
+per-item g_hat row and a third item gradient).
 """
 
 from __future__ import annotations
@@ -417,6 +418,297 @@ def masked_loglik_2pl_packed(theta: jax.Array, a: jax.Array, b: jax.Array,
         in_axes = (0, None, None, None)
     fn = lambda *xs: masked_loglik_2pl_packed(*xs, interpret=interpret)
     return jax.vmap(fn, in_axes=in_axes)(theta, a, b, packed)
+
+
+# --------------------------------------------------- 3PL fused kernels
+#
+# pi = g + (1-g) * sigmoid(l), g = sigmoid(g_hat), l = a.theta - b.
+# Stable per-cell forms (matching ops.likelihood.bernoulli_loglik_3pl):
+#   log(1-pi) = -softplus(g_hat) - softplus(l)
+#   log(pi)   = logaddexp(-softplus(-g_hat), -softplus(g_hat) - softplus(-l))
+# Stable gradients via branch ratios in [0,1] (no bare division by pi):
+#   ratio_s = (1-g)s/pi = exp(log_s_branch - log_pi)
+#   ratio_g = g/pi      = exp(log_g_branch - log_pi)
+#   d ll/dl     = mask * ( r * ratio_s * (1-s) - (1-r) * s )
+#   d ll/dg_hat = mask * ( r * ratio_g * (1-g) * (1-s) - (1-r) * g )
+# (at r=0 these reduce to the exact -sigmoid(l) and -g.)
+
+def _cell_3pl(logits, gh, resp, mask):
+    log_s = -jax.nn.softplus(gh) - jax.nn.softplus(-logits)  # log((1-g) s)
+    log_g = -jax.nn.softplus(-gh)                            # log g
+    log_pi = jnp.logaddexp(log_g, log_s)
+    log_1m_pi = -jax.nn.softplus(gh) - jax.nn.softplus(logits)
+    return mask * (resp * log_pi + (1.0 - resp) * log_1m_pi)
+
+
+def _dcell_3pl(logits, gh, resp, mask):
+    """Elementwise (d ll/d logits, d ll/d g_hat)."""
+    s = jax.nn.sigmoid(logits)
+    g = jax.nn.sigmoid(gh)
+    log_s = -jax.nn.softplus(gh) - jax.nn.softplus(-logits)
+    log_g = -jax.nn.softplus(-gh)
+    log_pi = jnp.logaddexp(log_g, log_s)
+    ratio_s = jnp.exp(log_s - log_pi)
+    ratio_g = jnp.exp(log_g - log_pi)
+    dl = mask * (resp * ratio_s * (1.0 - s) - (1.0 - resp) * s)
+    dg = mask * (resp * ratio_g * (1.0 - g) * (1.0 - s) - (1.0 - resp) * g)
+    return dl, dg
+
+
+def _read_rm(rest, packed):
+    """Kernel helper: (mask, resp) floats from dense (resp, mask) refs or one
+    packed int8 ref."""
+    if packed:
+        return _decode_packed(rest[0][:].astype(jnp.float32))
+    return rest[1][:], rest[0][:]
+
+
+def _fwd_kernel_3pl(theta_ref, a_ref, b_ref, g_ref, *rest, packed):
+    out_ref = rest[-1]
+    j = pl.program_id(1)
+    logits = jax.lax.dot_general(
+        theta_ref[:], a_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _read_rm(rest[:-1], packed)
+    partial = _cell_3pl(logits, g_ref[:], r, m).sum(axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+def _bwd_dtheta_kernel_3pl(g_grad_ref, theta_ref, a_ref, b_ref, g_ref, *rest,
+                           packed):
+    dtheta_ref = rest[-1]
+    j = pl.program_id(1)
+    logits = jax.lax.dot_general(
+        theta_ref[:], a_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _read_rm(rest[:-1], packed)
+    dl, _ = _dcell_3pl(logits, g_ref[:], r, m)
+    dlogits = g_grad_ref[:] * dl
+    partial = jnp.dot(dlogits, a_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dtheta_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        dtheta_ref[:] = dtheta_ref[:] + partial
+
+
+def _bwd_items_kernel_3pl(g_grad_ref, theta_ref, a_ref, b_ref, g_ref, *rest,
+                          packed):
+    da_ref, db_ref, dg_ref = rest[-3:]
+    i = pl.program_id(1)  # student tiles innermost: accumulate per item tile
+    logits = jax.lax.dot_general(
+        theta_ref[:], a_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _read_rm(rest[:-3], packed)
+    dl, dg = _dcell_3pl(logits, g_ref[:], r, m)
+    dlogits = g_grad_ref[:] * dl
+    da_part = jax.lax.dot_general(
+        dlogits, theta_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_part = -dlogits.sum(axis=0, keepdims=True)
+    dg_part = (g_grad_ref[:] * dg).sum(axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = da_part
+        db_ref[:] = db_part
+        dg_ref[:] = dg_part
+
+    @pl.when(i > 0)
+    def _():
+        da_ref[:] = da_ref[:] + da_part
+        db_ref[:] = db_ref[:] + db_part
+        dg_ref[:] = dg_ref[:] + dg_part
+
+
+def _prep_3pl(theta, a, b, g_hat, data, packed):
+    """Pad to tiles; returns padded operands + (tb, tm, orig sizes)."""
+    bsz0, m0 = theta.shape[0], a.shape[0]
+    tb = min(STUDENT_BLOCK, _cdiv(bsz0, 8) * 8)
+    tm = min(ITEM_BLOCK, _cdiv(m0, 128) * 128)
+    if packed:
+        theta, a, b2, pk = _pad_packed(theta, a, b, data[0], tb, tm)
+        g2 = jnp.pad(g_hat, ((0, a.shape[0] - m0),))
+        data = (pk,)
+        b = b2
+    else:
+        theta, a, b, resp, mask = _pad_inputs(theta, a, b, data[0], data[1],
+                                              tb, tm)
+        g2 = jnp.pad(g_hat, ((0, a.shape[0] - m0),))
+        data = (resp, mask)
+    return theta, a, b, g2, data, tb, tm, bsz0, m0
+
+
+def _data_specs(tb, tm, packed):
+    if packed:
+        return [pl.BlockSpec((tb, tm), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)]
+    return [pl.BlockSpec((tb, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM)]
+
+
+def _fwd_pallas_3pl(theta, a, b, g_hat, data, interpret, packed):
+    theta, a, b, g2, data, tb, tm, bsz0, m0 = _prep_3pl(
+        theta, a, b, g_hat, data, packed)
+    (bsz, k), m = theta.shape, a.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_3pl, packed=packed),
+        grid=(_cdiv(bsz, tb), _cdiv(m, tm)),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ] + _data_specs(tb, tm, packed),
+        out_specs=pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * m * k + 16 * bsz * m,
+            bytes_accessed=(4 * (bsz * k + m * k + 2 * m + bsz)
+                            + (bsz * m if packed else 8 * bsz * m)),
+            transcendentals=4 * bsz * m),
+        interpret=interpret,
+    )(theta, a, b.reshape(1, m), g2.reshape(1, m), *data)
+    return out[:bsz0, 0]
+
+
+def _bwd_pallas_3pl(packed, interpret, residuals, g):
+    theta, a, b, g_hat, *data = residuals
+    theta, a, b, g2, data, tb, tm, bsz0, m0 = _prep_3pl(
+        theta, a, b, g_hat, tuple(data), packed)
+    (bsz, k), m = theta.shape, a.shape[0]
+    gg = jnp.pad(g.reshape(-1, 1).astype(jnp.float32), ((0, bsz - bsz0), (0, 0)))
+    b2, g2r = b.reshape(1, m), g2.reshape(1, m)
+    common_in = [
+        pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+
+    dtheta = pl.pallas_call(
+        functools.partial(_bwd_dtheta_kernel_3pl, packed=packed),
+        grid=(_cdiv(bsz, tb), _cdiv(m, tm)),
+        in_specs=common_in + _data_specs(tb, tm, packed),
+        out_specs=pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, k), jnp.float32),
+        interpret=interpret,
+    )(gg, theta, a, b2, g2r, *data)
+
+    # transposed grid: item tiles outer, student tiles inner (accumulated)
+    common_in_t = [
+        pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, k), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+    ]
+    data_specs_t = [pl.BlockSpec((tb, tm), lambda j, i: (i, j),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(1 if packed else 2)]
+    da, db2, dg2 = pl.pallas_call(
+        functools.partial(_bwd_items_kernel_3pl, packed=packed),
+        grid=(_cdiv(m, tm), _cdiv(bsz, tb)),
+        in_specs=common_in_t + data_specs_t,
+        out_specs=[
+            pl.BlockSpec((tm, k), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gg, theta, a, b2, g2r, *data)
+
+    grads = (dtheta[:bsz0], da[:m0], db2[0, :m0], dg2[0, :m0])
+    return grads + ((None,) if packed else (None, None))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _masked_loglik_3pl(theta, a, b, g_hat, resp, mask, interpret):
+    return _fwd_pallas_3pl(theta, a, b, g_hat, (resp, mask), interpret, False)
+
+
+def _fwd_rule_3pl(theta, a, b, g_hat, resp, mask, interpret):
+    return (_fwd_pallas_3pl(theta, a, b, g_hat, (resp, mask), interpret, False),
+            (theta, a, b, g_hat, resp, mask))
+
+
+_masked_loglik_3pl.defvjp(_fwd_rule_3pl,
+                          functools.partial(_bwd_pallas_3pl, False))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _masked_loglik_3pl_packed(theta, a, b, g_hat, packed, interpret):
+    return _fwd_pallas_3pl(theta, a, b, g_hat, (packed,), interpret, True)
+
+
+def _fwd_rule_3pl_packed(theta, a, b, g_hat, packed, interpret):
+    return (_fwd_pallas_3pl(theta, a, b, g_hat, (packed,), interpret, True),
+            (theta, a, b, g_hat, packed))
+
+
+_masked_loglik_3pl_packed.defvjp(_fwd_rule_3pl_packed,
+                                 functools.partial(_bwd_pallas_3pl, True))
+
+
+def masked_loglik_3pl(theta: jax.Array, a: jax.Array, b: jax.Array,
+                      g_hat: jax.Array, resp: jax.Array, mask: jax.Array,
+                      interpret: bool | None = None) -> jax.Array:
+    """Per-person masked 3PL Bernoulli log-likelihood, fused on TPU -> (B,).
+
+    Semantics == ops.likelihood.masked_loglik_per_person(logits_2pl(...),
+    g_hat=g_hat). Differentiable w.r.t. theta, a, b, g_hat (custom VJP with
+    logit recompute). Leading sample axes lift through vmap.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    theta, a = theta.astype(jnp.float32), a.astype(jnp.float32)
+    b, g_hat = b.astype(jnp.float32), g_hat.astype(jnp.float32)
+    resp, mask = resp.astype(jnp.float32), mask.astype(jnp.float32)
+    if theta.ndim == 2:
+        return _masked_loglik_3pl(theta, a, b, g_hat, resp, mask, interpret)
+    if a.ndim == theta.ndim:
+        in_axes = ((0, 0, 0, 0, None, None) if resp.ndim == 2
+                   else (0, 0, 0, 0, 0, 0))
+    else:
+        in_axes = (0, None, None, None, None, None)
+    fn = lambda *xs: masked_loglik_3pl(*xs, interpret=interpret)
+    return jax.vmap(fn, in_axes=in_axes)(theta, a, b, g_hat, resp, mask)
+
+
+def masked_loglik_3pl_packed(theta: jax.Array, a: jax.Array, b: jax.Array,
+                             g_hat: jax.Array, packed: jax.Array,
+                             interpret: bool | None = None) -> jax.Array:
+    """Per-person masked 3PL loglik from pack_responses codes -> (B,)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    theta, a = theta.astype(jnp.float32), a.astype(jnp.float32)
+    b, g_hat = b.astype(jnp.float32), g_hat.astype(jnp.float32)
+    if theta.ndim == 2:
+        return _masked_loglik_3pl_packed(theta, a, b, g_hat, packed, interpret)
+    if a.ndim == theta.ndim:
+        in_axes = (0, 0, 0, 0, None)
+    else:
+        in_axes = (0, None, None, None, None)
+    fn = lambda *xs: masked_loglik_3pl_packed(*xs, interpret=interpret)
+    return jax.vmap(fn, in_axes=in_axes)(theta, a, b, g_hat, packed)
 
 
 # ------------------------------------------------------------ public op
