@@ -68,3 +68,17 @@ def test_amortized_new_person_eval():
     # amortized inference on 80 unseen students: one forward pass, above chance
     assert s["new_person_acc"] > s["new_person_base_rate"] - 0.02
     assert s["new_persons_per_sec"] > 100
+
+
+def test_compare_subcommand(capsys):
+    from vibo_tpu.cli import main
+    main(["compare", "synthetic-2pl", "--num-persons", "120",
+          "--num-items", "30", "--epochs", "20", "--steps", "60",
+          "--hmc-warmup", "20", "--hmc-samples", "20",
+          "--methods", "mle,em"])
+    import json
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = json.loads(out[-1])
+    methods = [r["method"] for r in rep["compare"]]
+    assert methods == ["vibo", "mle", "em"]
+    assert all(r["seconds"] > 0 for r in rep["compare"])

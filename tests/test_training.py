@@ -67,3 +67,34 @@ def test_iwae_eval_runs(trained_1pl):
     assert out["loglik_per_cell"] < 0
     # a trained model should beat coin-flip log-lik (log 0.5 = -0.693)/cell
     assert out["loglik_per_cell"] > np.log(0.5)
+
+
+def test_fused_fit_matches_stepwise():
+    """fuse_epochs=True (lax.scan chunks) must reproduce the per-epoch path
+    exactly: same PRNG split order, same updates, same final ELBO."""
+    sim = simulate_irt("2pl", 200, 48, ability_dim=2, seed=3)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=3)
+    model = VIBO(VIBOConfig(num_items=48, irt_model="2pl", ability_dim=2,
+                            hidden_dim=32))
+    kw = dict(lr=5e-3, epochs=30, eval_every=10, log_every=10, packed=False)
+    res_fused = Trainer(model, TrainConfig(**kw, fuse_epochs=True)).fit(ds)
+    res_step = Trainer(model, TrainConfig(**kw, fuse_epochs=False)).fit(ds)
+    np.testing.assert_allclose(res_fused["final_elbo"], res_step["final_elbo"],
+                               rtol=1e-5)
+    accs_f = [h["acc"] for h in res_fused["history"] if h["event"] == "eval"]
+    accs_s = [h["acc"] for h in res_step["history"] if h["event"] == "eval"]
+    np.testing.assert_allclose(accs_f, accs_s, atol=1e-6)
+
+
+def test_fused_fit_packed_auto_and_remainder():
+    """Auto-packed fused fit with a chunk remainder (epochs not divisible by
+    gcd(log_every, eval_every)) still hits every boundary and finishes."""
+    sim = simulate_irt("1pl", 150, 40, ability_dim=1, seed=4)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=4)
+    model = VIBO(VIBOConfig(num_items=40, irt_model="1pl", ability_dim=1,
+                            hidden_dim=32))
+    res = Trainer(model, TrainConfig(lr=8e-3, epochs=47, eval_every=20,
+                                     log_every=10)).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+    evals = [h for h in res["history"] if h["event"] == "eval"]
+    assert [e["epoch"] for e in evals] == [19, 39, 46]

@@ -84,7 +84,7 @@ def cmd_train(args):
         conditional_posterior=not args.mean_field,
         item_latent_dim=args.item_latent_dim,
         use_pallas=(jax.default_backend() == "tpu"
-                    and args.irt_model in ("1pl", "2pl"))))
+                    and args.irt_model in ("1pl", "2pl", "3pl"))))
     mesh = None
     if args.data_parallel and jax.device_count() > 1:
         from vibo_tpu.parallel import make_mesh
@@ -181,6 +181,50 @@ def cmd_baseline(args):
     return summary
 
 
+def cmd_compare(args):
+    """Parity sweep (BASELINE cfg 5 / paper sections 6.4-6.5): VIBO and every
+    baseline on the same dataset + split, with held-out accuracy,
+    theta recovery, and wall-clock seconds side by side."""
+    import time
+
+    rows = []
+
+    def timed(label, fn):
+        t0 = time.perf_counter()
+        summary = fn()
+        summary["method"] = label
+        summary["seconds"] = round(time.perf_counter() - t0, 3)
+        rows.append(summary)
+
+    vibo_args = argparse.Namespace(**vars(args))
+    vibo_args.iwae_samples = getattr(args, "iwae_samples", 0)
+    vibo_args.mean_field = False
+    vibo_args.eval_new_persons = 0.0
+    vibo_args.data_parallel = False
+    vibo_args.batch_size = None
+    vibo_args.num_posterior_samples = 1
+    vibo_args.hidden_dim = args.hidden_dim
+    vibo_args.item_latent_dim = 16
+    vibo_args.lr = 5e-3
+    vibo_args.eval_every = max(args.epochs // 4, 1)
+    timed("vibo", lambda: cmd_train(vibo_args))
+
+    for method in args.methods.split(","):
+        method = method.strip()
+        if method in ("", "vibo"):
+            continue
+        b_args = argparse.Namespace(**vars(args))
+        b_args.method = method
+        b_args.irt_model = (args.irt_model
+                            if args.irt_model in ("1pl", "2pl", "3pl") else "2pl")
+        timed(method, lambda: cmd_baseline(b_args))
+
+    cols = ("method", "seconds", "heldout_acc", "theta_pearson")
+    table = [{c: r.get(c) for c in cols} for r in rows]
+    print(json.dumps({"dataset": rows[0]["dataset"], "compare": table}))
+    return table
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vibo_tpu",
                                  description="TPU-native VIBO IRT framework")
@@ -218,6 +262,21 @@ def main(argv=None):
     b.add_argument("--hmc-warmup", type=int, default=300)
     b.add_argument("--hmc-samples", type=int, default=300)
     b.set_defaults(fn=cmd_baseline)
+
+    c = sub.add_parser("compare",
+                       help="parity sweep: VIBO vs MLE/MAP/EM/HMC on one "
+                            "dataset (accuracy, recovery, wall-clock)")
+    _add_common(c)
+    c.add_argument("--irt-model", default="2pl",
+                   choices=["1pl", "2pl", "3pl", "deep"])
+    c.add_argument("--methods", default="mle,em,hmc",
+                   help="comma-separated baselines to include")
+    c.add_argument("--hidden-dim", type=int, default=256)
+    c.add_argument("--epochs", type=int, default=200)
+    c.add_argument("--steps", type=int, default=500)
+    c.add_argument("--hmc-warmup", type=int, default=300)
+    c.add_argument("--hmc-samples", type=int, default=300)
+    c.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)
     if args.cpu:

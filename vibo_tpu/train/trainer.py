@@ -45,6 +45,11 @@ class TrainConfig:
     max_grad_norm: float | None = 10.0
     check_finite: bool = True          # raise on NaN/Inf ELBO (SURVEY.md sec 6
                                        # "sanitizers": NaN guard in the loop)
+    packed: bool | None = None         # int8-packed responses (None = auto:
+                                       # full-batch linear links)
+    fuse_epochs: bool = True           # full-batch: lax.scan epoch chunks
+                                       # inside one jit (host leaves the
+                                       # dispatch path between eval points)
 
 
 class Trainer:
@@ -108,6 +113,44 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0, 1),
                        in_shardings=(None, None, None, batch_sh))
 
+    def make_scan(self, item_scale: float, num_samples: int, length: int,
+                  packed: bool = False):
+        """`length` full-batch train steps fused in one jit via lax.scan —
+        the host never sits in the dispatch path between eval points.
+        Returns (params, opt_state, key, aux_stack) with per-step aux."""
+        model, optimizer = self.model, self.optimizer
+
+        def raw_step(params, opt_state, key, *data):
+            def loss_fn(p):
+                if packed:
+                    bound, aux = model.elbo_packed(p, key, data[0], item_scale,
+                                                   num_samples)
+                else:
+                    bound, aux = model.elbo(p, key, data[0], data[1],
+                                            item_scale, num_samples)
+                return -bound, aux
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        def run(params, opt_state, key, *data):
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                params, opt_state, aux = raw_step(params, opt_state, sub, *data)
+                return (params, opt_state, key), aux
+            (params, opt_state, key), auxs = jax.lax.scan(
+                body, (params, opt_state, key), None, length=length)
+            return params, opt_state, key, auxs
+
+        if self.mesh is None:
+            return jax.jit(run, donate_argnums=(0, 1))
+        batch_sh = meshlib.batch_sharding(self.mesh)
+        data_sh = (batch_sh,) if packed else (batch_sh, batch_sh)
+        return jax.jit(run, donate_argnums=(0, 1),
+                       in_shardings=(None, None, None) + data_sh)
+
     # --------------------------------------------------------------- fit
 
     def fit(self, ds: Dataset, truth=None, key: jax.Array | None = None):
@@ -124,7 +167,6 @@ class Trainer:
         key = jax.random.key(cfg.seed) if key is None else key
         key, k_init = jax.random.split(key)
         params, opt_state = self.init_state(k_init)
-        step_fn = self.make_step(item_scale, cfg.num_mc_samples)
 
         if cfg.out_dir:
             os.makedirs(cfg.out_dir, exist_ok=True)
@@ -132,11 +174,26 @@ class Trainer:
             os.path.join(cfg.out_dir, "metrics.jsonl") if cfg.out_dir else None)
 
         full_batch = batch_size >= n
+        use_packed = cfg.packed
+        if use_packed is None:
+            use_packed = (full_batch
+                          and self.model.cfg.irt_model in ("1pl", "2pl", "3pl"))
         if full_batch:
-            resp_dev = jnp.asarray(ds.response)
-            mask_dev = jnp.asarray(ds.train_mask)
+            if use_packed:
+                from vibo_tpu.ops.pallas_elbo import pack_responses
+                data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),)
+            else:
+                data = (jnp.asarray(ds.response), jnp.asarray(ds.train_mask))
             if self.mesh is not None:
-                resp_dev, mask_dev = meshlib.shard_arrays(self.mesh, resp_dev, mask_dev)
+                data = meshlib.shard_arrays(self.mesh, *data)
+                if not isinstance(data, tuple):
+                    data = (data,)
+        if full_batch and cfg.fuse_epochs:
+            return self._fit_fused(ds, truth, key, params, opt_state, data,
+                                   item_scale, use_packed, logger)
+        step_fn = (self.make_step_packed(item_scale, cfg.num_mc_samples)
+                   if (full_batch and use_packed)
+                   else self.make_step(item_scale, cfg.num_mc_samples))
 
         history = []
         best = {"heldout_acc": -1.0, "epoch": -1}
@@ -148,8 +205,7 @@ class Trainer:
             t0 = time.perf_counter()
             if full_batch:
                 key, k = jax.random.split(key)
-                params, opt_state, aux = step_fn(params, opt_state, k,
-                                                 resp_dev, mask_dev)
+                params, opt_state, aux = step_fn(params, opt_state, k, *data)
                 elbo_meter.update(float(aux["elbo"]))
                 global_step += 1
                 steps = 1
@@ -207,5 +263,88 @@ class Trainer:
         return {"params": params, "opt_state": opt_state, "key": key,
                 "history": history, "best": best,
                 "final_elbo": elbo_meter.avg,
+                "train_seconds": t_train,
+                "cells_per_sec": cells_meter.avg}
+
+    def _fit_fused(self, ds, truth, key, params, opt_state, data, item_scale,
+                   use_packed, logger):
+        """Full-batch fit with epochs fused into lax.scan chunks: the chunk
+        length is gcd(log_every, eval_every) so every log/eval boundary lands
+        on a chunk end, and a single host fetch per chunk is the only
+        dispatch. PRNG-equivalent to the per-epoch path (same split order)."""
+        import math
+
+        cfg = self.cfg
+        n, m = ds.response.shape
+        chunk = max(1, math.gcd(cfg.log_every, cfg.eval_every))
+        chunk = min(chunk, cfg.epochs)
+        scan_fns = {}
+
+        def get_scan(length):
+            if length not in scan_fns:
+                scan_fns[length] = self.make_scan(
+                    item_scale, cfg.num_mc_samples, length, packed=use_packed)
+            return scan_fns[length]
+
+        history = []
+        best = {"heldout_acc": -1.0, "epoch": -1}
+        cells_meter = AverageMeter()
+        t_train = 0.0
+        epoch = 0
+        final_elbo = float("nan")
+        while epoch < cfg.epochs:
+            n_run = min(chunk, cfg.epochs - epoch)
+            t0 = time.perf_counter()
+            params, opt_state, key, auxs = get_scan(n_run)(
+                params, opt_state, key, *data)
+            elbos = np.asarray(auxs["elbo"])  # host fetch: completion barrier
+            dt = time.perf_counter() - t0
+            t_train += dt
+            cells_meter.update(n * m * n_run / dt)
+            epoch += n_run
+            final_elbo = float(elbos[-1])
+            if cfg.check_finite and not np.isfinite(elbos).all():
+                bad = int(np.argmax(~np.isfinite(elbos)))
+                raise FloatingPointError(
+                    f"non-finite ELBO at epoch {epoch - n_run + bad}: "
+                    f"loglik={float(auxs['loglik'][bad])} "
+                    f"kl_theta={float(auxs['kl_theta'][bad])} "
+                    f"kl_items={float(auxs['kl_items'][bad])} — check "
+                    "lr/grad-clip")
+
+            last = epoch == cfg.epochs
+            if epoch % cfg.log_every == 0 or last:
+                rec = {"event": "train", "epoch": epoch - 1, "step": epoch,
+                       "elbo": final_elbo,
+                       "loglik": float(auxs["loglik"][-1]),
+                       "kl_theta": float(auxs["kl_theta"][-1]),
+                       "kl_items": float(auxs["kl_items"][-1]),
+                       "cells_per_sec": cells_meter.avg}
+                logger.log(**rec)
+                history.append(rec)
+            if (epoch % cfg.eval_every == 0 or last) \
+                    and ds.heldout_mask.sum() > 0:
+                ev = evaluation.imputation_accuracy(self.model, params, ds)
+                rec = {"event": "eval", "epoch": epoch - 1, **ev}
+                if truth is not None:
+                    theta_hat, _ = evaluation.infer_posterior_means(
+                        self.model, params, ds)
+                    rec["theta_pearson"] = evaluation.correlation(
+                        theta_hat[:truth.theta.shape[0]], truth.theta)["pearson"]
+                logger.log(**rec)
+                history.append(rec)
+                if ev["acc"] > best["heldout_acc"]:
+                    best = {"heldout_acc": ev["acc"], "epoch": epoch - 1}
+                    if cfg.out_dir:
+                        ckpt.save_checkpoint(
+                            os.path.join(cfg.out_dir, "best.npz"),
+                            (params, opt_state), key, epoch,
+                            extra={"epoch": epoch - 1,
+                                   "heldout_acc": ev["acc"]})
+
+        logger.close()
+        return {"params": params, "opt_state": opt_state, "key": key,
+                "history": history, "best": best,
+                "final_elbo": final_elbo,
                 "train_seconds": t_train,
                 "cells_per_sec": cells_meter.avg}
