@@ -125,3 +125,88 @@ def test_packed_step_sharded_equals_replicated(eight_devices):
         p_sh, o_sh, aux_sh = step_sh(p_sh, o_sh, sub, packed_sh)
     np.testing.assert_allclose(float(aux_ref["elbo"]), float(aux_sh["elbo"]),
                                rtol=5e-5)
+
+
+def test_dp_step_device_count_invariant(eight_devices):
+    """shard_map DP packed step: 8-shard result == 1-shard result (exogenous
+    partitionable-RNG noise makes the math device-count-invariant)."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    ds, model = _setup()
+    packed = np.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = np.ones(N, np.float32)
+    key = jax.random.key(0)
+
+    results = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(eight_devices[:ndev])
+        tr = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+        p, o = tr.init_state(key)
+        step = tr.make_step_packed_dp(1.0, 2)
+        sh_pk, sh_rv = tr._dp_in_shardings()
+        pk = jax.device_put(jnp.asarray(packed), sh_pk)
+        rv = jax.device_put(jnp.asarray(rowv), sh_rv)
+        k = jax.random.key(3)
+        for _ in range(3):
+            k, sub = jax.random.split(k)
+            p, o, aux = step(p, o, sub, pk, rv)
+        results[ndev] = (float(aux["elbo"]),
+                         np.asarray(p["item_post"]["b"]["mu"]))
+    np.testing.assert_allclose(results[8][0], results[1][0], rtol=5e-5)
+    np.testing.assert_allclose(results[8][1], results[1][1],
+                               rtol=5e-4, atol=5e-6)
+
+
+def test_dp_grads_match_unsharded(eight_devices):
+    """One DP step's update == jax.grad of the identical unsharded loss."""
+    import optax
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    ds, model = _setup()
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = jnp.ones(N, jnp.float32)
+    key0, key1 = jax.random.key(0), jax.random.key(7)
+
+    mesh = make_mesh(eight_devices)
+    tr = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    p0, o0 = tr.init_state(key0)
+    step = tr.make_step_packed_dp(0.8, 2)
+    sh_pk, sh_rv = tr._dp_in_shardings()
+    p_dp, _, aux_dp = step(p0, o0, key1,
+                           jax.device_put(packed, sh_pk),
+                           jax.device_put(rowv, sh_rv))
+
+    # unsharded reference with the same exogenous noise
+    tr1 = Trainer(model, TrainConfig(lr=1e-2))
+    p1, o1 = tr1.init_state(key0)
+    item_eps, theta_eps = model.sample_noise(p1, key1, N, 2)
+
+    def loss_fn(p):
+        ll, klt = model.elbo_packed_sums(p, packed, item_eps, theta_eps, rowv)
+        kli = model.item_kl(p)
+        return -objectives.elbo(ll, klt, kli, 0.8)
+
+    g = jax.grad(loss_fn)(p1)
+    upd, _ = tr1.optimizer.update(g, o1, p1)
+    p_ref = optax.apply_updates(p1, upd)
+    # psum tree order != XLA reduction order; Adam's sqrt(v)+eps denominator
+    # amplifies float noise on near-zero grads — tolerance reflects that.
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-3, atol=1e-5), p_dp, p_ref)
+
+
+def test_dp_fit_nondivisible_persons(eight_devices):
+    """Trainer.fit pads 61 students onto 8 shards; padding rows are inert."""
+    from vibo_tpu.data import simulate_irt, holdout_split
+    sim = simulate_irt("2pl", 61, M, ability_dim=K, seed=5)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=5)
+    model = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                            hidden_dim=32))
+    mesh = make_mesh(eight_devices)
+    res = Trainer(model, TrainConfig(lr=1e-2, epochs=20, eval_every=10,
+                                     log_every=10), mesh=mesh).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+    # identical math without the mesh (same key path): padding must be inert
+    res1 = Trainer(model, TrainConfig(lr=1e-2, epochs=20, eval_every=10,
+                                      log_every=10),
+                   mesh=make_mesh(eight_devices[:1])).fit(ds)
+    np.testing.assert_allclose(res["final_elbo"], res1["final_elbo"], rtol=5e-5)

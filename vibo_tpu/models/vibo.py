@@ -278,6 +278,75 @@ class VIBO:
         return bound, {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
                        "kl_items": kl_items}
 
+    def sample_noise(self, params: dict, key: jax.Array, batch: int,
+                     num_samples: int):
+        """Exogenous reparameterization noise for elbo_packed_sums:
+        ({name: (S, M, D)} item eps, (S, B, K) theta eps). Generated with the
+        partitionable RNG so values are sharding-invariant."""
+        k_item, k_theta = jax.random.split(key)
+        post = params["item_post"]
+        item_keys = jax.random.split(k_item, len(post))
+        item_eps = {name: jax.random.normal(
+                        k, (num_samples,) + post[name]["mu"].shape,
+                        post[name]["mu"].dtype)
+                    for k, name in zip(item_keys, sorted(post))}
+        theta_eps = jax.random.normal(
+            k_theta, (num_samples, batch, self.cfg.ability_dim))
+        return item_eps, theta_eps
+
+    def elbo_packed_sums(self, params: dict, packed: jax.Array, item_eps: dict,
+                         theta_eps: jax.Array,
+                         row_weight: jax.Array | None = None):
+        """Deterministic ELBO partial sums from exogenous noise:
+        (loglik_sum, kl_theta_sum), each averaged over the sample axis.
+
+        The data-parallel building block: per-student-shard values that the
+        shard_map step psums across the mesh; item-KL (shard-invariant) is
+        added by the caller. Same per-cell math as elbo_packed.
+
+        row_weight ((B,), optional): 0.0 marks padding rows added to make the
+        student axis divisible by the mesh — their KL(theta) is excluded
+        (their loglik is already exactly 0 via the all-missing mask)."""
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        pk = packed.astype(cd)
+        mask = jnp.minimum(pk, 1.0)
+        response = jnp.maximum(pk - 1.0, 0.0)
+        use_packed_kernel = cfg.use_pallas and cfg.irt_model in ("1pl", "2pl",
+                                                                 "3pl")
+        post = params["item_post"]
+
+        def one_sample(i_eps, t_eps):
+            item_sample = {
+                name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
+                                              post[name]["logvar"])
+                for name in i_eps}
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+            if use_packed_kernel:
+                from vibo_tpu.ops import pallas_elbo
+                lp = self._link_params(item_sample)
+                a = lp.get("a")
+                if a is None:
+                    a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+                if cfg.irt_model == "3pl":
+                    ll = pallas_elbo.masked_loglik_3pl_packed(
+                        theta, a, lp["b"], lp["g_hat"], packed)
+                else:
+                    ll = pallas_elbo.masked_loglik_2pl_packed(theta, a, lp["b"],
+                                                              packed)
+            else:
+                ll = self.loglik_per_person(params, theta, item_sample,
+                                            response.astype(jnp.float32),
+                                            mask.astype(jnp.float32))
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1)
+            if row_weight is not None:
+                kl_theta = kl_theta * row_weight
+            return ll.sum(), kl_theta.sum()
+
+        lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
+        return lls.mean(), kl_thetas.mean()
+
     def iwae_per_person(self, params: dict, key: jax.Array, response: jax.Array,
                         mask: jax.Array, num_samples: int = 100,
                         num_persons_total: int | None = None) -> jax.Array:

@@ -18,6 +18,16 @@ LOG2PI = 1.8378770664093453  # log(2*pi)
 def reparameterize(key: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Array:
     """z = mu + sigma * eps, eps ~ N(0, I). Differentiable w.r.t. mu, logvar."""
     eps = jax.random.normal(key, mu.shape, mu.dtype)
+    return reparameterize_eps(eps, mu, logvar)
+
+
+def reparameterize_eps(eps: jax.Array, mu: jax.Array, logvar: jax.Array
+                       ) -> jax.Array:
+    """Reparameterization with exogenous noise: z = mu + sigma * eps.
+
+    Used by the shard_map data-parallel step (train/trainer.py), where noise
+    is generated OUTSIDE the shard with JAX's partitionable RNG so the
+    sharded computation is deterministic and device-count-invariant."""
     return mu + jnp.exp(0.5 * logvar) * eps
 
 

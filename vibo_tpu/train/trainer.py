@@ -113,6 +113,94 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0, 1),
                        in_shardings=(None, None, None, batch_sh))
 
+    def _dp_raw_step(self, item_scale: float, num_samples: int):
+        """shard_map data-parallel packed step body (un-jitted).
+
+        Why shard_map and not GSPMD: the Pallas masked-loglik kernel lowers to
+        a Mosaic custom call that GSPMD cannot partition — under plain pjit it
+        would all-gather the response matrix onto every chip. Inside
+        shard_map each chip runs the kernel on its local student shard and
+        the scalars/grads psum over ICI. Reparameterization noise is drawn
+        OUTSIDE the shard with the partitionable RNG, so the result is
+        deterministic and device-count-invariant (tested).
+
+        Signature: step(params, opt_state, key, packed, row_weight) where
+        row_weight zeroes the KL of padding rows (student axis padded to a
+        multiple of the mesh)."""
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        if mesh is None or dict(mesh.shape).get("items", 1) != 1:
+            raise ValueError("data-parallel step needs a students-only mesh")
+        n_shards = dict(mesh.shape)["students"]
+        model, optimizer = self.model, self.optimizer
+        from vibo_tpu.ops import objectives
+
+        def shard_fn(params, packed, row_weight, item_eps, theta_eps):
+            def loss_fn(p):
+                ll, klt = model.elbo_packed_sums(p, packed, item_eps,
+                                                 theta_eps, row_weight)
+                kli = model.item_kl(p)
+                # psum over shards of this local objective == the global loss
+                local = -(ll - klt - item_scale * kli / n_shards)
+                return local, (ll, klt, kli)
+            (_, (ll, klt, kli)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            g = jax.lax.psum(g, "students")
+            ll = jax.lax.psum(ll, "students")
+            klt = jax.lax.psum(klt, "students")
+            return g, ll, klt, kli
+
+        smapped = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("students", None), P("students"), P(),
+                      P(None, "students", None)),
+            out_specs=(P(), P(), P(), P()))
+
+        def step(params, opt_state, key, packed, row_weight):
+            item_eps, theta_eps = model.sample_noise(params, key,
+                                                     packed.shape[0],
+                                                     num_samples)
+            grads, ll, klt, kli = smapped(params, packed, row_weight,
+                                          item_eps, theta_eps)
+            bound = objectives.elbo(ll, klt, kli, item_scale)
+            aux = {"elbo": bound, "loglik": ll, "kl_theta": klt,
+                   "kl_items": kli}
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        return step
+
+    def _dp_in_shardings(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return (meshlib.batch_sharding(self.mesh),
+                NamedSharding(self.mesh, P("students")))
+
+    def make_step_packed_dp(self, item_scale: float, num_samples: int):
+        """Jit'd shard_map data-parallel packed train step (see _dp_raw_step)."""
+        step = self._dp_raw_step(item_scale, num_samples)
+        return jax.jit(step, donate_argnums=(0, 1),
+                       in_shardings=(None, None, None) + self._dp_in_shardings())
+
+    def make_scan_dp(self, item_scale: float, num_samples: int, length: int):
+        """lax.scan over `length` data-parallel packed steps in one jit."""
+        raw = self._dp_raw_step(item_scale, num_samples)
+
+        def run(params, opt_state, key, packed, row_weight):
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                params, opt_state, aux = raw(params, opt_state, sub, packed,
+                                             row_weight)
+                return (params, opt_state, key), aux
+            (params, opt_state, key), auxs = jax.lax.scan(
+                body, (params, opt_state, key), None, length=length)
+            return params, opt_state, key, auxs
+
+        return jax.jit(run, donate_argnums=(0, 1),
+                       in_shardings=(None, None, None) + self._dp_in_shardings())
+
     def make_scan(self, item_scale: float, num_samples: int, length: int,
                   packed: bool = False):
         """`length` full-batch train steps fused in one jit via lax.scan —
@@ -178,22 +266,37 @@ class Trainer:
         if use_packed is None:
             use_packed = (full_batch
                           and self.model.cfg.irt_model in ("1pl", "2pl", "3pl"))
+        if (self.mesh is not None
+                and dict(self.mesh.shape).get("items", 1) != 1):
+            use_packed = False  # dp shard_map path needs a students-only mesh
+        dp = full_batch and use_packed and self.mesh is not None
         if full_batch:
-            if use_packed:
+            if dp:
+                from vibo_tpu.ops.pallas_elbo import pack_responses
+                n_sh = dict(self.mesh.shape)["students"]
+                pad = (-n) % n_sh
+                pk = pack_responses(ds.response, ds.train_mask)
+                pk = np.pad(pk, ((0, pad), (0, 0)))  # 0 == missing: inert
+                rowv = np.pad(np.ones(n, np.float32), (0, pad))
+                sh_pk, sh_rv = self._dp_in_shardings()
+                data = (jax.device_put(jnp.asarray(pk), sh_pk),
+                        jax.device_put(jnp.asarray(rowv), sh_rv))
+            elif use_packed:
                 from vibo_tpu.ops.pallas_elbo import pack_responses
                 data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),)
             else:
                 data = (jnp.asarray(ds.response), jnp.asarray(ds.train_mask))
-            if self.mesh is not None:
-                data = meshlib.shard_arrays(self.mesh, *data)
-                if not isinstance(data, tuple):
-                    data = (data,)
+                if self.mesh is not None:
+                    data = meshlib.shard_arrays(self.mesh, *data)
         if full_batch and cfg.fuse_epochs:
             return self._fit_fused(ds, truth, key, params, opt_state, data,
-                                   item_scale, use_packed, logger)
-        step_fn = (self.make_step_packed(item_scale, cfg.num_mc_samples)
-                   if (full_batch and use_packed)
-                   else self.make_step(item_scale, cfg.num_mc_samples))
+                                   item_scale, use_packed, dp, logger)
+        if dp:
+            step_fn = self.make_step_packed_dp(item_scale, cfg.num_mc_samples)
+        elif full_batch and use_packed:
+            step_fn = self.make_step_packed(item_scale, cfg.num_mc_samples)
+        else:
+            step_fn = self.make_step(item_scale, cfg.num_mc_samples)
 
         history = []
         best = {"heldout_acc": -1.0, "epoch": -1}
@@ -267,7 +370,7 @@ class Trainer:
                 "cells_per_sec": cells_meter.avg}
 
     def _fit_fused(self, ds, truth, key, params, opt_state, data, item_scale,
-                   use_packed, logger):
+                   use_packed, dp, logger):
         """Full-batch fit with epochs fused into lax.scan chunks: the chunk
         length is gcd(log_every, eval_every) so every log/eval boundary lands
         on a chunk end, and a single host fetch per chunk is the only
@@ -282,8 +385,13 @@ class Trainer:
 
         def get_scan(length):
             if length not in scan_fns:
-                scan_fns[length] = self.make_scan(
-                    item_scale, cfg.num_mc_samples, length, packed=use_packed)
+                if dp:
+                    scan_fns[length] = self.make_scan_dp(
+                        item_scale, cfg.num_mc_samples, length)
+                else:
+                    scan_fns[length] = self.make_scan(
+                        item_scale, cfg.num_mc_samples, length,
+                        packed=use_packed)
             return scan_fns[length]
 
         history = []
