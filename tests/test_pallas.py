@@ -246,3 +246,60 @@ def test_3pl_vibo_model_pallas_path(rng):
     packed = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
     b_pk, _ = model_pal.elbo_packed(params, key, packed, 0.7, 2)
     np.testing.assert_allclose(float(b_pk), float(b_ref), rtol=1e-5)
+
+
+def test_train_variant_matches_general(rng):
+    """One-pass train kernel: value + uniform-cotangent grads == general op."""
+    from vibo_tpu.ops.pallas_elbo import (masked_loglik_2pl_packed,
+                                          masked_loglik_2pl_packed_train,
+                                          pack_responses)
+    theta, a, b, resp, mask = _inputs(rng, 56, 300, 4)
+    packed = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+
+    got = masked_loglik_2pl_packed_train(theta, a, b, packed, interpret=True)
+    want = masked_loglik_2pl_packed(theta, a, b, packed, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+    def loss_train(theta, a, b):
+        return masked_loglik_2pl_packed_train(theta, a, b, packed,
+                                              interpret=True).sum()
+
+    def loss_gen(theta, a, b):
+        return masked_loglik_2pl_packed(theta, a, b, packed,
+                                        interpret=True).sum()
+
+    g1 = jax.grad(loss_train, argnums=(0, 1, 2))(theta, a, b)
+    g2 = jax.grad(loss_gen, argnums=(0, 1, 2))(theta, a, b)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-4)
+
+    # scaled-uniform cotangent (the mean-over-samples case) stays exact
+    g3 = jax.grad(lambda t: 0.25 * loss_train(t, a, b))(theta)
+    g4 = jax.grad(lambda t: 0.25 * loss_gen(t, a, b))(theta)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g4),
+                               rtol=3e-5, atol=3e-4)
+
+
+def test_train_variant_vmap_samples(rng):
+    """vmap over the MC-sample axis (the elbo_packed usage pattern)."""
+    from vibo_tpu.ops.pallas_elbo import (masked_loglik_2pl_packed_train,
+                                          pack_responses)
+    theta, a, b, resp, mask = _inputs(rng, 16, 130, 2)
+    packed = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+    thetas = jnp.stack([theta, theta + 0.1, theta - 0.1])
+    as_ = jnp.stack([a, a, a])
+    bs = jnp.stack([b, b, b])
+
+    def loss(thetas, as_, bs):
+        return masked_loglik_2pl_packed_train(thetas, as_, bs, packed,
+                                              interpret=True).sum(-1).mean()
+
+    v = loss(thetas, as_, bs)
+    g = jax.grad(loss)(thetas, as_, bs)
+    assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+    want = _ref(theta, a, b, resp, mask)
+    one = masked_loglik_2pl_packed_train(theta, a, b, packed, interpret=True)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)

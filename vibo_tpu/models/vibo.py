@@ -261,8 +261,10 @@ class VIBO:
                     ll = pallas_elbo.masked_loglik_3pl_packed(
                         theta, a, lp["b"], lp["g_hat"], packed)
                 else:
-                    ll = pallas_elbo.masked_loglik_2pl_packed(theta, a, lp["b"],
-                                                              packed)
+                    # one-pass fused kernel: ll.sum() below => uniform
+                    # cotangent, the train variant's contract
+                    ll = pallas_elbo.masked_loglik_2pl_packed_train(
+                        theta, a, lp["b"], packed)
             else:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
@@ -333,8 +335,10 @@ class VIBO:
                     ll = pallas_elbo.masked_loglik_3pl_packed(
                         theta, a, lp["b"], lp["g_hat"], packed)
                 else:
-                    ll = pallas_elbo.masked_loglik_2pl_packed(theta, a, lp["b"],
-                                                              packed)
+                    # one-pass fused kernel: ll.sum() below => uniform
+                    # cotangent, the train variant's contract
+                    ll = pallas_elbo.masked_loglik_2pl_packed_train(
+                        theta, a, lp["b"], packed)
             else:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),

@@ -420,6 +420,147 @@ def masked_loglik_2pl_packed(theta: jax.Array, a: jax.Array, b: jax.Array,
     return jax.vmap(fn, in_axes=in_axes)(theta, a, b, packed)
 
 
+# ------------------------------------- one-pass training kernel (packed)
+#
+# The training ELBO consumes ll.sum(): the cotangent of the per-person
+# loglik vector is UNIFORM. That lets value AND all gradients be computed in
+# a single pass over the packed matrix (vs 1 fwd + 2 bwd passes for the
+# general op): the kernel emits (ll, dtheta_pre, da_pre, db_pre) from one
+# exp + one log1p per cell, and the VJP just rescales:
+#     dtheta = g[:, None] * dtheta_pre   (exact for ANY per-person g)
+#     da, db = g_uniform * (da_pre, db_pre)   (exact only for uniform g --
+#                                              the ELBO/elbo_packed case)
+# Output-block traffic: ll/dtheta blocks are revisited consecutively
+# (item tiles innermost); da/db blocks are revisited non-consecutively and
+# reload-accumulate through HBM, but they are tiny ((TM,K)+(1,TM) ~ 10 KB
+# per visit vs the 128 KB packed tile read).
+
+def _fused_train_kernel_packed(theta_ref, a_ref, b_ref, pk_ref,
+                               ll_ref, dth_ref, da_ref, db_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    logits = jax.lax.dot_general(
+        theta_ref[:], a_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _decode_packed(pk_ref[:].astype(jnp.float32))
+    # one exp per cell feeds softplus(+-l) and sigmoid(l)
+    e = jnp.exp(-jnp.abs(logits))
+    log1p_e = jnp.log1p(e)
+    sp_pos = log1p_e + jnp.maximum(logits, 0.0)          # softplus(l)
+    # r in {0,1}: r*l - softplus(l) == -softplus((1-2r) l)
+    ll_cell = -m * jnp.where(r > 0.5, sp_pos - logits, sp_pos)
+    inv = 1.0 / (1.0 + e)
+    s = jnp.where(logits >= 0, inv, 1.0 - inv)           # sigmoid(l)
+    dl = m * (r - s)
+    ll_part = ll_cell.sum(axis=1, keepdims=True)
+    dth_part = jnp.dot(dl, a_ref[:], preferred_element_type=jnp.float32)
+    da_part = jax.lax.dot_general(
+        dl, theta_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_part = -dl.sum(axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        ll_ref[:] = ll_part
+        dth_ref[:] = dth_part
+
+    @pl.when(j > 0)
+    def _():
+        ll_ref[:] = ll_ref[:] + ll_part
+        dth_ref[:] = dth_ref[:] + dth_part
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = da_part
+        db_ref[:] = db_part
+
+    @pl.when(i > 0)
+    def _():
+        da_ref[:] = da_ref[:] + da_part
+        db_ref[:] = db_ref[:] + db_part
+
+
+def _fused_train_fwd(theta, a, b, packed, interpret):
+    bsz0, m0 = theta.shape[0], a.shape[0]
+    tb = min(STUDENT_BLOCK, _cdiv(bsz0, 8) * 8)
+    tm = min(ITEM_BLOCK, _cdiv(m0, 128) * 128)
+    theta, a, b, packed = _pad_packed(theta, a, b, packed, tb, tm)
+    (bsz, k), m = theta.shape, a.shape[0]
+    ll, dth, da, db2 = pl.pallas_call(
+        _fused_train_kernel_packed,
+        grid=(_cdiv(bsz, tb), _cdiv(m, tm)),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k), jnp.float32),
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bsz * m * k + 16 * bsz * m,
+            bytes_accessed=bsz * m + 4 * (bsz * k * 2 + m * k * 2 + 2 * m + bsz),
+            transcendentals=2 * bsz * m),
+        interpret=interpret,
+    )(theta, a, b.reshape(1, m), packed)
+    return (ll[:bsz0, 0], dth[:bsz0], da[:m0], db2[0, :m0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _masked_loglik_2pl_packed_train(theta, a, b, packed, interpret):
+    return _fused_train_fwd(theta, a, b, packed, interpret)[0]
+
+
+def _fused_train_fwd_rule(theta, a, b, packed, interpret):
+    ll, dth, da, db = _fused_train_fwd(theta, a, b, packed, interpret)
+    return ll, (dth, da, db)
+
+
+def _fused_train_bwd_rule(interpret, residuals, g):
+    dth, da, db = residuals
+    g0 = g.reshape(-1)[0]  # uniform-cotangent contract (see header comment)
+    return g[:, None] * dth, g0 * da, g0 * db, None
+
+
+_masked_loglik_2pl_packed_train.defvjp(_fused_train_fwd_rule,
+                                       _fused_train_bwd_rule)
+
+
+def masked_loglik_2pl_packed_train(theta: jax.Array, a: jax.Array,
+                                   b: jax.Array, packed: jax.Array,
+                                   interpret: bool | None = None) -> jax.Array:
+    """One-pass training variant of masked_loglik_2pl_packed -> (B,).
+
+    Value-identical to the general op; gradients are precomputed in the same
+    kernel pass under the UNIFORM-COTANGENT CONTRACT: the caller must only
+    use this where every person's loglik gets the same weight (e.g. followed
+    by .sum() into a scalar loss, as in elbo_packed / elbo_packed_sums).
+    dtheta is exact for any cotangent; da/db assume uniformity.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    theta = theta.astype(jnp.float32)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if theta.ndim == 2:
+        return _masked_loglik_2pl_packed_train(theta, a, b, packed, interpret)
+    if a.ndim == theta.ndim:
+        in_axes = (0, 0, 0, None)
+    else:
+        in_axes = (0, None, None, None)
+    fn = lambda *xs: masked_loglik_2pl_packed_train(*xs, interpret=interpret)
+    return jax.vmap(fn, in_axes=in_axes)(theta, a, b, packed)
+
+
 # --------------------------------------------------- 3PL fused kernels
 #
 # pi = g + (1-g) * sigmoid(l), g = sigmoid(g_hat), l = a.theta - b.
