@@ -303,3 +303,31 @@ def test_train_variant_vmap_samples(rng):
     one = masked_loglik_2pl_packed_train(theta, a, b, packed, interpret=True)
     np.testing.assert_allclose(np.asarray(one), np.asarray(want),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_3pl_train_variant_matches_general(rng):
+    from vibo_tpu.ops.pallas_elbo import (masked_loglik_3pl_packed,
+                                          masked_loglik_3pl_packed_train,
+                                          pack_responses)
+    theta, a, b, g_hat, resp, mask = _inputs_3pl(rng, 40, 260, 3)
+    packed = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+
+    got = masked_loglik_3pl_packed_train(theta, a, b, g_hat, packed,
+                                         interpret=True)
+    want = masked_loglik_3pl_packed(theta, a, b, g_hat, packed, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+    def loss_train(theta, a, b, g_hat):
+        return masked_loglik_3pl_packed_train(theta, a, b, g_hat, packed,
+                                              interpret=True).sum()
+
+    def loss_gen(theta, a, b, g_hat):
+        return masked_loglik_3pl_packed(theta, a, b, g_hat, packed,
+                                        interpret=True).sum()
+
+    g1 = jax.grad(loss_train, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    g2 = jax.grad(loss_gen, argnums=(0, 1, 2, 3))(theta, a, b, g_hat)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-4)

@@ -76,12 +76,21 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
     natively on the MXU with f32 accumulation (params stay f32).
     """
     w1, rest = params[0], params[1:]
-    x = jnp.concatenate([response * mask, mask], axis=-1)
-    two_m = x.shape[-1]
+    m = response.shape[-1]
+    two_m = 2 * m
     cd = compute_dtype
+    # Split first layer: [r*m, m] @ W == (r*m) @ W[:M] + m @ W[M:2M].
+    # Concat-free, so the (B, 2M) input never materializes in HBM — XLA
+    # fuses the (packed-int8) decode straight into each matmul's operand
+    # read. Algebraically identical to the concat form.
+    rm = (response * mask).astype(cd)
     h = jax.lax.dot_general(
-        x.astype(cd), w1["w"][:two_m].astype(cd),
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        rm, w1["w"][:m].astype(cd),
+        dimension_numbers=(((rm.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + jax.lax.dot_general(
+        mask.astype(cd), w1["w"][m:two_m].astype(cd),
+        dimension_numbers=(((mask.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     if item_feats is not None:
         feat_proj = jax.lax.dot_general(

@@ -258,7 +258,7 @@ class VIBO:
                 if a is None:
                     a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
                 if cfg.irt_model == "3pl":
-                    ll = pallas_elbo.masked_loglik_3pl_packed(
+                    ll = pallas_elbo.masked_loglik_3pl_packed_train(
                         theta, a, lp["b"], lp["g_hat"], packed)
                 else:
                     # one-pass fused kernel: ll.sum() below => uniform
@@ -332,7 +332,7 @@ class VIBO:
                 if a is None:
                     a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
                 if cfg.irt_model == "3pl":
-                    ll = pallas_elbo.masked_loglik_3pl_packed(
+                    ll = pallas_elbo.masked_loglik_3pl_packed_train(
                         theta, a, lp["b"], lp["g_hat"], packed)
                 else:
                     # one-pass fused kernel: ll.sum() below => uniform

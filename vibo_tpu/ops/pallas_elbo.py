@@ -561,6 +561,127 @@ def masked_loglik_2pl_packed_train(theta: jax.Array, a: jax.Array,
     return jax.vmap(fn, in_axes=in_axes)(theta, a, b, packed)
 
 
+# ---------------------------------- one-pass 3PL training kernel (packed)
+
+def _fused_train_kernel_3pl_packed(theta_ref, a_ref, b_ref, g_ref, pk_ref,
+                                   ll_ref, dth_ref, da_ref, db_ref, dg_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    logits = jax.lax.dot_general(
+        theta_ref[:], a_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _decode_packed(pk_ref[:].astype(jnp.float32))
+    gh = g_ref[:]
+    ll_cell = _cell_3pl(logits, gh, r, m)
+    dl, dgc = _dcell_3pl(logits, gh, r, m)
+    ll_part = ll_cell.sum(axis=1, keepdims=True)
+    dth_part = jnp.dot(dl, a_ref[:], preferred_element_type=jnp.float32)
+    da_part = jax.lax.dot_general(
+        dl, theta_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_part = -dl.sum(axis=0, keepdims=True)
+    dg_part = dgc.sum(axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        ll_ref[:] = ll_part
+        dth_ref[:] = dth_part
+
+    @pl.when(j > 0)
+    def _():
+        ll_ref[:] = ll_ref[:] + ll_part
+        dth_ref[:] = dth_ref[:] + dth_part
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = da_part
+        db_ref[:] = db_part
+        dg_ref[:] = dg_part
+
+    @pl.when(i > 0)
+    def _():
+        da_ref[:] = da_ref[:] + da_part
+        db_ref[:] = db_ref[:] + db_part
+        dg_ref[:] = dg_ref[:] + dg_part
+
+
+def _fused_train_fwd_3pl(theta, a, b, g_hat, packed, interpret):
+    bsz0, m0 = theta.shape[0], a.shape[0]
+    tb = min(STUDENT_BLOCK, _cdiv(bsz0, 8) * 8)
+    tm = min(ITEM_BLOCK, _cdiv(m0, 128) * 128)
+    theta, a, b, packed = _pad_packed(theta, a, b, packed, tb, tm)
+    (bsz, k), m = theta.shape, a.shape[0]
+    g2 = jnp.pad(g_hat, ((0, m - m0),))
+    ll, dth, da, db2, dg2 = pl.pallas_call(
+        _fused_train_kernel_3pl_packed,
+        grid=(_cdiv(bsz, tb), _cdiv(m, tm)),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k), jnp.float32),
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(theta, a, b.reshape(1, m), g2.reshape(1, m), packed)
+    return (ll[:bsz0, 0], dth[:bsz0], da[:m0], db2[0, :m0], dg2[0, :m0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _masked_loglik_3pl_packed_train(theta, a, b, g_hat, packed, interpret):
+    return _fused_train_fwd_3pl(theta, a, b, g_hat, packed, interpret)[0]
+
+
+def _fused_train_fwd_rule_3pl(theta, a, b, g_hat, packed, interpret):
+    ll, dth, da, db, dg = _fused_train_fwd_3pl(theta, a, b, g_hat, packed,
+                                               interpret)
+    return ll, (dth, da, db, dg)
+
+
+def _fused_train_bwd_rule_3pl(interpret, residuals, g):
+    dth, da, db, dg = residuals
+    g0 = g.reshape(-1)[0]  # uniform-cotangent contract
+    return g[:, None] * dth, g0 * da, g0 * db, g0 * dg, None
+
+
+_masked_loglik_3pl_packed_train.defvjp(_fused_train_fwd_rule_3pl,
+                                       _fused_train_bwd_rule_3pl)
+
+
+def masked_loglik_3pl_packed_train(theta: jax.Array, a: jax.Array,
+                                   b: jax.Array, g_hat: jax.Array,
+                                   packed: jax.Array,
+                                   interpret: bool | None = None) -> jax.Array:
+    """One-pass 3PL training variant (uniform-cotangent contract; see
+    masked_loglik_2pl_packed_train) -> (B,)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    theta, a = theta.astype(jnp.float32), a.astype(jnp.float32)
+    b, g_hat = b.astype(jnp.float32), g_hat.astype(jnp.float32)
+    if theta.ndim == 2:
+        return _masked_loglik_3pl_packed_train(theta, a, b, g_hat, packed,
+                                               interpret)
+    if a.ndim == theta.ndim:
+        in_axes = (0, 0, 0, 0, None)
+    else:
+        in_axes = (0, None, None, None, None)
+    fn = lambda *xs: masked_loglik_3pl_packed_train(*xs, interpret=interpret)
+    return jax.vmap(fn, in_axes=in_axes)(theta, a, b, g_hat, packed)
+
+
 # --------------------------------------------------- 3PL fused kernels
 #
 # pi = g + (1-g) * sigmoid(l), g = sigmoid(g_hat), l = a.theta - b.
