@@ -21,7 +21,8 @@ def test_scorer_from_checkpoint(tmp_path):
                                log_every=60, out_dir=str(tmp_path))
             ).fit(train_ds)
 
-    scorer = AbilityScorer.from_checkpoint(str(tmp_path / "best.npz"), model,
+    # model reconstructed from the checkpoint's embedded config
+    scorer = AbilityScorer.from_checkpoint(str(tmp_path / "best.npz"),
                                            pad_multiple=16)
     # score UNSEEN students from their train-visible responses (B=100: padded)
     resp = test_ds.response * test_ds.train_mask

@@ -44,16 +44,28 @@ class AbilityScorer:
         self.pad_multiple = max(1, pad_multiple)
 
     @classmethod
-    def from_checkpoint(cls, path: str, model: VIBO, optimizer=None,
-                        **kw) -> "AbilityScorer":
+    def from_checkpoint(cls, path: str, model: VIBO | None = None,
+                        optimizer=None, **kw) -> "AbilityScorer":
         """Load (params, opt_state) saved by Trainer (train/checkpoint.py).
 
+        model: optional — Trainer checkpoints embed the model config
+        (extra_model_cfg), so by default the model is reconstructed from the
+        file itself.
         optimizer: optional optax transform matching the checkpoint; defaults
         to the Trainer's adam so `Trainer(...).fit(out_dir=...)` checkpoints
         load with no extra arguments.
         """
+        import json
+
         import optax
 
+        if model is None:
+            extra = ckpt.peek_extra(path)
+            if "model_cfg" not in extra:
+                raise ValueError(
+                    f"{path} has no embedded model config; pass model=")
+            from vibo_tpu.models.vibo import VIBOConfig
+            model = VIBO(VIBOConfig(**json.loads(str(extra["model_cfg"]))))
         params = model.init_params(jax.random.key(0))
         if optimizer is None:
             optimizer = optax.chain(optax.clip_by_global_norm(10.0),

@@ -54,3 +54,11 @@ def load_checkpoint(path: str, state_template):
         step = int(data["_step"])
         extra = {k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")}
     return state, key, step, extra
+
+
+def peek_extra(path: str) -> dict:
+    """Read only the extra_* metadata (no pytree template needed) — e.g. the
+    embedded model config that makes checkpoints self-describing."""
+    with np.load(path) as data:
+        return {k[len("extra_"):]: data[k] for k in data.files
+                if k.startswith("extra_")}

@@ -63,6 +63,14 @@ class Trainer:
         self.optimizer = tx
         self._step_fn = None
 
+    def _cfg_json(self) -> str:
+        """Model config as JSON, embedded in checkpoints so they are
+        self-describing (serve.AbilityScorer.from_checkpoint needs no model
+        argument)."""
+        import dataclasses
+        import json
+        return json.dumps(dataclasses.asdict(self.model.cfg))
+
     # ------------------------------------------------------------- setup
 
     def init_state(self, key: jax.Array):
@@ -360,7 +368,8 @@ class Trainer:
                         ckpt.save_checkpoint(
                             os.path.join(cfg.out_dir, "best.npz"),
                             (params, opt_state), key, global_step,
-                            extra={"epoch": epoch, "heldout_acc": ev["acc"]})
+                            extra={"epoch": epoch, "heldout_acc": ev["acc"],
+                                   "model_cfg": self._cfg_json()})
 
         logger.close()
         return {"params": params, "opt_state": opt_state, "key": key,
@@ -448,7 +457,8 @@ class Trainer:
                             os.path.join(cfg.out_dir, "best.npz"),
                             (params, opt_state), key, epoch,
                             extra={"epoch": epoch - 1,
-                                   "heldout_acc": ev["acc"]})
+                                   "heldout_acc": ev["acc"],
+                                   "model_cfg": self._cfg_json()})
 
         logger.close()
         return {"params": params, "opt_state": opt_state, "key": key,
