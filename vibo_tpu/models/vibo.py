@@ -47,6 +47,8 @@ class VIBOConfig:
     use_pallas: bool = False            # fused masked-ELBO kernel (linear links)
     compute_dtype: str = "float32"      # "bfloat16" runs encoder matmuls on
                                         # the MXU natively (f32 accumulate)
+    deep_fused_kernel: bool = False     # opt-in fused Pallas deep kernel
+                                        # (see VIBO._use_packed_kernel)
     deep_item_chunk: int = 256          # deep link: stream item blocks of this
                                         # size (remat) instead of B x M x H
                                         # (0 disables; 256 + bf16 measured
@@ -232,6 +234,39 @@ class VIBO:
         log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
         return objectives.iwae_bound(log_w)
 
+    def _packed_train_loglik(self, params: dict, theta: jax.Array,
+                             item_sample: dict, packed: jax.Array) -> jax.Array:
+        """Per-person loglik via the one-pass fused training kernels (uniform
+        cotangent: callers .sum() it into the loss). Dispatches by link."""
+        cfg = self.cfg
+        from vibo_tpu.ops import pallas_elbo
+        if cfg.irt_model == "deep":
+            from vibo_tpu.ops import pallas_deep
+            return pallas_deep.masked_loglik_deep_packed_train(
+                theta, item_sample["d"], params["deep_link"], packed)
+        lp = self._link_params(item_sample)
+        a = lp.get("a")
+        if a is None:  # 1PL == 2PL with unit discriminations on summed theta
+            a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+        if cfg.irt_model == "3pl":
+            return pallas_elbo.masked_loglik_3pl_packed_train(
+                theta, a, lp["b"], lp["g_hat"], packed)
+        return pallas_elbo.masked_loglik_2pl_packed_train(theta, a, lp["b"],
+                                                          packed)
+
+    def _use_packed_kernel(self, params: dict) -> bool:
+        if not self.cfg.use_pallas:
+            return False
+        if self.cfg.irt_model == "deep":
+            # The fused deep kernel (ops/pallas_deep.py) is correct but the
+            # deep link is MXU-compute-bound and XLA's chunked bf16 path
+            # already runs near peak (5.7 vs 11.9 ms/step at 10k x 1k on
+            # v5e) — opt in explicitly via deep_fused_kernel.
+            from vibo_tpu.ops import pallas_deep
+            return (self.cfg.deep_fused_kernel
+                    and pallas_deep.supports(params["deep_link"]))
+        return self.cfg.irt_model in ("1pl", "2pl", "3pl")
+
     def elbo_packed(self, params: dict, key: jax.Array, packed: jax.Array,
                     item_scale: float | jax.Array = 1.0, num_samples: int = 1):
         """ELBO from the packed int8 response code (pack_responses).
@@ -247,8 +282,7 @@ class VIBO:
         pk = packed.astype(cd)
         mask = jnp.minimum(pk, 1.0)
         response = jnp.maximum(pk - 1.0, 0.0)
-        use_packed_kernel = cfg.use_pallas and cfg.irt_model in ("1pl", "2pl",
-                                                                 "3pl")
+        use_packed_kernel = self._use_packed_kernel(params)
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
@@ -256,19 +290,10 @@ class VIBO:
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
-                from vibo_tpu.ops import pallas_elbo
-                lp = self._link_params(item_sample)
-                a = lp.get("a")
-                if a is None:
-                    a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
-                if cfg.irt_model == "3pl":
-                    ll = pallas_elbo.masked_loglik_3pl_packed_train(
-                        theta, a, lp["b"], lp["g_hat"], packed)
-                else:
-                    # one-pass fused kernel: ll.sum() below => uniform
-                    # cotangent, the train variant's contract
-                    ll = pallas_elbo.masked_loglik_2pl_packed_train(
-                        theta, a, lp["b"], packed)
+                # one-pass fused kernel: ll.sum() below => uniform cotangent,
+                # the train variant's contract
+                ll = self._packed_train_loglik(params, theta, item_sample,
+                                               packed)
             else:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
@@ -318,8 +343,7 @@ class VIBO:
         pk = packed.astype(cd)
         mask = jnp.minimum(pk, 1.0)
         response = jnp.maximum(pk - 1.0, 0.0)
-        use_packed_kernel = cfg.use_pallas and cfg.irt_model in ("1pl", "2pl",
-                                                                 "3pl")
+        use_packed_kernel = self._use_packed_kernel(params)
         post = params["item_post"]
 
         def one_sample(i_eps, t_eps):
@@ -330,19 +354,8 @@ class VIBO:
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if use_packed_kernel:
-                from vibo_tpu.ops import pallas_elbo
-                lp = self._link_params(item_sample)
-                a = lp.get("a")
-                if a is None:
-                    a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
-                if cfg.irt_model == "3pl":
-                    ll = pallas_elbo.masked_loglik_3pl_packed_train(
-                        theta, a, lp["b"], lp["g_hat"], packed)
-                else:
-                    # one-pass fused kernel: ll.sum() below => uniform
-                    # cotangent, the train variant's contract
-                    ll = pallas_elbo.masked_loglik_2pl_packed_train(
-                        theta, a, lp["b"], packed)
+                ll = self._packed_train_loglik(params, theta, item_sample,
+                                               packed)
             else:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),

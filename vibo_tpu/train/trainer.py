@@ -272,8 +272,9 @@ class Trainer:
         full_batch = batch_size >= n
         use_packed = cfg.packed
         if use_packed is None:
-            use_packed = (full_batch
-                          and self.model.cfg.irt_model in ("1pl", "2pl", "3pl"))
+            use_packed = full_batch  # elbo_packed handles every link (the
+            # fused kernels for linear links + supported deep; XLA fallback
+            # otherwise), and int8 packing always cuts response HBM traffic
         if (self.mesh is not None
                 and dict(self.mesh.shape).get("items", 1) != 1):
             use_packed = False  # dp shard_map path needs a students-only mesh
