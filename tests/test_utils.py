@@ -56,3 +56,18 @@ def test_profiler_trace(tmp_path):
     import os
     found = any("plugins" in r or f for r, d, f in os.walk(tmp_path))
     assert found
+
+
+def test_procrustes_aligned_correlation():
+    """K>1 ability is identified only up to rotation: a randomly rotated
+    copy of the truth must correlate ~1.0 after Procrustes alignment."""
+    from vibo_tpu import evaluation
+    rng = np.random.default_rng(0)
+    truth = rng.standard_normal((500, 3))
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    rotated = truth @ q + 0.01 * rng.standard_normal((500, 3))
+    raw = evaluation.correlation(rotated, truth)["pearson"]
+    aligned = evaluation.correlation(rotated, truth,
+                                     align_rotation=True)["pearson"]
+    assert aligned > 0.999
+    assert aligned > raw

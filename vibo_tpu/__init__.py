@@ -28,3 +28,6 @@ __version__ = "0.1.0"
 
 from vibo_tpu.ops import links, distributions, likelihood, objectives  # noqa: F401
 from vibo_tpu.models import vibo  # noqa: F401
+
+# Serving (vibo_tpu.serve.AbilityScorer) is imported lazily by consumers —
+# it pulls in the trainer/checkpoint stack.

@@ -99,6 +99,8 @@ def cmd_train(args):
                "irt_model": args.irt_model,
                "final_elbo": res["final_elbo"],
                "train_seconds": round(res["train_seconds"], 3),
+               "warm_train_seconds": round(
+                   res.get("warm_train_seconds", res["train_seconds"]), 3),
                "cells_per_sec": round(res["cells_per_sec"], 1),
                "best": res["best"]}
     ev = evaluation.imputation_accuracy(model, res["params"], ds)
@@ -118,7 +120,8 @@ def cmd_train(args):
     if sim is not None and test_ds is None:  # person split reorders rows
         theta_hat, items = evaluation.infer_posterior_means(model, res["params"], ds)
         summary["theta_pearson"] = round(evaluation.correlation(
-            theta_hat[:sim.theta.shape[0]], sim.theta)["pearson"], 4)
+            theta_hat[:sim.theta.shape[0]], sim.theta,
+            align_rotation=True)["pearson"], 4)
         if "b" in items:
             summary["b_pearson"] = round(evaluation.correlation(
                 items["b"][:sim.b.shape[0], 0], sim.b)["pearson"], 4)
@@ -149,7 +152,8 @@ def cmd_baseline(args):
         summary["heldout_acc"] = impute_acc(np.asarray(mle.response_prob(params, cfg)))
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
-                np.asarray(params["theta"]), sim.theta)["pearson"], 4)
+                np.asarray(params["theta"]), sim.theta,
+                align_rotation=True)["pearson"], 4)
     elif args.method == "em":
         from vibo_tpu.models import em
         res = em.fit_em(ds.response, ds.train_mask,
@@ -174,7 +178,7 @@ def cmd_baseline(args):
         if sim is not None:
             theta_mean = out["samples"]["theta"].mean(0)
             summary["theta_pearson"] = round(evaluation.correlation(
-                theta_mean, sim.theta)["pearson"], 4)
+                theta_mean, sim.theta, align_rotation=True)["pearson"], 4)
     else:
         raise SystemExit(f"unknown method {args.method}")
     print(json.dumps(summary))

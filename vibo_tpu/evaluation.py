@@ -59,6 +59,13 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
     ones (conditioning the encoder on the train-visible responses either way,
     matching the imputation protocol).
     """
+    if model.cfg.use_pallas:
+        # Eval runs once per fit: the XLA loglik vmaps over S samples in one
+        # fast-compiling fused program, while vmapping the Pallas custom-VJP
+        # op S times costs minutes of Mosaic compile (esp. 3PL) for no
+        # runtime win here.
+        import dataclasses
+        model = VIBO(dataclasses.replace(model.cfg, use_pallas=False))
     n = ds.response.shape[0]
     total = 0.0
     cells = 0.0
@@ -124,17 +131,35 @@ def amortized_new_person_eval(model: VIBO, params, test_ds: Dataset,
     return out
 
 
+def procrustes_align(inferred: np.ndarray, truth: np.ndarray) -> np.ndarray:
+    """Rotate inferred (N, K) onto truth with the orthogonal Procrustes
+    solution W = UV^T, SVD(inferred^T truth) = U S V^T.
+
+    Multidimensional IRT latents are identified only up to an orthogonal
+    transform of (theta, a) jointly — raw per-dim correlations against
+    ground truth are meaningless for K > 1 without this (standard factor-
+    analysis practice; the reference's K>1 recovery eval needs the same)."""
+    inferred = np.asarray(inferred, np.float64)
+    truth = np.asarray(truth, np.float64)
+    u, _, vt = np.linalg.svd(inferred.T @ truth)
+    return inferred @ (u @ vt)
+
+
 def correlation(inferred: np.ndarray, truth: np.ndarray,
-                align_sign: bool = True) -> dict:
+                align_sign: bool = True, align_rotation: bool = False) -> dict:
     """Pearson/Spearman correlation per trailing dim, averaged.
 
     align_sign flips each inferred dim to positively correlate with truth —
     IRT latent dims are sign-invariant (theta, a) -> (-theta, -a).
+    align_rotation applies the orthogonal Procrustes alignment first
+    (subsumes sign flips; use for multidimensional ability recovery).
     """
     inferred = np.asarray(inferred, np.float64)
     truth = np.asarray(truth, np.float64)
     if inferred.ndim == 1:
         inferred, truth = inferred[:, None], truth[:, None]
+    if align_rotation and truth.shape[1] > 1:
+        inferred = procrustes_align(inferred, truth)
     pearsons, spearmans = [], []
     for d in range(truth.shape[1]):
         x, y = inferred[:, d], truth[:, d]

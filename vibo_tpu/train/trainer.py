@@ -360,7 +360,8 @@ class Trainer:
                 if truth is not None:
                     theta_hat, _ = evaluation.infer_posterior_means(self.model, params, ds)
                     rec["theta_pearson"] = evaluation.correlation(
-                        theta_hat[:truth.theta.shape[0]], truth.theta)["pearson"]
+                        theta_hat[:truth.theta.shape[0]], truth.theta,
+                        align_rotation=True)["pearson"]
                 logger.log(**rec)
                 history.append(rec)
                 if ev["acc"] > best["heldout_acc"]:
@@ -408,6 +409,7 @@ class Trainer:
         best = {"heldout_acc": -1.0, "epoch": -1}
         cells_meter = AverageMeter()
         t_train = 0.0
+        chunk_dts = []
         epoch = 0
         final_elbo = float("nan")
         while epoch < cfg.epochs:
@@ -418,6 +420,7 @@ class Trainer:
             elbos = np.asarray(auxs["elbo"])  # host fetch: completion barrier
             dt = time.perf_counter() - t0
             t_train += dt
+            chunk_dts.append(dt)
             cells_meter.update(n * m * n_run / dt)
             epoch += n_run
             final_elbo = float(elbos[-1])
@@ -448,7 +451,8 @@ class Trainer:
                     theta_hat, _ = evaluation.infer_posterior_means(
                         self.model, params, ds)
                     rec["theta_pearson"] = evaluation.correlation(
-                        theta_hat[:truth.theta.shape[0]], truth.theta)["pearson"]
+                        theta_hat[:truth.theta.shape[0]], truth.theta,
+                        align_rotation=True)["pearson"]
                 logger.log(**rec)
                 history.append(rec)
                 if ev["acc"] > best["heldout_acc"]:
@@ -462,8 +466,12 @@ class Trainer:
                                    "model_cfg": self._cfg_json()})
 
         logger.close()
+        # first chunk pays the XLA/remote compile; report warm time too
+        warm = (t_train - chunk_dts[0] + float(np.median(chunk_dts[1:]))
+                if len(chunk_dts) > 1 else t_train)
         return {"params": params, "opt_state": opt_state, "key": key,
                 "history": history, "best": best,
                 "final_elbo": final_elbo,
                 "train_seconds": t_train,
+                "warm_train_seconds": warm,
                 "cells_per_sec": cells_meter.avg}
