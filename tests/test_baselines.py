@@ -135,3 +135,11 @@ def test_method_agreement(synth_2pl):
     c = evaluation.correlation(res_em["theta_eap"],
                                np.asarray(params["theta"])[:, 0])
     assert c["pearson"] > 0.9
+
+
+def test_em_rejects_3pl():
+    import pytest
+    from vibo_tpu.models import em
+    with pytest.raises(ValueError, match="1pl"):
+        em.fit_em(np.zeros((4, 4), np.float32), np.ones((4, 4), np.float32),
+                  em.EMConfig(irt_model="3pl"))

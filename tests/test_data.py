@@ -102,3 +102,43 @@ def test_load_dataset_from_csv(tmp_path):
     ds = load_dataset("pisa", data_dir=str(tmp_path), seed=0)
     assert ds.name == "pisa"
     assert ds.response.shape == (20, 10)
+
+
+def test_surrogate_deterministic_across_hash_seeds():
+    """Surrogate datasets must be byte-identical regardless of Python's
+    per-process hash salt (reproducible benchmarks/checkpoints)."""
+    import subprocess
+    import sys
+    code = ("import sys; sys.path.insert(0, '/root/repo');"
+            "from vibo_tpu.data.loaders import _surrogate;"
+            "import numpy as np, zlib;"
+            "r, m = _surrogate('pisa', 0);"
+            "print(zlib.crc32(r.tobytes()), zlib.crc32(m.tobytes()))")
+    outs = []
+    for salt in ("1", "2"):
+        env = {"PYTHONHASHSEED": salt, "PATH": "/usr/bin:/bin:/usr/local/bin",
+               "JAX_PLATFORMS": "cpu"}
+        outs.append(subprocess.run([sys.executable, "-c", code], env=env,
+                                   capture_output=True, text=True).stdout)
+    assert outs[0] == outs[1] and outs[0].strip()
+
+
+def test_load_dataset_forwards_min_filters(tmp_path):
+    """min_per_person/min_per_item must actually filter the parsed matrix."""
+    import csv as _csv
+    path = tmp_path / "pisa.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["student_id", "item_id", "correct"])
+        w.writeheader()
+        # 10 students x 6 items, fully crossed
+        for s in range(10):
+            for i in range(6):
+                w.writerow({"student_id": f"s{s}", "item_id": f"i{i}",
+                            "correct": (s + i) % 2})
+    ds_loose = load_dataset("pisa", data_dir=str(tmp_path), holdout_frac=0.0,
+                            min_per_person=5, min_per_item=5)
+    assert ds_loose.shape == (10, 6)
+    ds_strict = load_dataset("pisa", data_dir=str(tmp_path), holdout_frac=0.0,
+                             min_per_person=7, min_per_item=5)
+    # every person has only 6 responses -> all filtered
+    assert ds_strict.shape[0] == 0 or ds_strict.shape[0] < 10

@@ -169,3 +169,28 @@ def test_elbo_packed_matches_dense():
                       hidden_dim=32, use_pallas=True)
     b3, _ = VIBO(cfgp).elbo_packed(params, key, pack_responses(resp, mask), 0.5, 2)
     np.testing.assert_allclose(float(b3), float(b1), rtol=1e-5)
+
+
+def test_elbo_invariant_to_padding_rows():
+    """Zero-mask padded person rows must leave the ELBO exactly unchanged
+    (loglik masked to 0 AND their KL(theta) excluded)."""
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K, hidden_dim=32)
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b1, _ = model.elbo(params, key, resp, mask, 1.0, 1)
+    pad = 7
+    resp_p = jnp.pad(resp, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
+    b2, _ = model.elbo(params, key, resp_p, mask_p, 1.0, 1)
+    # key split order differs only in theta noise for padded rows, which is
+    # multiplied out; mu/logvar of padded rows exist but their KL is zeroed
+    np.testing.assert_allclose(float(b2), float(b1), rtol=1e-6)
+
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    pk1 = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+    pk2 = jnp.asarray(pack_responses(np.asarray(resp_p), np.asarray(mask_p)))
+    b3, _ = model.elbo_packed(params, key, pk1, 1.0, 1)
+    b4, _ = model.elbo_packed(params, key, pk2, 1.0, 1)
+    np.testing.assert_allclose(float(b4), float(b3), rtol=1e-6)

@@ -98,3 +98,28 @@ def test_fused_fit_packed_auto_and_remainder():
     assert np.isfinite(res["final_elbo"])
     evals = [h for h in res["history"] if h["event"] == "eval"]
     assert [e["epoch"] for e in evals] == [19, 39, 46]
+
+
+def test_packed_requires_full_batch():
+    sim = simulate_irt("2pl", 64, 16, ability_dim=1, seed=0)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=16, irt_model="2pl", hidden_dim=16))
+    with pytest.raises(ValueError, match="full-batch"):
+        Trainer(model, TrainConfig(batch_size=16, packed=True)).fit(ds)
+
+
+def test_iwae_loglik_block_size_consistent():
+    """The shared item terms must be counted once regardless of blocking."""
+    import jax
+    from vibo_tpu import evaluation
+    sim = simulate_irt("2pl", 256, 32, ability_dim=1, seed=1)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=1)
+    model = VIBO(VIBOConfig(num_items=32, irt_model="2pl", hidden_dim=32))
+    params = model.init_params(jax.random.key(0))
+    one = evaluation.iwae_loglik(model, params, jax.random.key(5), ds,
+                                 num_samples=200, block_size=256)
+    four = evaluation.iwae_loglik(model, params, jax.random.key(5), ds,
+                                  num_samples=200, block_size=64)
+    # different block keys -> MC noise only; the old bug added the full item
+    # ratio (~hundreds of nats) once per extra block
+    assert abs(one["loglik"] - four["loglik"]) < 0.02 * abs(one["loglik"])

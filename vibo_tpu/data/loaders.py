@@ -89,7 +89,8 @@ def _read_csv(path):
         yield from csv.DictReader(f)
 
 
-def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None):
+def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
+                      min_per_person: int = 5, min_per_item: int = 5):
     if binarize is None:
         # hot path: the native C++ parser (semantics identical to
         # long_to_matrix; ~100x faster at DuoLingo scale). Falls back to
@@ -97,18 +98,24 @@ def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None):
         from vibo_tpu.data import native
         if native.available():
             resp, mask, _, _ = native.parse_long_csv(
-                path, person_col, item_col, correct_col)
+                path, person_col, item_col, correct_col,
+                min_per_person=min_per_person, min_per_item=min_per_item)
             return resp, mask
     rows = []
     for row in _read_csv(path):
         c = binarize(row) if binarize else float(row[correct_col])
         rows.append((row[person_col], row[item_col], c))
-    return long_to_matrix(rows)
+    return long_to_matrix(rows, min_per_person=min_per_person,
+                          min_per_item=min_per_item)
 
 
 def _surrogate(name: str, seed: int) -> tuple[np.ndarray, np.ndarray]:
     n, m, density = _SURROGATE_SCALES[name]
-    sim = simulate_irt("2pl", n, m, ability_dim=1, seed=seed + hash(name) % 9973,
+    import zlib
+    # stable digest, NOT Python's salted hash(): surrogate datasets must be
+    # byte-identical across processes for reproducible benchmarks/checkpoints
+    sim = simulate_irt("2pl", n, m, ability_dim=1,
+                       seed=seed + zlib.crc32(name.encode()) % 9973,
                        missing_rate=1.0 - density)
     return sim.response, sim.mask
 
@@ -134,23 +141,24 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
         resp, mask = _surrogate(name, seed)
         tag = f"{name}-surrogate"
     else:
+        kw = dict(min_per_person=min_per_person, min_per_item=min_per_item)
         if name in _COLUMN_MAPS:
             pcol, icol, ccol = _COLUMN_MAPS[name]
-            resp, mask = _load_generic_csv(path, pcol, icol, ccol)
+            resp, mask = _load_generic_csv(path, pcol, icol, ccol, **kw)
         elif name == "duolingo":
             resp, mask = _load_generic_csv(
                 path, "user_id", "lexeme_id", "session_correct",
                 binarize=lambda r: 1.0 if float(r["session_correct"]) >=
-                float(r.get("session_seen", 1)) else 0.0)
+                float(r.get("session_seen", 1)) else 0.0, **kw)
         elif name == "wordbank":
             resp, mask = _load_generic_csv(
                 path, "child_id", "item_definition", "value",
-                binarize=lambda r: 1.0 if r["value"].strip().lower() == "produces" else 0.0)
+                binarize=lambda r: 1.0 if r["value"].strip().lower() == "produces" else 0.0,
+                **kw)
         elif name == "gradescope":
             resp, mask = _load_generic_csv(
                 path, "student_id", "question_id", "score",
-                binarize=lambda r: 1.0 if float(r["score"]) >= float(r["max_score"]) else 0.0)
+                binarize=lambda r: 1.0 if float(r["score"]) >= float(r["max_score"]) else 0.0,
+                **kw)
         tag = name
-    if path is not None and min_per_person:  # filtering already applied in long_to_matrix
-        pass
     return holdout_split(resp, mask, holdout_frac=holdout_frac, seed=seed, name=tag)

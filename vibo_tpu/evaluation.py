@@ -71,8 +71,11 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
     cells = 0.0
 
     @jax.jit
-    def block_bound(params, key, resp, tmask, emask):
+    def block_bound(params, key, resp, tmask, emask, item_scale):
         # Encoder conditions on train-visible data; likelihood on emask cells.
+        # Shared item prior/posterior terms enter scaled by block/N so the
+        # sum over blocks counts them exactly once (the ELBO's item-KL
+        # minibatch convention, SURVEY.md section 3.4).
         def one_sample(k):
             from vibo_tpu.ops import distributions as dist
             from vibo_tpu.ops import objectives
@@ -84,7 +87,8 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
             lp = dist.standard_normal_log_prob(theta).sum()
             lq = dist.gaussian_log_prob(theta, mu, logvar).sum()
             ratio = model.item_log_ratio(params, item_sample)
-            return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0, 1.0)
+            return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
+                                                     item_scale)
         from vibo_tpu.ops import objectives
         log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
         return objectives.iwae_bound(log_w)
@@ -94,7 +98,8 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
         tmask = jnp.asarray(ds.train_mask[s:e])
         emask = tmask if on == "train" else jnp.asarray(ds.heldout_mask[s:e])
         key, sub = jax.random.split(key)
-        total += float(block_bound(params, sub, resp, tmask, emask))
+        total += float(block_bound(params, sub, resp, tmask, emask,
+                                   (e - s) / n))
         cells += float(np.asarray(emask).sum())
     return {"loglik": total, "loglik_per_cell": total / max(cells, 1.0),
             "num_cells": int(cells), "num_samples": num_samples}

@@ -103,6 +103,11 @@ def m_step(resp, mask, post, nodes, a, b, newton_steps, estimate_a):
 def fit_em(resp, mask, cfg: EMConfig):
     """Run EM to convergence. Returns dict with a, b, theta_eap, log_marginal,
     iterations."""
+    if cfg.irt_model not in ("1pl", "2pl"):
+        raise ValueError(
+            "EM baseline supports irt_model in {'1pl', '2pl'} — classical\n"
+            "MML guess-parameter estimation is unstable (SURVEY.md section 8)\n"
+            "and the paper's EM comparisons are 1PL/2PL")
     resp = jnp.asarray(resp, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
     m = resp.shape[1]

@@ -176,8 +176,10 @@ class VIBO:
         """p(r_ij = 1) matrix (B, M) — used for imputation."""
         cfg = self.cfg
         if cfg.irt_model == "deep":
-            return jax.nn.sigmoid(
-                networks.apply_deep_link(params["deep_link"], theta, item_sample["d"]))
+            return jax.nn.sigmoid(networks.apply_deep_link(
+                params["deep_link"], theta, item_sample["d"],
+                item_chunk=cfg.deep_item_chunk,
+                compute_dtype=jnp.dtype(cfg.compute_dtype)))
         return links.response_prob(cfg.irt_model, theta, self._link_params(item_sample))
 
     # --------------------------------------------------------------- ELBO
@@ -196,7 +198,12 @@ class VIBO:
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response, mask)
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1)
+            # all-missing rows (zero-padded batches, pad_to_multiple) are
+            # inert: their loglik is 0 by masking and their KL is excluded,
+            # so objectives are EXACTLY invariant to padding (tested) and
+            # match the shard_map dp path's row_weight convention.
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
             return ll.sum(), kl_theta.sum()
 
         lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
@@ -225,8 +232,10 @@ class VIBO:
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response,
                                         mask).sum()
-            lp_theta = dist.standard_normal_log_prob(theta).sum()
-            lq_theta = dist.gaussian_log_prob(theta, mu, logvar).sum()
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            lp_theta = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq_theta = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+                        * valid).sum()
             item_ratio = self.item_log_ratio(params, item_sample)
             return objectives.importance_log_weights(
                 ll, lp_theta, lq_theta, item_ratio, 0.0, item_scale)
@@ -298,7 +307,8 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1)
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
             return ll.sum(), kl_theta.sum()
 
         lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
@@ -360,7 +370,8 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1)
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
             if row_weight is not None:
                 kl_theta = kl_theta * row_weight
             return ll.sum(), kl_theta.sum()
@@ -386,8 +397,9 @@ class VIBO:
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response,
                                         mask)                      # (B,)
-            lp = dist.standard_normal_log_prob(theta).sum(-1)      # (B,)
-            lq = dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            lp = dist.standard_normal_log_prob(theta).sum(-1) * valid  # (B,)
+            lq = dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid
             item_ratio = self.item_log_ratio(params, item_sample) / n_total
             return ll + lp - lq + item_ratio
 

@@ -270,14 +270,22 @@ class Trainer:
             os.path.join(cfg.out_dir, "metrics.jsonl") if cfg.out_dir else None)
 
         full_batch = batch_size >= n
+        items_mesh = (self.mesh is not None
+                      and dict(self.mesh.shape).get("items", 1) != 1)
         use_packed = cfg.packed
         if use_packed is None:
-            use_packed = full_batch  # elbo_packed handles every link (the
-            # fused kernels for linear links + supported deep; XLA fallback
-            # otherwise), and int8 packing always cuts response HBM traffic
-        if (self.mesh is not None
-                and dict(self.mesh.shape).get("items", 1) != 1):
-            use_packed = False  # dp shard_map path needs a students-only mesh
+            # auto: elbo_packed handles every link (fused kernels for linear
+            # links + supported deep; XLA fallback otherwise), and int8
+            # packing always cuts response HBM traffic
+            use_packed = full_batch and not items_mesh
+        elif use_packed and not full_batch:
+            raise ValueError(
+                "packed=True requires full-batch training (batch_size=None); "
+                "the minibatch path trains on unpacked resp/mask")
+        elif use_packed and items_mesh:
+            raise ValueError(
+                "packed=True requires a students-only mesh — the shard_map "
+                "data-parallel step does not shard the item axis")
         dp = full_batch and use_packed and self.mesh is not None
         if full_batch:
             if dp:
@@ -331,7 +339,7 @@ class Trainer:
                     params, opt_state, aux = step_fn(params, opt_state, k, resp, mask)
                     steps += 1
                     global_step += 1
-                elbo_meter.update(float(aux["elbo"]))
+                    elbo_meter.update(float(aux["elbo"]))
             elbo_val = float(aux["elbo"])  # host fetch: completion barrier
             if cfg.check_finite and not np.isfinite(elbo_val):
                 raise FloatingPointError(
@@ -341,7 +349,10 @@ class Trainer:
                     f"kl_items={float(aux['kl_items'])} — check lr/grad-clip")
             dt = time.perf_counter() - t0
             t_train += dt
-            cells_meter.update(batch_size * m * steps / dt)
+            # count true response cells (the last batch's zero-mask padding
+            # rows are not work the [B] metric should credit)
+            cells_meter.update(n * m / dt if not full_batch
+                               else batch_size * m * steps / dt)
 
             if (epoch + 1) % cfg.log_every == 0 or epoch == cfg.epochs - 1:
                 rec = {"event": "train", "epoch": epoch, "step": global_step,
