@@ -162,22 +162,33 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
             "step_size": step_size}
 
 
-def posterior_mean_prob(samples: dict, irt_model: str) -> np.ndarray:
+def posterior_mean_prob(samples: dict, irt_model: str,
+                        sample_chunk: int = 8) -> np.ndarray:
     """Posterior-predictive response probabilities E_s[link(theta_s, d_s)],
-    averaged over HMC samples — used for imputation accuracy."""
-    thetas = jnp.asarray(samples["theta"])            # (S, N, K)
-    bs = jnp.asarray(samples["b"])                    # (S, M)
+    averaged over HMC samples — used for imputation accuracy.
+
+    Samples stream through in chunks: the full (S, N, M) probability tensor
+    is 12+ GB at the 10k x 1k benchmark scale and must never materialize."""
+    n_samples = samples["theta"].shape[0]
 
     if irt_model == "1pl":
-        f = jax.vmap(lambda t, b: jax.nn.sigmoid(links.logits_1pl(t, b)))
-        probs = f(thetas, bs)
+        chunk_sum = jax.jit(lambda t, b: jax.vmap(
+            lambda ti, bi: jax.nn.sigmoid(links.logits_1pl(ti, bi))
+        )(t, b).sum(0))
+        args = ("theta", "b")
     elif irt_model == "2pl":
-        a_s = jnp.asarray(samples["a"])
-        f = jax.vmap(lambda t, a, b: jax.nn.sigmoid(links.logits_2pl(t, a, b)))
-        probs = f(thetas, a_s, bs)
+        chunk_sum = jax.jit(lambda t, a, b: jax.vmap(
+            lambda ti, ai, bi: jax.nn.sigmoid(links.logits_2pl(ti, ai, bi))
+        )(t, a, b).sum(0))
+        args = ("theta", "a", "b")
     else:
-        a_s = jnp.asarray(samples["a"])
-        g_s = jnp.asarray(samples["g_hat"])
-        f = jax.vmap(links.prob_3pl)
-        probs = f(thetas, a_s, bs, g_s)
-    return np.asarray(probs.mean(0))
+        chunk_sum = jax.jit(lambda t, a, b, g: jax.vmap(links.prob_3pl)(
+            t, a, b, g).sum(0))
+        args = ("theta", "a", "b", "g_hat")
+
+    total = None
+    for s in range(0, n_samples, sample_chunk):
+        chunk = [jnp.asarray(samples[k][s:s + sample_chunk]) for k in args]
+        part = np.asarray(chunk_sum(*chunk), np.float64)
+        total = part if total is None else total + part
+    return (total / n_samples).astype(np.float32)

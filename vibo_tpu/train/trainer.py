@@ -393,16 +393,15 @@ class Trainer:
 
     def _fit_fused(self, ds, truth, key, params, opt_state, data, item_scale,
                    use_packed, dp, logger):
-        """Full-batch fit with epochs fused into lax.scan chunks: the chunk
-        length is gcd(log_every, eval_every) so every log/eval boundary lands
-        on a chunk end, and a single host fetch per chunk is the only
-        dispatch. PRNG-equivalent to the per-epoch path (same split order)."""
-        import math
-
+        """Full-batch fit with epochs fused into lax.scan chunks of
+        eval_every steps (eval is the only boundary that needs params on the
+        host): ONE dispatch + scalar fetch per eval interval; intermediate
+        log_every records are emitted afterwards from the scan's stacked
+        per-epoch aux. PRNG-equivalent to the per-epoch path (same split
+        order)."""
         cfg = self.cfg
         n, m = ds.response.shape
-        chunk = max(1, math.gcd(cfg.log_every, cfg.eval_every))
-        chunk = min(chunk, cfg.epochs)
+        chunk = max(1, min(cfg.eval_every, cfg.epochs))
         scan_fns = {}
 
         def get_scan(length):
@@ -445,15 +444,18 @@ class Trainer:
                     "lr/grad-clip")
 
             last = epoch == cfg.epochs
-            if epoch % cfg.log_every == 0 or last:
-                rec = {"event": "train", "epoch": epoch - 1, "step": epoch,
-                       "elbo": final_elbo,
-                       "loglik": float(auxs["loglik"][-1]),
-                       "kl_theta": float(auxs["kl_theta"][-1]),
-                       "kl_items": float(auxs["kl_items"][-1]),
-                       "cells_per_sec": cells_meter.avg}
-                logger.log(**rec)
-                history.append(rec)
+            start = epoch - n_run
+            for off in range(n_run):
+                e = start + off
+                if (e + 1) % cfg.log_every == 0 or (last and off == n_run - 1):
+                    rec = {"event": "train", "epoch": e, "step": e + 1,
+                           "elbo": float(elbos[off]),
+                           "loglik": float(auxs["loglik"][off]),
+                           "kl_theta": float(auxs["kl_theta"][off]),
+                           "kl_items": float(auxs["kl_items"][off]),
+                           "cells_per_sec": cells_meter.avg}
+                    logger.log(**rec)
+                    history.append(rec)
             if (epoch % cfg.eval_every == 0 or last) \
                     and ds.heldout_mask.sum() > 0:
                 ev = evaluation.imputation_accuracy(self.model, params, ds)
