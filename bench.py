@@ -51,38 +51,17 @@ def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas,
 def make_scan_steps(trainer, n_steps, packed=False):
     """n_steps full train steps inside one jit; returns final elbo scalar.
 
-    packed=True consumes the int8 response code (model.elbo_packed) -- the
-    perf pipeline: one int8 matrix is the only response-sized HBM read.
+    Thin wrapper over Trainer.make_scan (donation off: the bench re-invokes
+    with the same params). packed=True consumes the int8 response code —
+    the perf pipeline: one int8 matrix is the only response-sized HBM read.
     """
-    import jax
-    import optax
+    run = trainer.make_scan(1.0, 1, n_steps, packed=packed, donate=False)
 
-    model, optimizer = trainer.model, trainer.optimizer
+    def wrapped(params, opt_state, key, *data):
+        params, opt_state, _, auxs = run(params, opt_state, key, *data)
+        return params, opt_state, auxs["elbo"][-1]
 
-    def raw_step(params, opt_state, key, *data):
-        def loss_fn(p):
-            if packed:
-                bound, aux = model.elbo_packed(p, key, data[0], 1.0, 1)
-            else:
-                bound, aux = model.elbo(p, key, data[0], data[1], 1.0, 1)
-            return -bound, aux
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, aux
-
-    @jax.jit
-    def run(params, opt_state, key, *data):
-        def body(carry, _):
-            params, opt_state, key = carry
-            key, sub = jax.random.split(key)
-            params, opt_state, aux = raw_step(params, opt_state, sub, *data)
-            return (params, opt_state, key), aux["elbo"]
-        (params, opt_state, key), elbos = jax.lax.scan(
-            body, (params, opt_state, key), None, length=n_steps)
-        return params, opt_state, elbos[-1]
-
-    return run
+    return wrapped
 
 
 def measure_throughput(trainer, params, opt_state, data, packed,

@@ -210,7 +210,7 @@ class Trainer:
                        in_shardings=(None, None, None) + self._dp_in_shardings())
 
     def make_scan(self, item_scale: float, num_samples: int, length: int,
-                  packed: bool = False):
+                  packed: bool = False, donate: bool = True):
         """`length` full-batch train steps fused in one jit via lax.scan —
         the host never sits in the dispatch path between eval points.
         Returns (params, opt_state, key, aux_stack) with per-step aux."""
@@ -240,11 +240,12 @@ class Trainer:
                 body, (params, opt_state, key), None, length=length)
             return params, opt_state, key, auxs
 
+        dn = (0, 1) if donate else ()
         if self.mesh is None:
-            return jax.jit(run, donate_argnums=(0, 1))
+            return jax.jit(run, donate_argnums=dn)
         batch_sh = meshlib.batch_sharding(self.mesh)
         data_sh = (batch_sh,) if packed else (batch_sh, batch_sh)
-        return jax.jit(run, donate_argnums=(0, 1),
+        return jax.jit(run, donate_argnums=dn,
                        in_shardings=(None, None, None) + data_sh)
 
     # --------------------------------------------------------------- fit
