@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Reproduce RESULTS.md: every BASELINE.md config as one CLI command.
+# Runs on the default backend (TPU if available); cfg 1 forces CPU per spec.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "### cfg1: synthetic 1PL 1k x 100, CPU"
+python -m vibo_tpu.cli train synthetic-1pl --irt-model 1pl \
+    --num-persons 1000 --num-items 100 --epochs 200 --eval-every 100 --cpu
+
+echo "### cfg2: synthetic 2PL/3PL K=2, MAR 0.2, IWAE-100"
+python -m vibo_tpu.cli train synthetic-2pl --num-persons 2000 --num-items 200 \
+    --ability-dim 2 --missing-rate 0.2 --epochs 300 --eval-every 100 \
+    --iwae-samples 100
+python -m vibo_tpu.cli train synthetic-3pl --irt-model 3pl --num-persons 2000 \
+    --num-items 200 --ability-dim 2 --missing-rate 0.2 --epochs 300 \
+    --eval-every 100 --iwae-samples 100
+
+echo "### cfg3: PISA 2PL held-out imputation"
+python -m vibo_tpu.cli train pisa --irt-model 2pl --ability-dim 2 \
+    --epochs 300 --eval-every 100
+
+echo "### cfg4: WordBank + DuoLingo scale, amortized new persons"
+python -m vibo_tpu.cli train wordbank --irt-model 2pl --ability-dim 2 \
+    --epochs 300 --eval-every 100
+python -m vibo_tpu.cli train duolingo --irt-model 2pl --ability-dim 4 \
+    --epochs 100 --eval-every 50 --eval-new-persons 0.1
+
+echo "### cfg5: deep link + parity sweep"
+python -m vibo_tpu.cli train wordbank --irt-model deep --epochs 200 \
+    --eval-every 100
+python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --epochs 1500 --hidden-dim 512 --steps 800 \
+    --hmc-warmup 300 --hmc-samples 300
+
+echo "### throughput north star"
+python bench.py
