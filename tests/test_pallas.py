@@ -331,3 +331,41 @@ def test_3pl_train_variant_matches_general(rng):
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=3e-5, atol=3e-4)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44])
+def test_random_shapes_all_kernels(seed):
+    """Property test: random (B, M, K) incl. non-tile-aligned raggedness —
+    every fused kernel (2PL/3PL x dense/packed/train) matches the pure-JAX
+    reference in value and sum-loss gradients."""
+    from vibo_tpu.ops import pallas_elbo as pe
+    rng = np.random.default_rng(seed)
+    bsz = int(rng.integers(3, 500))
+    m_items = int(rng.integers(2, 700))
+    k = int(rng.integers(1, 9))
+    theta, a, b, resp, mask = _inputs(rng, bsz, m_items, k)
+    g_hat = jnp.asarray((rng.standard_normal(m_items) - 1.5).astype(np.float32))
+    packed = jnp.asarray(pe.pack_responses(np.asarray(resp), np.asarray(mask)))
+
+    want2 = _ref(theta, a, b, resp, mask)
+    want3 = _ref_3pl(theta, a, b, g_hat, resp, mask)
+    for got, want in [
+        (pe.masked_loglik_2pl(theta, a, b, resp, mask, interpret=True), want2),
+        (pe.masked_loglik_2pl_packed(theta, a, b, packed, interpret=True), want2),
+        (pe.masked_loglik_2pl_packed_train(theta, a, b, packed,
+                                           interpret=True), want2),
+        (pe.masked_loglik_3pl(theta, a, b, g_hat, resp, mask,
+                              interpret=True), want3),
+        (pe.masked_loglik_3pl_packed(theta, a, b, g_hat, packed,
+                                     interpret=True), want3),
+        (pe.masked_loglik_3pl_packed_train(theta, a, b, g_hat, packed,
+                                           interpret=True), want3),
+    ]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-4)
+
+    g_ref = jax.grad(lambda t: _ref(t, a, b, resp, mask).sum())(theta)
+    g_train = jax.grad(lambda t: pe.masked_loglik_2pl_packed_train(
+        t, a, b, packed, interpret=True).sum())(theta)
+    np.testing.assert_allclose(np.asarray(g_train), np.asarray(g_ref),
+                               rtol=3e-5, atol=3e-4)
