@@ -123,3 +123,37 @@ def test_iwae_loglik_block_size_consistent():
     # different block keys -> MC noise only; the old bug added the full item
     # ratio (~hundreds of nats) once per extra block
     assert abs(one["loglik"] - four["loglik"]) < 0.02 * abs(one["loglik"])
+
+
+def test_iwae_training_objective():
+    """objective='iwae' trains: bound improves, imputation beats base rate,
+    and the packed fused-kernel path matches the dense path's semantics."""
+    import jax
+    sim = simulate_irt("2pl", 300, 48, ability_dim=1, seed=2)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=2)
+    model = VIBO(VIBOConfig(num_items=48, irt_model="2pl", hidden_dim=32))
+    cfg = TrainConfig(lr=8e-3, epochs=120, eval_every=60, log_every=60,
+                      objective="iwae", num_mc_samples=5)
+    res = Trainer(model, cfg).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+    first = [h for h in res["history"] if h["event"] == "train"][0]["elbo"]
+    assert res["final_elbo"] > first
+    ev = [h for h in res["history"] if h["event"] == "eval"][-1]
+    assert ev["acc"] > ev["base_rate"]
+
+    # packed iwae == dense iwae on the same params/key
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    import jax.numpy as jnp
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    b1 = model.iwae(res["params"], jax.random.key(9),
+                    jnp.asarray(ds.response), jnp.asarray(ds.train_mask),
+                    num_samples=7, item_scale=1.0)
+    b2 = model.iwae_packed(res["params"], jax.random.key(9), packed,
+                           item_scale=1.0, num_samples=7)
+    np.testing.assert_allclose(float(b2), float(b1), rtol=1e-5)
+
+
+def test_bad_objective_rejected():
+    model = VIBO(VIBOConfig(num_items=8, hidden_dim=16))
+    with pytest.raises(ValueError, match="objective"):
+        Trainer(model, TrainConfig(objective="elbow"))

@@ -92,7 +92,8 @@ def cmd_train(args):
     trainer = Trainer(model, TrainConfig(
         lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         num_mc_samples=args.num_posterior_samples, seed=args.seed,
-        eval_every=args.eval_every, out_dir=args.out_dir), mesh=mesh)
+        eval_every=args.eval_every, out_dir=args.out_dir,
+        objective=getattr(args, "objective", "elbo")), mesh=mesh)
     res = trainer.fit(ds, truth=sim if test_ds is None else None)
 
     summary = {"dataset": ds.name, "shape": list(ds.shape),
@@ -244,7 +245,10 @@ def main(argv=None):
     t.add_argument("--epochs", type=int, default=200)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--num-posterior-samples", type=int, default=1,
-                   help="MC samples for the training ELBO")
+                   help="MC samples for the training objective")
+    t.add_argument("--objective", default="elbo", choices=["elbo", "iwae"],
+                   help="training bound: ELBO or the multi-sample IWAE "
+                        "(arXiv:2108.11579)")
     t.add_argument("--iwae-samples", type=int, default=0,
                    help="if >0, evaluate the IWAE-S test log-lik")
     t.add_argument("--eval-every", type=int, default=50)

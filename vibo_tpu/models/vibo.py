@@ -319,6 +319,47 @@ class VIBO:
         return bound, {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
                        "kl_items": kl_items}
 
+    def iwae_packed(self, params: dict, key: jax.Array, packed: jax.Array,
+                    item_scale: float | jax.Array = 1.0,
+                    num_samples: int = 10) -> jax.Array:
+        """IWAE-S joint bound from the packed int8 response code (scalar).
+
+        Training-objective counterpart of elbo_packed (arXiv:2108.11579
+        trains with multi-sample bounds). The one-pass fused kernels remain
+        valid: the gradient of logsumexp gives every person within sample s
+        the SAME weight w_s, so each per-sample kernel call sees a uniform
+        cotangent (the train kernels' contract)."""
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        pk = packed.astype(cd)
+        mask = jnp.minimum(pk, 1.0)
+        response = jnp.maximum(pk - 1.0, 0.0)
+        use_packed_kernel = self._use_packed_kernel(params)
+
+        def one_sample(k):
+            k_item, k_theta = jax.random.split(k)
+            item_sample = self.sample_items(params, k_item)
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            if use_packed_kernel:
+                ll = self._packed_train_loglik(params, theta, item_sample,
+                                               packed).sum()
+            else:
+                ll = self.loglik_per_person(
+                    params, theta, item_sample,
+                    response.astype(jnp.float32),
+                    mask.astype(jnp.float32)).sum()
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+                  * valid).sum()
+            ratio = self.item_log_ratio(params, item_sample)
+            return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
+                                                     item_scale)
+
+        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        return objectives.iwae_bound(log_w)
+
     def sample_noise(self, params: dict, key: jax.Array, batch: int,
                      num_samples: int):
         """Exogenous reparameterization noise for elbo_packed_sums:

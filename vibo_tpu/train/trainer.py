@@ -50,6 +50,9 @@ class TrainConfig:
     fuse_epochs: bool = True           # full-batch: lax.scan epoch chunks
                                        # inside one jit (host leaves the
                                        # dispatch path between eval points)
+    objective: str = "elbo"            # "elbo" | "iwae" (multi-sample
+                                       # training bound, arXiv:2108.11579;
+                                       # num_mc_samples is S)
 
 
 class Trainer:
@@ -62,6 +65,8 @@ class Trainer:
             tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
         self.optimizer = tx
         self._step_fn = None
+        if cfg.objective not in ("elbo", "iwae"):
+            raise ValueError(f"objective must be elbo|iwae, got {cfg.objective!r}")
 
     def _cfg_json(self) -> str:
         """Model config as JSON, embedded in checkpoints so they are
@@ -81,13 +86,37 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
+    def _loss_and_aux(self, p, key, item_scale, num_samples, data, packed):
+        """(neg objective, aux) for either training bound; data is (packed,)
+        or (resp, mask)."""
+        model = self.model
+        if self.cfg.objective == "iwae":
+            if packed:
+                bound = model.iwae_packed(p, key, data[0], item_scale,
+                                          num_samples)
+            else:
+                bound = model.iwae(p, key, data[0], data[1], num_samples,
+                                   item_scale)
+            zero = jnp.zeros((), jnp.float32)
+            # the IWAE bound subsumes the KL decomposition; log it as 'elbo'
+            # (the monitored bound) with zeroed component fields
+            return -bound, {"elbo": bound, "loglik": bound,
+                            "kl_theta": zero, "kl_items": zero}
+        if packed:
+            bound, aux = model.elbo_packed(p, key, data[0], item_scale,
+                                           num_samples)
+        else:
+            bound, aux = model.elbo(p, key, data[0], data[1], item_scale,
+                                    num_samples)
+        return -bound, aux
+
     def make_step(self, item_scale: float, num_samples: int):
         model, optimizer = self.model, self.optimizer
 
         def step(params, opt_state, key, resp, mask):
             def loss_fn(p):
-                bound, aux = model.elbo(p, key, resp, mask, item_scale, num_samples)
-                return -bound, aux
+                return self._loss_and_aux(p, key, item_scale, num_samples,
+                                          (resp, mask), packed=False)
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -107,9 +136,8 @@ class Trainer:
 
         def step(params, opt_state, key, packed):
             def loss_fn(p):
-                bound, aux = model.elbo_packed(p, key, packed, item_scale,
-                                               num_samples)
-                return -bound, aux
+                return self._loss_and_aux(p, key, item_scale, num_samples,
+                                          (packed,), packed=True)
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -141,6 +169,10 @@ class Trainer:
         if mesh is None or dict(mesh.shape).get("items", 1) != 1:
             raise ValueError("data-parallel step needs a students-only mesh")
         n_shards = dict(mesh.shape)["students"]
+        if self.cfg.objective != "elbo":
+            raise ValueError("the shard_map data-parallel step supports the "
+                             "ELBO objective only (IWAE needs a cross-shard "
+                             "logsumexp; use the GSPMD dense path)")
         model, optimizer = self.model, self.optimizer
         from vibo_tpu.ops import objectives
 
@@ -218,13 +250,8 @@ class Trainer:
 
         def raw_step(params, opt_state, key, *data):
             def loss_fn(p):
-                if packed:
-                    bound, aux = model.elbo_packed(p, key, data[0], item_scale,
-                                                   num_samples)
-                else:
-                    bound, aux = model.elbo(p, key, data[0], data[1],
-                                            item_scale, num_samples)
-                return -bound, aux
+                return self._loss_and_aux(p, key, item_scale, num_samples,
+                                          data, packed=packed)
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -287,6 +314,9 @@ class Trainer:
             raise ValueError(
                 "packed=True requires a students-only mesh — the shard_map "
                 "data-parallel step does not shard the item axis")
+        if self.mesh is not None and cfg.objective != "elbo":
+            use_packed = False  # IWAE on a mesh: GSPMD dense path (psum'd
+            # logsumexp isn't expressible in the dp shard_map step)
         dp = full_batch and use_packed and self.mesh is not None
         if full_batch:
             if dp:
