@@ -153,6 +153,13 @@ def main():
     train_seconds, final_elbo, acc = measure_time_to_train(
         trainer, model, params, opt_state, data, packed, ds)
 
+    # cfg-2 eval at the north-star scale: IWAE-100 test log-lik wall-clock
+    from vibo_tpu import evaluation
+    t0 = time.perf_counter()
+    iw = evaluation.iwae_loglik(model, params, jax.random.key(7), ds,
+                                num_samples=100)
+    iwae_seconds = time.perf_counter() - t0
+
     if args.skip_cpu:
         cpu_cells_per_sec = None
         vs_baseline = None
@@ -176,6 +183,8 @@ def main():
             "final_elbo": round(final_elbo, 1),
             "heldout_acc": round(acc["acc"], 4),
             "heldout_base_rate": round(acc["base_rate"], 4),
+            "iwae100_loglik_per_cell": round(iw["loglik_per_cell"], 5),
+            "iwae100_seconds": round(iwae_seconds, 2),
             "cpu_reference_cells_per_sec": (round(cpu_cells_per_sec, 1)
                                             if cpu_cells_per_sec else None),
             "backend": jax.default_backend(),

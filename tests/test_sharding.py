@@ -210,3 +210,14 @@ def test_dp_fit_nondivisible_persons(eight_devices):
                                       log_every=10),
                    mesh=make_mesh(eight_devices[:1])).fit(ds)
     np.testing.assert_allclose(res["final_elbo"], res1["final_elbo"], rtol=5e-5)
+
+
+def test_iwae_objective_on_mesh_falls_back_to_gspmd(eight_devices):
+    """mesh + objective='iwae': the dp shard_map path is skipped (its psum
+    cannot express the cross-shard logsumexp) and the GSPMD dense path runs."""
+    ds, model = _setup()
+    mesh = make_mesh(eight_devices)
+    res = Trainer(model, TrainConfig(lr=1e-2, epochs=12, eval_every=6,
+                                     log_every=6, objective="iwae",
+                                     num_mc_samples=3), mesh=mesh).fit(ds)
+    assert np.isfinite(res["final_elbo"])
