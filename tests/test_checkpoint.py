@@ -73,3 +73,33 @@ def test_resume_is_exact(tmp_path):
 
     for a, b in zip(jax.tree_util.tree_leaves(p4), jax.tree_util.tree_leaves(pr4)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_resume_continues_training(tmp_path):
+    """fit(resume=ckpt) restores params/opt/PRNG and trains further —
+    bitwise-equal to one uninterrupted run of the combined length."""
+    import jax
+    from vibo_tpu.data import simulate_irt, holdout_split
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.train import Trainer, TrainConfig, save_checkpoint
+
+    sim = simulate_irt("2pl", 120, 24, ability_dim=1, seed=6)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=6)
+    model = VIBO(VIBOConfig(num_items=24, irt_model="2pl", hidden_dim=16))
+    kw = dict(lr=1e-2, eval_every=100, log_every=100, packed=False)
+
+    # uninterrupted 20 epochs
+    res_full = Trainer(model, TrainConfig(epochs=20, **kw)).fit(ds)
+
+    # 10 epochs -> checkpoint -> resume 10 more
+    tr1 = Trainer(model, TrainConfig(epochs=10, **kw))
+    res1 = tr1.fit(ds)
+    path = str(tmp_path / "mid.npz")
+    save_checkpoint(path, (res1["params"], res1["opt_state"]), res1["key"], 10)
+    res2 = Trainer(model, TrainConfig(epochs=10, **kw)).fit(ds, resume=path)
+
+    np.testing.assert_allclose(res2["final_elbo"], res_full["final_elbo"],
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6),
+        res2["params"], res_full["params"])

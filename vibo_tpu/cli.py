@@ -94,7 +94,8 @@ def cmd_train(args):
         num_mc_samples=args.num_posterior_samples, seed=args.seed,
         eval_every=args.eval_every, out_dir=args.out_dir,
         objective=getattr(args, "objective", "elbo")), mesh=mesh)
-    res = trainer.fit(ds, truth=sim if test_ds is None else None)
+    res = trainer.fit(ds, truth=sim if test_ds is None else None,
+                      resume=getattr(args, "resume", None))
 
     summary = {"dataset": ds.name, "shape": list(ds.shape),
                "irt_model": args.irt_model,
@@ -259,6 +260,9 @@ def main(argv=None):
                         "amortized encoder on them (paper's headline eval)")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard students over all devices")
+    t.add_argument("--resume", default=None,
+                   help="checkpoint (.npz from --out-dir) to restore params/"
+                        "optimizer/PRNG from before training further epochs")
     t.set_defaults(fn=cmd_train)
 
     b = sub.add_parser("baseline", help="run an MLE/MAP/EM/HMC baseline")

@@ -277,10 +277,15 @@ class Trainer:
 
     # --------------------------------------------------------------- fit
 
-    def fit(self, ds: Dataset, truth=None, key: jax.Array | None = None):
+    def fit(self, ds: Dataset, truth=None, key: jax.Array | None = None,
+            resume: str | None = None):
         """Train on ds.train_mask; periodically evaluate held-out imputation.
 
         truth: optional SyntheticIRT for parameter-recovery correlations.
+        resume: optional checkpoint path (train/checkpoint.py) — restores
+        params, optimizer state, and the PRNG stream, then trains cfg.epochs
+        FURTHER epochs (exact-resume semantics tested in
+        tests/test_checkpoint.py).
         Returns a results dict (history + best metrics + final state).
         """
         cfg = self.cfg
@@ -291,6 +296,12 @@ class Trainer:
         key = jax.random.key(cfg.seed) if key is None else key
         key, k_init = jax.random.split(key)
         params, opt_state = self.init_state(k_init)
+        if resume:
+            (params, opt_state), key, _, _ = ckpt.load_checkpoint(
+                resume, (params, opt_state))
+            if self.mesh is not None:
+                shardings = meshlib.param_shardings(params, self.mesh)
+                params = jax.tree.map(jax.device_put, params, shardings)
 
         if cfg.out_dir:
             os.makedirs(cfg.out_dir, exist_ok=True)
