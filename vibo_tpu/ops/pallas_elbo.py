@@ -37,11 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default tiles: student tile x item tile of f32 resp/mask/logits in VMEM.
-# 256 x 512 x 3 arrays x 4B = 1.5 MB live per buffer set — comfortable with
-# double buffering in ~16 MB VMEM, big enough to keep the VPU busy.
-STUDENT_BLOCK = 256
-ITEM_BLOCK = 512
+# Default tiles: student tile x item tile. Swept on v5e at 10k x 1k
+# (fwd+bwd of the packed train kernel, min-of-3):
+#   (256,512) 148us | (512,512) 132us | (256,1024) 117us | (512,1024) 105us
+#   (128,512) 188us | (1024,1024) VMEM compile failure
+# Larger tiles amortize per-grid-step overhead; (512,1024) still fits VMEM
+# for every kernel in this file (packed int8 tile 0.5 MB + f32 logits 2 MB;
+# dense f32 resp+mask tiles 2 MB each).
+STUDENT_BLOCK = 512
+ITEM_BLOCK = 1024
 
 
 def _is_tpu() -> bool:
