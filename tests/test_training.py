@@ -125,6 +125,27 @@ def test_iwae_loglik_block_size_consistent():
     assert abs(one["loglik"] - four["loglik"]) < 0.02 * abs(one["loglik"])
 
 
+def test_iwae_loglik_padding_invariant():
+    """All-missing padding rows (pad_to_multiple) must not shift the reported
+    test log-lik: their theta prior/posterior factor marginalizes to exactly 1
+    (round-1 advisor finding: lp/lq were summed over padding rows)."""
+    import jax
+    from vibo_tpu.data.masking import pad_to_multiple
+    sim = simulate_irt("2pl", 50, 24, ability_dim=1, seed=2)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=2)
+    padded = pad_to_multiple(ds, person_multiple=64, item_multiple=1)
+    assert padded.response.shape[0] == 64
+    model = VIBO(VIBOConfig(num_items=24, irt_model="2pl", hidden_dim=32))
+    params = model.init_params(jax.random.key(0))
+    for on in ("train", "heldout"):
+        a = evaluation.iwae_loglik(model, params, jax.random.key(5), ds,
+                                   num_samples=64, on=on)
+        b = evaluation.iwae_loglik(model, params, jax.random.key(5), padded,
+                                   num_samples=64, on=on)
+        assert a["num_cells"] == b["num_cells"]
+        np.testing.assert_allclose(a["loglik"], b["loglik"], rtol=1e-5)
+
+
 def test_iwae_training_objective():
     """objective='iwae' trains: bound improves, imputation beats base rate,
     and the packed fused-kernel path matches the dense path's semantics."""

@@ -71,3 +71,21 @@ def test_procrustes_aligned_correlation():
                                      align_rotation=True)["pearson"]
     assert aligned > 0.999
     assert aligned > raw
+
+
+def test_correlation_spearman_sign_alignment():
+    """A dim with near-zero Pearson but strongly negative Spearman must not
+    report a misleading negative Spearman under align_sign (round-1 advisor
+    finding: the flip was decided from Pearson alone)."""
+    from vibo_tpu import evaluation
+    n = 40
+    truth = np.arange(n, dtype=np.float64)
+    inferred = -truth.copy()
+    inferred[-1] = 1e4  # one outlier drags Pearson to ~0 positive
+    import scipy.stats
+    assert scipy.stats.pearsonr(inferred, truth).statistic > 0
+    assert scipy.stats.spearmanr(inferred, truth).statistic < -0.5
+    out = evaluation.correlation(inferred, truth, align_sign=True)
+    assert out["spearman"] > 0.5
+    # and the two statistics carry ONE consistent sign convention
+    assert out["pearson"] < 0

@@ -76,6 +76,14 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
         # Shared item prior/posterior terms enter scaled by block/N so the
         # sum over blocks counts them exactly once (the ELBO's item-KL
         # minibatch convention, SURVEY.md section 3.4).
+        # Rows without evaluated cells (all-missing padding rows from
+        # pad_to_multiple, or real persons with no held-out cells when
+        # on='heldout') are excluded from the theta prior/posterior terms:
+        # their factor marginalizes to exactly E_q[p(theta)/q(theta)] = 1, so
+        # exclusion is exact, lowers variance, and makes the bound invariant
+        # to padding (tested in tests/test_training.py).
+        valid = (emask.sum(-1) > 0).astype(jnp.float32)
+
         def one_sample(k):
             from vibo_tpu.ops import distributions as dist
             from vibo_tpu.ops import objectives
@@ -84,8 +92,8 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
             mu, logvar = model.encode(params, resp, tmask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = model.loglik_per_person(params, theta, item_sample, resp, emask).sum()
-            lp = dist.standard_normal_log_prob(theta).sum()
-            lq = dist.gaussian_log_prob(theta, mu, logvar).sum()
+            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid).sum()
             ratio = model.item_log_ratio(params, item_sample)
             return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
                                                      item_scale)
@@ -169,10 +177,13 @@ def correlation(inferred: np.ndarray, truth: np.ndarray,
     for d in range(truth.shape[1]):
         x, y = inferred[:, d], truth[:, d]
         p = scipy.stats.pearsonr(x, y).statistic
-        if align_sign and p < 0:
-            x = -x
-            p = -p
+        s = scipy.stats.spearmanr(x, y).statistic
+        # One sign flip per dim (negating x negates BOTH statistics exactly);
+        # deciding from p + s rather than p alone avoids reporting a
+        # misleading negative Spearman when Pearson is near zero.
+        if align_sign and p + s < 0:
+            p, s = -p, -s
         pearsons.append(p)
-        spearmans.append(scipy.stats.spearmanr(x, y).statistic)
+        spearmans.append(s)
     return {"pearson": float(np.mean(pearsons)),
             "spearman": float(np.mean(spearmans))}
