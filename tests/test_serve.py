@@ -50,6 +50,24 @@ def test_scorer_from_checkpoint(tmp_path):
         assert corr > 0.5
 
 
+def test_scorer_from_checkpoint_nondefault_optimizer(tmp_path):
+    """Checkpoints saved with max_grad_norm=None have a different opt-state
+    structure than the default clip+adam chain; from_checkpoint must rebuild
+    the exact chain from the embedded opt_cfg (round-1 advisor finding: the
+    optimizer template was hardcoded)."""
+    sim = simulate_irt("1pl", 80, 16, ability_dim=1, seed=1)
+    ds = holdout_split(sim.response, sim.mask, 0.2, seed=1)
+    model = VIBO(VIBOConfig(num_items=16, irt_model="1pl", hidden_dim=16))
+    Trainer(model, TrainConfig(lr=3e-3, epochs=6, eval_every=3, log_every=6,
+                               max_grad_norm=None, out_dir=str(tmp_path))
+            ).fit(ds)
+    scorer = AbilityScorer.from_checkpoint(str(tmp_path / "best.npz"),
+                                           pad_multiple=8)
+    out = scorer.score(ds.response * ds.train_mask, ds.train_mask)
+    assert out["prob"].shape == ds.response.shape
+    assert np.isfinite(out["prob"]).all()
+
+
 def test_scorer_shape_validation(tmp_path):
     model = VIBO(VIBOConfig(num_items=8, irt_model="1pl", hidden_dim=16))
     params = model.init_params(jax.random.key(0))

@@ -51,16 +51,16 @@ class AbilityScorer:
         model: optional — Trainer checkpoints embed the model config
         (extra_model_cfg), so by default the model is reconstructed from the
         file itself.
-        optimizer: optional optax transform matching the checkpoint; defaults
-        to the Trainer's adam so `Trainer(...).fit(out_dir=...)` checkpoints
+        optimizer: optional optax transform matching the checkpoint; by
+        default it is rebuilt from the optimizer config the Trainer embeds
+        (extra_opt_cfg), so checkpoints saved with any lr/max_grad_norm —
+        including max_grad_norm=None, whose opt-state structure differs —
         load with no extra arguments.
         """
         import json
 
-        import optax
-
+        extra = ckpt.peek_extra(path)
         if model is None:
-            extra = ckpt.peek_extra(path)
             if "model_cfg" not in extra:
                 raise ValueError(
                     f"{path} has no embedded model config; pass model=")
@@ -68,8 +68,12 @@ class AbilityScorer:
             model = VIBO(VIBOConfig(**json.loads(str(extra["model_cfg"]))))
         params = model.init_params(jax.random.key(0))
         if optimizer is None:
-            optimizer = optax.chain(optax.clip_by_global_norm(10.0),
-                                    optax.adam(5e-3))
+            from vibo_tpu.train.trainer import make_optimizer
+            if "opt_cfg" in extra:
+                oc = json.loads(str(extra["opt_cfg"]))
+                optimizer = make_optimizer(oc["lr"], oc["max_grad_norm"])
+            else:  # pre-opt_cfg checkpoints: the historical Trainer defaults
+                optimizer = make_optimizer(5e-3, 10.0)
         template = (params, optimizer.init(params))
         (params, _), _, _, _ = ckpt.load_checkpoint(path, template)
         return cls(model, params, **kw)

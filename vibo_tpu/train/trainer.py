@@ -55,15 +55,23 @@ class TrainConfig:
                                        # num_mc_samples is S)
 
 
+def make_optimizer(lr: float, max_grad_norm: float | None):
+    """The Trainer's optax chain, exposed so checkpoints are self-describing:
+    serve.AbilityScorer.from_checkpoint rebuilds the exact chain (and thus
+    the exact opt-state structure) from the lr/max_grad_norm embedded in the
+    checkpoint instead of hardcoding a template."""
+    tx = optax.adam(lr)
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx
+
+
 class Trainer:
     def __init__(self, model: VIBO, cfg: TrainConfig, mesh=None):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
-        tx = optax.adam(cfg.lr)
-        if cfg.max_grad_norm is not None:
-            tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
-        self.optimizer = tx
+        self.optimizer = make_optimizer(cfg.lr, cfg.max_grad_norm)
         self._step_fn = None
         if cfg.objective not in ("elbo", "iwae"):
             raise ValueError(f"objective must be elbo|iwae, got {cfg.objective!r}")
@@ -75,6 +83,12 @@ class Trainer:
         import dataclasses
         import json
         return json.dumps(dataclasses.asdict(self.model.cfg))
+
+    def _opt_cfg_json(self) -> str:
+        """Optimizer config embedded in checkpoints (see make_optimizer)."""
+        import json
+        return json.dumps({"lr": self.cfg.lr,
+                           "max_grad_norm": self.cfg.max_grad_norm})
 
     # ------------------------------------------------------------- setup
 
@@ -424,7 +438,8 @@ class Trainer:
                             os.path.join(cfg.out_dir, "best.npz"),
                             (params, opt_state), key, global_step,
                             extra={"epoch": epoch, "heldout_acc": ev["acc"],
-                                   "model_cfg": self._cfg_json()})
+                                   "model_cfg": self._cfg_json(),
+                                   "opt_cfg": self._opt_cfg_json()})
 
         logger.close()
         return {"params": params, "opt_state": opt_state, "key": key,
@@ -518,7 +533,8 @@ class Trainer:
                             (params, opt_state), key, epoch,
                             extra={"epoch": epoch - 1,
                                    "heldout_acc": ev["acc"],
-                                   "model_cfg": self._cfg_json()})
+                                   "model_cfg": self._cfg_json(),
+                                   "opt_cfg": self._opt_cfg_json()})
 
         logger.close()
         # first chunk pays the XLA/remote compile; report warm time too
