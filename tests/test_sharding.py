@@ -168,6 +168,10 @@ def test_dp_grads_match_unsharded(eight_devices):
 
     mesh = make_mesh(eight_devices)
     tr = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    # SGD makes the update linear in the gradient: this catches SCALE bugs
+    # (e.g. a double psum multiplying every grad by the shard count) that
+    # Adam's normalization silently absorbs.
+    tr.optimizer = optax.sgd(0.1)
     p0, o0 = tr.init_state(key0)
     step = tr.make_step_packed_dp(0.8, 2)
     sh_pk, sh_rv = tr._dp_in_shardings()
@@ -177,12 +181,13 @@ def test_dp_grads_match_unsharded(eight_devices):
 
     # unsharded reference with the same exogenous noise
     tr1 = Trainer(model, TrainConfig(lr=1e-2))
+    tr1.optimizer = optax.sgd(0.1)
     p1, o1 = tr1.init_state(key0)
     item_eps, theta_eps = model.sample_noise(p1, key1, N, 2)
 
     def loss_fn(p):
-        ll, klt = model.elbo_packed_sums(p, packed, item_eps, theta_eps, rowv)
-        kli = model.item_kl(p)
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_eps,
+                                              rowv)
         return -objectives.elbo(ll, klt, kli, 0.8)
 
     g = jax.grad(loss_fn)(p1)

@@ -82,6 +82,7 @@ def cmd_train(args):
         num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
         hidden_dim=args.hidden_dim,
         conditional_posterior=not args.mean_field,
+        item_encoder=getattr(args, "item_encoder", False),
         item_latent_dim=args.item_latent_dim,
         use_pallas=(jax.default_backend() == "tpu"
                     and args.irt_model in ("1pl", "2pl", "3pl"))))
@@ -255,6 +256,10 @@ def main(argv=None):
     t.add_argument("--eval-every", type=int, default=50)
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")
+    t.add_argument("--item-encoder", action="store_true",
+                   help="amortize q(d_j|r_col) from column statistics "
+                        "(enables new-item cold-start) instead of free "
+                        "per-item Gaussians")
     t.add_argument("--eval-new-persons", type=float, default=0.0,
                    help="hold out this fraction of persons and score the "
                         "amortized encoder on them (paper's headline eval)")

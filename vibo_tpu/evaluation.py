@@ -24,13 +24,35 @@ def _person_blocks(n: int, block: int):
         yield start, min(start + block, n)
 
 
+def full_item_dist(model: VIBO, params, ds: Dataset) -> dict:
+    """Item posterior conditioned on the FULL train-visible matrix (one
+    pass). The free-form posterior ignores the data; the amortized encoder
+    (cfg.item_encoder) pools column statistics over every training person,
+    which is the protocol all evaluations share regardless of person
+    blocking."""
+    if not model.cfg.item_encoder:
+        return model.item_dist(params)
+    f = jax.jit(model.item_dist)
+    return f(params, jnp.asarray(ds.response), jnp.asarray(ds.train_mask))
+
+
+def full_item_mean(model: VIBO, params, ds: Dataset) -> dict:
+    return {name: p["mu"] for name, p in full_item_dist(model, params, ds).items()}
+
+
 def imputation_accuracy(model: VIBO, params, ds: Dataset,
-                        block_size: int = 4096) -> dict:
+                        block_size: int = 4096,
+                        item_mean: dict | None = None) -> dict:
     """Predict held-out cells from posterior means of the train-visible data.
 
     Returns accuracy, base-rate (majority-class) accuracy, and counts.
+    item_mean: optional precomputed item-parameter means (e.g. from the
+    TRAIN split when scoring unseen persons with an amortized item
+    posterior); defaults to conditioning on this dataset's train mask.
     """
-    impute = jax.jit(model.impute_prob)
+    if item_mean is None:
+        item_mean = full_item_mean(model, params, ds)
+    impute = jax.jit(model.impute_prob_with_items)
     correct = 0.0
     total = 0.0
     ones = 0.0
@@ -39,7 +61,7 @@ def imputation_accuracy(model: VIBO, params, ds: Dataset,
         resp = jnp.asarray(ds.response[s:e])
         tmask = jnp.asarray(ds.train_mask[s:e])
         hmask = np.asarray(ds.heldout_mask[s:e])
-        prob = np.asarray(impute(params, resp, tmask))
+        prob = np.asarray(impute(params, resp, tmask, item_mean))
         pred = (prob > 0.5).astype(np.float32)
         truth = ds.response[s:e]
         correct += float((hmask * (pred == truth)).sum())
@@ -69,9 +91,10 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
     n = ds.response.shape[0]
     total = 0.0
     cells = 0.0
+    item_post = full_item_dist(model, params, ds)
 
     @jax.jit
-    def block_bound(params, key, resp, tmask, emask, item_scale):
+    def block_bound(params, item_post, key, resp, tmask, emask, item_scale):
         # Encoder conditions on train-visible data; likelihood on emask cells.
         # Shared item prior/posterior terms enter scaled by block/N so the
         # sum over blocks counts them exactly once (the ELBO's item-KL
@@ -88,13 +111,13 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
             from vibo_tpu.ops import distributions as dist
             from vibo_tpu.ops import objectives
             k_item, k_theta = jax.random.split(k)
-            item_sample = model.sample_items(params, k_item)
+            item_sample = model.sample_items_from(item_post, k_item)
             mu, logvar = model.encode(params, resp, tmask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = model.loglik_per_person(params, theta, item_sample, resp, emask).sum()
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
             lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid).sum()
-            ratio = model.item_log_ratio(params, item_sample)
+            ratio = model.item_log_ratio_from(item_post, item_sample)
             return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
                                                      item_scale)
         from vibo_tpu.ops import objectives
@@ -106,7 +129,7 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
         tmask = jnp.asarray(ds.train_mask[s:e])
         emask = tmask if on == "train" else jnp.asarray(ds.heldout_mask[s:e])
         key, sub = jax.random.split(key)
-        total += float(block_bound(params, sub, resp, tmask, emask,
+        total += float(block_bound(params, item_post, sub, resp, tmask, emask,
                                    (e - s) / n))
         cells += float(np.asarray(emask).sum())
     return {"loglik": total, "loglik_per_cell": total / max(cells, 1.0),
@@ -114,15 +137,26 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
 
 
 def infer_posterior_means(model: VIBO, params, ds: Dataset,
-                          block_size: int = 4096):
-    """Posterior-mean abilities (N, K) and item-parameter means (dict)."""
-    item_mean = model.item_posterior_mean(params)
-    encode = jax.jit(lambda p, r, m: model.encode(p, r, m, item_mean)[0])
-    thetas = []
+                          block_size: int = 4096, return_sigma: bool = False):
+    """Posterior-mean abilities (N, K) and item-parameter means (dict).
+
+    return_sigma=True additionally returns the (N, K) posterior standard
+    deviations (VIBO's uncertainty — compared against HMC's posterior sd in
+    the calibration eval)."""
+    item_mean = full_item_mean(model, params, ds)
+    encode = jax.jit(lambda p, r, m: model.encode(p, r, m, item_mean))
+    thetas, sigmas = [], []
     for s, e in _person_blocks(ds.response.shape[0], block_size):
-        thetas.append(np.asarray(encode(params, jnp.asarray(ds.response[s:e]),
-                                        jnp.asarray(ds.train_mask[s:e]))))
-    return np.concatenate(thetas, 0), {k: np.asarray(v) for k, v in item_mean.items()}
+        mu, logvar = encode(params, jnp.asarray(ds.response[s:e]),
+                            jnp.asarray(ds.train_mask[s:e]))
+        thetas.append(np.asarray(mu))
+        if return_sigma:
+            sigmas.append(np.asarray(jnp.exp(0.5 * logvar)))
+    theta = np.concatenate(thetas, 0)
+    items = {k: np.asarray(v) for k, v in item_mean.items()}
+    if return_sigma:
+        return theta, items, np.concatenate(sigmas, 0)
+    return theta, items
 
 
 def amortized_new_person_eval(model: VIBO, params, test_ds: Dataset,

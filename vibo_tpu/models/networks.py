@@ -112,6 +112,20 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
 
 # ------------------------------------------------------ item posteriors
 
+def item_head_spec(irt_model: str, ability_dim: int,
+                   item_latent_dim: int = 0) -> dict:
+    """Ordered {param_name: dim} for one item's parameters under each link."""
+    if irt_model == "1pl":
+        return {"b": 1}
+    if irt_model == "2pl":
+        return {"a": ability_dim, "b": 1}
+    if irt_model == "3pl":
+        return {"a": ability_dim, "b": 1, "g_hat": 1}
+    if irt_model == "deep":
+        return {"d": item_latent_dim}
+    raise ValueError(irt_model)
+
+
 def init_item_posterior(key, num_items: int, irt_model: str, ability_dim: int,
                         item_latent_dim: int = 0):
     """Per-item free-form Gaussian posteriors q(d_j | r).
@@ -153,6 +167,134 @@ def flatten_item_sample(sample: dict) -> jax.Array:
     """Deterministically flatten an item-sample dict to a feature vector."""
     parts = [sample[k].reshape(sample[k].shape[:-2] + (-1,)) for k in sorted(sample)]
     return jnp.concatenate(parts, axis=-1)
+
+
+# ------------------------------------------- amortized item encoder
+
+ITEM_STAT_DIM = 6
+
+
+def item_stats(response, mask, axis_name: str | None = None,
+               num_persons=None):
+    """Permutation-invariant per-item column statistics (M, 6): the amortized
+    item encoder's input, from a (B, M) masked response matrix.
+
+    Classical-test-theory sufficient statistics — item p-value (difficulty
+    evidence), respondent mean raw score, item-total covariance and
+    point-biserial correlation (discrimination evidence), observed fraction,
+    log count. Pooling over persons makes the encoder invariant to both the
+    number and the order of respondents, so NEW items (arbitrary response
+    columns) score through the same network — the cold-start path the
+    free-form per-item posterior cannot provide (paper section 4's inference
+    networks; SURVEY.md section 3.3 "VIBO encoders").
+
+    axis_name: inside shard_map with students sharded, psum the column
+    partial sums over this axis so the statistics are global and the result
+    is device-count-invariant. Always computed in f32 (stats are tiny).
+    """
+    m = mask.astype(jnp.float32)
+    r = response.astype(jnp.float32) * m
+    row_cnt = m.sum(-1, keepdims=True)
+    # person raw score: the data-only ability proxy whose cross-moments with
+    # the item column carry the discrimination signal
+    s = r.sum(-1, keepdims=True) / jnp.maximum(row_cnt, 1.0)     # (B, 1)
+    partial = jnp.stack([
+        r.sum(-2),                 # successes per item
+        m.sum(-2),                 # attempts per item
+        (s * m).sum(-2),           # sum of respondent scores
+        (s * r).sum(-2),           # score-weighted successes
+        (s * s * m).sum(-2),       # sum of squared scores
+    ])
+    n_local = jnp.float32(mask.shape[-2])
+    if axis_name is not None:
+        partial = jax.lax.psum(partial, axis_name)
+        n_local = n_local * jax.lax.axis_size(axis_name)
+    if num_persons is None:
+        num_persons = n_local
+    succ, cnt, s_sum, rs_sum, ss_sum = partial
+    denom = jnp.maximum(cnt, 1.0)
+    p = succ / denom
+    ms = s_sum / denom
+    rs = rs_sum / denom
+    ss = ss_sum / denom
+    cov = rs - p * ms
+    var_s = jnp.maximum(ss - ms * ms, 0.0)
+    corr = cov * jax.lax.rsqrt(var_s * jnp.maximum(p * (1.0 - p), 1e-6) + 1e-6)
+    frac = cnt / jnp.maximum(num_persons, 1.0)
+    return jnp.stack([p, ms, cov, corr, frac, jnp.log1p(cnt)], axis=-1)
+
+
+def init_item_encoder(key, irt_model: str, ability_dim: int,
+                      item_latent_dim: int = 0, hidden_dim: int = 64):
+    """q(d_j | r_:,j): MLP from the item's column statistics to (mu, logvar)
+    for every item-parameter head. Item-count-independent by construction.
+
+    Output-bias init breaks the theta–a chicken-and-egg at the start of
+    training: a shared MLP outputs near-identical tiny a_mu for every item,
+    under which theta is unidentified and the discrimination gradient
+    vanishes (the free-form posterior escapes this via its per-item random
+    init). Biasing a_mu to 1.0 (the classical MLE/EM init) and logvar to -2
+    (matching init_item_posterior) makes theta identified from step one.
+    """
+    spec = item_head_spec(irt_model, ability_dim, item_latent_dim)
+    total = sum(spec.values())
+    params = init_mlp(key, [ITEM_STAT_DIM, hidden_dim, hidden_dim, 2 * total])
+    bias = jnp.zeros((2 * total,), jnp.float32)
+    off = 0
+    for name in sorted(spec):
+        d = spec[name]
+        if name == "a":
+            bias = bias.at[off:off + d].set(1.0)
+        bias = bias.at[total + off:total + off + d].set(-2.0)
+        off += d
+    params[-1]["b"] = bias
+    return params
+
+
+def init_item_residual(key, num_items: int, irt_model: str, ability_dim: int,
+                       item_latent_dim: int = 0):
+    """Free per-item residuals added to the amortized posterior for TRAINING
+    items (semi-amortized VI).
+
+    Why they are necessary and not an extra: a purely shared encoder ties
+    every item's discrimination to a handful of statistics, so the
+    theta<->a saddle (theta unidentified while a ~ 0, zero gradient both
+    ways) cannot be escaped by per-item symmetry breaking — measured: a_mu
+    collapses to |a| < 0.03 and theta recovery ~ 0.01 while b recovers 0.98.
+    The 0.1-sigma per-item noise below restores exactly the free-form
+    posterior's escape dynamics; new items simply have no residual (the
+    encoder alone scores them)."""
+    spec = item_head_spec(irt_model, ability_dim, item_latent_dim)
+    keys = jax.random.split(key, len(spec))
+    return {name: {
+                "mu": 0.1 * jax.random.normal(k, (num_items, spec[name]),
+                                              jnp.float32),
+                "logvar": jnp.zeros((num_items, spec[name]), jnp.float32)}
+            for k, name in zip(keys, sorted(spec))}
+
+
+def apply_item_encoder(params, stats, spec: dict, residual: dict | None = None
+                       ) -> dict:
+    """stats (M, 6) -> {name: {'mu': (M, D), 'logvar': (M, D)}} keyed/ordered
+    like init_item_posterior (sorted-key flattening contract).
+
+    residual: per-item free offsets (init_item_residual) added for training
+    items; None for unseen items (cold-start uses the shared encoder alone).
+    """
+    out = mlp(params, stats)                       # (M, 2 * total)
+    total = out.shape[-1] // 2
+    mu_all, logvar_all = out[..., :total], out[..., total:]
+    post, off = {}, 0
+    for name in sorted(spec):
+        d = spec[name]
+        mu = mu_all[..., off:off + d]
+        logvar = logvar_all[..., off:off + d]
+        if residual is not None:
+            mu = mu + residual[name]["mu"]
+            logvar = logvar + residual[name]["logvar"]
+        post[name] = {"mu": mu, "logvar": jnp.clip(logvar, -8.0, 8.0)}
+        off += d
+    return post
 
 
 # ------------------------------------------------------------ deep link

@@ -44,6 +44,10 @@ class VIBOConfig:
     conditional_posterior: bool = True  # q(theta | d, r) vs mean-field q(theta | r)
     item_latent_dim: int = 16           # deep link only
     deep_hidden_dim: int = 128          # deep link MLP width
+    item_encoder: bool = False          # amortize q(d_j | r_:,j) from column
+                                        # statistics (new-item cold-start)
+                                        # instead of free per-item Gaussians
+    item_encoder_hidden: int = 64       # item-encoder MLP width
     use_pallas: bool = False            # fused masked-ELBO kernel (linear links)
     compute_dtype: str = "float32"      # "bfloat16" runs encoder matmuls on
                                         # the MXU natively (f32 accumulate)
@@ -69,6 +73,8 @@ class VIBO:
             networks.item_feat_dim(cfg.num_items, cfg.irt_model, cfg.ability_dim,
                                    cfg.item_latent_dim)
             if cfg.conditional_posterior else 0)
+        self._head_spec = networks.item_head_spec(
+            cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim)
 
     # ------------------------------------------------------------- params
 
@@ -76,13 +82,22 @@ class VIBO:
         cfg = self.cfg
         k_item, k_enc, k_deep = jax.random.split(key, 3)
         params = {
-            "item_post": networks.init_item_posterior(
-                k_item, cfg.num_items, cfg.irt_model, cfg.ability_dim,
-                cfg.item_latent_dim),
             "encoder": networks.init_ability_encoder(
                 k_enc, cfg.num_items, self._item_feat_dim, cfg.ability_dim,
                 cfg.hidden_dim),
         }
+        if cfg.item_encoder:
+            k_mlp, k_res = jax.random.split(k_item)
+            params["item_enc"] = networks.init_item_encoder(
+                k_mlp, cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim,
+                cfg.item_encoder_hidden)
+            params["item_resid"] = networks.init_item_residual(
+                k_res, cfg.num_items, cfg.irt_model, cfg.ability_dim,
+                cfg.item_latent_dim)
+        else:
+            params["item_post"] = networks.init_item_posterior(
+                k_item, cfg.num_items, cfg.irt_model, cfg.ability_dim,
+                cfg.item_latent_dim)
         if cfg.irt_model == "deep":
             params["deep_link"] = networks.init_deep_link(
                 k_deep, cfg.ability_dim, cfg.item_latent_dim, cfg.deep_hidden_dim)
@@ -90,30 +105,73 @@ class VIBO:
 
     # ------------------------------------------------------ item posterior
 
-    def sample_items(self, params: dict, key: jax.Array) -> dict:
-        """One reparameterized draw from every q(d_j | r). Returns a dict of
-        (M, D) arrays keyed like item_post."""
-        post = params["item_post"]
+    def item_dist(self, params: dict, response=None, mask=None,
+                  axis_name: str | None = None, new_items: bool = False
+                  ) -> dict:
+        """The item posterior q(d | r) as {name: {'mu','logvar': (M, D)}}.
+
+        Free-form (default): the per-item Gaussian parameters stored in
+        `params` — data-independent, one posterior per TRAINING item.
+        Amortized (cfg.item_encoder): semi-amortized — a shared encoder on
+        the response columns' statistics (networks.item_stats) plus free
+        per-item residuals for the training items (see
+        networks.init_item_residual for why the residuals are required).
+        The posterior is deterministic given (params, data), so callers
+        compute it ONCE per objective and hoist it out of the MC-sample vmap.
+
+        axis_name: under shard_map with students sharded, name of the mesh
+        axis to psum the column statistics over (global, device-count-
+        invariant stats).
+        new_items: columns are items the model was NOT trained on — no
+        residuals exist, so the shared encoder alone scores them
+        (cold-start; any column count is accepted).
+        """
+        if not self.cfg.item_encoder:
+            return params["item_post"]
+        if response is None or mask is None:
+            raise ValueError(
+                "item_encoder=True amortizes q(d | r) from data: pass the "
+                "(response, mask) the posterior should condition on")
+        stats = networks.item_stats(response, mask, axis_name=axis_name)
+        residual = None if new_items else params["item_resid"]
+        return networks.apply_item_encoder(params["item_enc"], stats,
+                                           self._head_spec, residual)
+
+    def sample_items_from(self, post: dict, key: jax.Array) -> dict:
+        """One reparameterized draw from an item_dist. Returns {name: (M, D)}."""
         keys = jax.random.split(key, len(post))
         return {name: dist.reparameterize(k, post[name]["mu"], post[name]["logvar"])
                 for k, name in zip(keys, sorted(post))}
 
-    def item_posterior_mean(self, params: dict) -> dict:
-        return {name: p["mu"] for name, p in params["item_post"].items()}
-
-    def item_kl(self, params: dict) -> jax.Array:
+    def item_kl_from(self, post: dict) -> jax.Array:
         """Analytic sum_j KL(q(d_j) || N(0, I)) over all items and params."""
         return sum(dist.kl_standard_normal(p["mu"], p["logvar"]).sum()
-                   for p in params["item_post"].values())
+                   for p in post.values())
 
-    def item_log_ratio(self, params: dict, sample: dict) -> jax.Array:
+    def item_log_ratio_from(self, post: dict, sample: dict) -> jax.Array:
         """log p(d_s) - log q(d_s) for an item sample (IWAE weights)."""
         total = 0.0
-        for name, p in params["item_post"].items():
+        for name, p in post.items():
             z = sample[name]
             total = total + (dist.standard_normal_log_prob(z).sum()
                              - dist.gaussian_log_prob(z, p["mu"], p["logvar"]).sum())
         return total
+
+    # Data-free convenience forms (free-form posterior only; the amortized
+    # posterior needs data — use item_dist + the *_from methods).
+
+    def sample_items(self, params: dict, key: jax.Array) -> dict:
+        return self.sample_items_from(self.item_dist(params), key)
+
+    def item_kl(self, params: dict) -> jax.Array:
+        return self.item_kl_from(self.item_dist(params))
+
+    def item_log_ratio(self, params: dict, sample: dict) -> jax.Array:
+        return self.item_log_ratio_from(self.item_dist(params), sample)
+
+    def item_posterior_mean(self, params: dict, response=None, mask=None) -> dict:
+        post = self.item_dist(params, response, mask)
+        return {name: p["mu"] for name, p in post.items()}
 
     # ---------------------------------------------------- ability encoder
 
@@ -192,9 +250,11 @@ class VIBO:
         E_q[log p(r | theta, d)] estimated with `num_samples` reparameterized
         draws (vmap over the sample axis); KLs analytic.
         """
+        post = self.item_dist(params, response, mask)
+
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
-            item_sample = self.sample_items(params, k_item)
+            item_sample = self.sample_items_from(post, k_item)
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response, mask)
@@ -209,7 +269,7 @@ class VIBO:
         lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
         loglik = lls.mean()
         kl_theta = kl_thetas.mean()
-        kl_items = self.item_kl(params)
+        kl_items = self.item_kl_from(post)
         bound = objectives.elbo(loglik, kl_theta, kl_items, item_scale)
         aux = {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
                "kl_items": kl_items}
@@ -225,9 +285,11 @@ class VIBO:
         log (1/S) sum_s exp( log p(r, theta_s, d_s) - log q(theta_s, d_s) ),
         item terms scaled by item_scale under minibatching (SURVEY.md 3.4).
         """
+        post = self.item_dist(params, response, mask)
+
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
-            item_sample = self.sample_items(params, k_item)
+            item_sample = self.sample_items_from(post, k_item)
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response,
@@ -236,7 +298,7 @@ class VIBO:
             lp_theta = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
             lq_theta = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
                         * valid).sum()
-            item_ratio = self.item_log_ratio(params, item_sample)
+            item_ratio = self.item_log_ratio_from(post, item_sample)
             return objectives.importance_log_weights(
                 ll, lp_theta, lq_theta, item_ratio, 0.0, item_scale)
 
@@ -292,10 +354,11 @@ class VIBO:
         mask = jnp.minimum(pk, 1.0)
         response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
+        post = self.item_dist(params, response, mask)
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
-            item_sample = self.sample_items(params, k_item)
+            item_sample = self.sample_items_from(post, k_item)
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
@@ -314,7 +377,7 @@ class VIBO:
         lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
         loglik = lls.mean()
         kl_theta = kl_thetas.mean()
-        kl_items = self.item_kl(params)
+        kl_items = self.item_kl_from(post)
         bound = objectives.elbo(loglik, kl_theta, kl_items, item_scale)
         return bound, {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
                        "kl_items": kl_items}
@@ -335,10 +398,11 @@ class VIBO:
         mask = jnp.minimum(pk, 1.0)
         response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
+        post = self.item_dist(params, response, mask)
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
-            item_sample = self.sample_items(params, k_item)
+            item_sample = self.sample_items_from(post, k_item)
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
@@ -353,7 +417,7 @@ class VIBO:
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
             lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
                   * valid).sum()
-            ratio = self.item_log_ratio(params, item_sample)
+            ratio = self.item_log_ratio_from(post, item_sample)
             return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
                                                      item_scale)
 
@@ -364,38 +428,47 @@ class VIBO:
                      num_samples: int):
         """Exogenous reparameterization noise for elbo_packed_sums:
         ({name: (S, M, D)} item eps, (S, B, K) theta eps). Generated with the
-        partitionable RNG so values are sharding-invariant."""
+        partitionable RNG so values are sharding-invariant. Shapes come from
+        the head spec, so this works for free-form AND amortized posteriors."""
+        del params
         k_item, k_theta = jax.random.split(key)
-        post = params["item_post"]
-        item_keys = jax.random.split(k_item, len(post))
+        spec = self._head_spec
+        item_keys = jax.random.split(k_item, len(spec))
         item_eps = {name: jax.random.normal(
-                        k, (num_samples,) + post[name]["mu"].shape,
-                        post[name]["mu"].dtype)
-                    for k, name in zip(item_keys, sorted(post))}
+                        k, (num_samples, self.cfg.num_items, spec[name]),
+                        jnp.float32)
+                    for k, name in zip(item_keys, sorted(spec))}
         theta_eps = jax.random.normal(
             k_theta, (num_samples, batch, self.cfg.ability_dim))
         return item_eps, theta_eps
 
     def elbo_packed_sums(self, params: dict, packed: jax.Array, item_eps: dict,
                          theta_eps: jax.Array,
-                         row_weight: jax.Array | None = None):
+                         row_weight: jax.Array | None = None,
+                         axis_name: str | None = None):
         """Deterministic ELBO partial sums from exogenous noise:
-        (loglik_sum, kl_theta_sum), each averaged over the sample axis.
+        (loglik_sum, kl_theta_sum, kl_items), the first two averaged over the
+        sample axis.
 
         The data-parallel building block: per-student-shard values that the
-        shard_map step psums across the mesh; item-KL (shard-invariant) is
-        added by the caller. Same per-cell math as elbo_packed.
+        shard_map step psums across the mesh; kl_items is shard-INVARIANT
+        (identical on every shard — free-form params, or amortized from
+        psum'd global statistics), so the caller divides it by the shard
+        count before psumming. Same per-cell math as elbo_packed.
 
         row_weight ((B,), optional): 0.0 marks padding rows added to make the
         student axis divisible by the mesh — their KL(theta) is excluded
-        (their loglik is already exactly 0 via the all-missing mask)."""
+        (their loglik is already exactly 0 via the all-missing mask).
+        axis_name: shard_map student axis to psum the amortized item
+        encoder's column statistics over (no-op for the free-form posterior)."""
         cfg = self.cfg
         cd = jnp.dtype(cfg.compute_dtype)
         pk = packed.astype(cd)
         mask = jnp.minimum(pk, 1.0)
         response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
-        post = params["item_post"]
+        post = (self.item_dist(params, response, mask, axis_name=axis_name)
+                if cfg.item_encoder else params["item_post"])
 
         def one_sample(i_eps, t_eps):
             item_sample = {
@@ -418,7 +491,7 @@ class VIBO:
             return ll.sum(), kl_theta.sum()
 
         lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
-        return lls.mean(), kl_thetas.mean()
+        return lls.mean(), kl_thetas.mean(), self.item_kl_from(post)
 
     def iwae_per_person(self, params: dict, key: jax.Array, response: jax.Array,
                         mask: jax.Array, num_samples: int = 100,
@@ -430,10 +503,11 @@ class VIBO:
         scaling convention (SURVEY.md section 3.4).
         """
         n_total = num_persons_total or response.shape[-2]
+        post = self.item_dist(params, response, mask)
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
-            item_sample = self.sample_items(params, k_item)
+            item_sample = self.sample_items_from(post, k_item)
             mu, logvar = self.encode(params, response, mask, item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response,
@@ -441,7 +515,7 @@ class VIBO:
             valid = (mask.sum(-1) > 0).astype(mu.dtype)
             lp = dist.standard_normal_log_prob(theta).sum(-1) * valid  # (B,)
             lq = dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid
-            item_ratio = self.item_log_ratio(params, item_sample) / n_total
+            item_ratio = self.item_log_ratio_from(post, item_sample) / n_total
             return ll + lp - lq + item_ratio
 
         log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
@@ -456,7 +530,17 @@ class VIBO:
         Protocol per SURVEY.md section 4.3: encode the train-visible
         responses, take posterior means for theta and d, push through the
         link. Hidden cells are then thresholded at 0.5 by the caller.
+        (For the amortized item posterior, d's means come from THIS batch's
+        columns; pass precomputed means via impute_prob_with_items when the
+        posterior should condition on the full training matrix.)
         """
-        item_mean = self.item_posterior_mean(params)
+        item_mean = self.item_posterior_mean(params, response, mask)
+        return self.impute_prob_with_items(params, response, mask, item_mean)
+
+    def impute_prob_with_items(self, params: dict, response: jax.Array,
+                               mask: jax.Array, item_mean: dict) -> jax.Array:
+        """impute_prob with explicit item-parameter means — lets evaluation
+        compute the (amortized) item posterior once from the full training
+        matrix and reuse it across person blocks."""
         mu, _ = self.encode(params, response, mask, item_mean)
         return self.response_prob(params, mu, item_mean)

@@ -38,10 +38,17 @@ class AbilityScorer:
     jit cache holds a handful of shapes, not one per request size.
     """
 
-    def __init__(self, model: VIBO, params: dict, pad_multiple: int = 256):
+    def __init__(self, model: VIBO, params: dict, pad_multiple: int = 256,
+                 item_mean: dict | None = None):
+        """item_mean: optional frozen item-parameter means (e.g. computed
+        from the training matrix via evaluation.full_item_mean). Required
+        semantics for amortized item posteriors (cfg.item_encoder) when the
+        scoring batches are small/unrepresentative; if omitted, an amortized
+        model conditions q(d | r) on each scoring batch's own columns."""
         self.model = model
         self.params = params
         self.pad_multiple = max(1, pad_multiple)
+        self.item_mean = item_mean
 
     @classmethod
     def from_checkpoint(cls, path: str, model: VIBO | None = None,
@@ -81,10 +88,14 @@ class AbilityScorer:
     @functools.cached_property
     def _score_fn(self):
         model = self.model
+        fixed_item_mean = self.item_mean
 
         @jax.jit
         def score(params, response, mask):
-            item_mean = model.item_posterior_mean(params)
+            if fixed_item_mean is not None:
+                item_mean = fixed_item_mean
+            else:
+                item_mean = model.item_posterior_mean(params, response, mask)
             mu, logvar = model.encode(params, response, mask, item_mean)
             prob = model.response_prob(params, mu, item_mean)
             return mu, jnp.exp(0.5 * logvar), prob
@@ -113,3 +124,44 @@ class AbilityScorer:
         return {"theta_mu": np.asarray(mu)[:b],
                 "theta_sigma": np.asarray(sigma)[:b],
                 "prob": np.asarray(prob)[:b]}
+
+    @functools.cached_property
+    def _item_score_fn(self):
+        model = self.model
+
+        @jax.jit
+        def score(params, response, mask):
+            post = model.item_dist(params, response, mask, new_items=True)
+            return {name: (p["mu"], jnp.exp(0.5 * p["logvar"]))
+                    for name, p in post.items()}
+
+        return score
+
+    def score_items(self, response, mask) -> dict:
+        """NEW-item cold-start: infer item-parameter posteriors for unseen
+        items from their response columns in one amortized forward pass.
+
+        response/mask: (B, M_new) — rows are any set of respondents, columns
+        the new items. Returns {"<param>_mu": (M_new, D),
+        "<param>_sigma": (M_new, D)} per item-parameter head (e.g. a, b).
+        Requires a model trained with item_encoder=True; the free-form
+        posterior has no parameters for unseen items.
+        """
+        if not self.model.cfg.item_encoder:
+            raise ValueError(
+                "score_items needs an amortized item posterior — train with "
+                "VIBOConfig(item_encoder=True); the free-form per-item "
+                "posterior cannot score unseen items")
+        response = np.asarray(response, np.float32)
+        mask = np.asarray(mask, np.float32)
+        if response.ndim != 2 or response.shape != mask.shape:
+            raise ValueError(
+                f"expected matching (B, M_new) response/mask, got "
+                f"{response.shape} vs {mask.shape}")
+        out = self._item_score_fn(self.params, jnp.asarray(response),
+                                  jnp.asarray(mask))
+        flat = {}
+        for name, (mu, sigma) in out.items():
+            flat[f"{name}_mu"] = np.asarray(mu)
+            flat[f"{name}_sigma"] = np.asarray(sigma)
+        return flat

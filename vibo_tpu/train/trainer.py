@@ -192,15 +192,21 @@ class Trainer:
 
         def shard_fn(params, packed, row_weight, item_eps, theta_eps):
             def loss_fn(p):
-                ll, klt = model.elbo_packed_sums(p, packed, item_eps,
-                                                 theta_eps, row_weight)
-                kli = model.item_kl(p)
-                # psum over shards of this local objective == the global loss
+                ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps,
+                                                      theta_eps, row_weight,
+                                                      axis_name="students")
+                # the sum over shards of this local objective == the global
+                # loss (kli is shard-invariant, hence the /n_shards)
                 local = -(ll - klt - item_scale * kli / n_shards)
                 return local, (ll, klt, kli)
             (_, (ll, klt, kli)), g = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            g = jax.lax.psum(g, "students")
+            # NO explicit psum on g: shard_map's varying-types AD already
+            # psums the cotangents of replicated (P()) inputs at the
+            # replicated->varying boundary, so g IS the global gradient of
+            # the summed local losses. An extra psum multiplies it by the
+            # shard count (a round-1 bug masked by Adam's scale invariance;
+            # caught by the SGD-based grad-equality tests).
             ll = jax.lax.psum(ll, "students")
             klt = jax.lax.psum(klt, "students")
             return g, ll, klt, kli
