@@ -99,8 +99,8 @@ def test_em_posterior_predictive(synth_2pl):
 def hmc_run():
     sim = simulate_irt("2pl", 120, 24, ability_dim=1, seed=11)
     ds = holdout_split(sim.response, sim.mask, 0.1, seed=11)
-    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1, num_warmup=200,
-                        num_samples=200, num_leapfrog=12)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1, num_warmup=300,
+                        num_samples=400, num_leapfrog=16, num_chains=2)
     out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
     return sim, ds, out
 
@@ -109,7 +109,34 @@ def test_hmc_diagnostics(hmc_run):
     sim, ds, out = hmc_run
     assert 0.4 < out["accept_rate"] <= 1.0, out
     assert out["step_size"] > 1e-4
-    assert out["samples"]["theta"].shape == (200, 120, 1)
+    # 2 chains x 400 samples pooled
+    assert out["samples"]["theta"].shape == (800, 120, 1)
+    diag = out["diagnostics"]
+    assert diag["num_chains"] == 2
+    # a converged run on this easy posterior: chains agree (post sign
+    # alignment — unaligned reflection modes measured R-hat ~ 5), clean run
+    assert diag["rhat_max"] < 1.15, diag
+    assert diag["divergences"] == 0
+    assert diag["ess_min"] > 20
+    assert set(diag["rhat"]) == {"theta", "a", "b"}
+
+
+def test_split_rhat_detects_nonmixing():
+    """Chains sampling different distributions must produce R-hat >> 1;
+    identical well-mixed chains ~ 1."""
+    rng = np.random.default_rng(0)
+    mixed = rng.standard_normal((4, 500, 3))
+    bad = mixed + np.arange(4)[:, None, None] * 5.0   # chains 5 sigma apart
+    assert np.all(hmc.split_rhat(mixed) < 1.05)
+    assert np.all(hmc.split_rhat(bad) > 2.0)
+    # ESS: iid draws ~ C*S; a highly autocorrelated chain is far smaller
+    ess_iid = hmc.effective_sample_size(mixed)
+    assert np.all(ess_iid > 0.5 * 4 * 500)
+    ar = np.zeros((2, 800, 1))
+    eps = rng.standard_normal((2, 800, 1))
+    for t in range(1, 800):
+        ar[:, t] = 0.97 * ar[:, t - 1] + eps[:, t]
+    assert np.all(hmc.effective_sample_size(ar) < 200)
 
 
 def test_hmc_recovery_and_imputation(hmc_run):

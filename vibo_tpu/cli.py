@@ -168,14 +168,30 @@ def cmd_baseline(args):
             summary["theta_pearson"] = round(evaluation.correlation(
                 res["theta_eap"], sim.theta[:, 0])["pearson"], 4)
     elif args.method == "hmc":
+        import sys
+
         from vibo_tpu.models import hmc
         cfg = hmc.HMCConfig(irt_model=args.irt_model,
                             ability_dim=args.ability_dim,
                             num_warmup=args.hmc_warmup,
-                            num_samples=args.hmc_samples, seed=args.seed)
+                            num_samples=args.hmc_samples, seed=args.seed,
+                            num_chains=getattr(args, "hmc_chains", 4))
         out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
+        diag = out["diagnostics"]
         summary["accept_rate"] = round(out["accept_rate"], 3)
         summary["step_size"] = round(out["step_size"], 5)
+        summary["num_chains"] = diag["num_chains"]
+        summary["rhat_max"] = round(diag["rhat_max"], 4)
+        summary["ess_min"] = round(diag["ess_min"], 1)
+        summary["divergences"] = diag["divergences"]
+        summary["converged"] = bool(diag["rhat_max"] <= 1.05
+                                    and diag["divergences"] == 0)
+        if not summary["converged"]:
+            print(f"WARNING: HMC convergence diagnostics FAILED "
+                  f"(split-R-hat max {diag['rhat_max']:.3f} > 1.05 or "
+                  f"{diag['divergences']} divergences) — do not treat these "
+                  f"samples as a gold posterior; increase --hmc-warmup/"
+                  f"--hmc-samples", file=sys.stderr)
         summary["heldout_acc"] = impute_acc(
             hmc.posterior_mean_prob(out["samples"], args.irt_model))
         if sim is not None:
@@ -278,6 +294,7 @@ def main(argv=None):
     b.add_argument("--steps", type=int, default=500)
     b.add_argument("--hmc-warmup", type=int, default=300)
     b.add_argument("--hmc-samples", type=int, default=300)
+    b.add_argument("--hmc-chains", type=int, default=4)
     b.set_defaults(fn=cmd_baseline)
 
     c = sub.add_parser("compare",
@@ -293,6 +310,7 @@ def main(argv=None):
     c.add_argument("--steps", type=int, default=500)
     c.add_argument("--hmc-warmup", type=int, default=300)
     c.add_argument("--hmc-samples", type=int, default=300)
+    c.add_argument("--hmc-chains", type=int, default=4)
     c.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)

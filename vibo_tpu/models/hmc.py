@@ -39,6 +39,8 @@ class HMCConfig:
     init_step_size: float = 0.05
     seed: int = 0
     thin: int = 1
+    num_chains: int = 4                # independent chains (vmap'd); >= 2
+                                       # enables split-R-hat / ESS diagnostics
 
 
 def _flatten_spec(n, m, cfg):
@@ -67,8 +69,14 @@ def make_potential(resp, mask, cfg: HMCConfig):
 
 
 def run_hmc(resp, mask, cfg: HMCConfig, key=None):
-    """Returns dict of posterior sample stacks {name: (S, ...)} plus
-    diagnostics (accept rate, adapted step size)."""
+    """Run cfg.num_chains independent HMC chains (vmap'd: one XLA program,
+    chains ride the batch dimension of every matmul).
+
+    Returns {"samples": {name: (C*S, ...)} pooled posterior draws,
+    "accept_rate", "step_size", and "diagnostics" with split-R-hat (max over
+    all scalar parameters), within-chain bulk ESS (min), and the divergence
+    count — the convergence evidence the single-chain round-1 sampler only
+    asserted (SURVEY.md section 8 "hard parts"; round-1 VERDICT item 6)."""
     resp = jnp.asarray(resp, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
     n, m = resp.shape
@@ -76,11 +84,19 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
     spec = _flatten_spec(n, m, cfg)
     u_fn = make_potential(resp, mask, cfg)
     grad_u = jax.grad(u_fn)
+    n_chains = max(1, cfg.num_chains)
 
     k_init, k_chain = jax.random.split(key)
-    init_keys = jax.random.split(k_init, len(spec))
-    position = {name: 0.1 * jax.random.normal(k, shape)
-                for k, (name, shape) in zip(init_keys, sorted(spec.items()))}
+
+    def init_one(k):
+        init_keys = jax.random.split(k, len(spec))
+        # dispersed starts across chains (required for R-hat to detect
+        # non-mixing): 0.5-sigma vs the posterior's unit-scale priors
+        return {name: 0.5 * jax.random.normal(kk, shape)
+                for kk, (name, shape) in zip(init_keys, sorted(spec.items()))}
+
+    positions = jax.vmap(init_one)(jax.random.split(k_init, n_chains))
+    chain_keys = jax.random.split(k_chain, n_chains)
 
     def leapfrog(pos, mom, eps):
         g = grad_u(pos)
@@ -122,6 +138,7 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
         log_accept = jnp.minimum(0.0, u0 - u1)
         # guard NaN trajectories (divergence): reject
         log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
+        divergent = 1.0 - jnp.isfinite(u1 - u0).astype(jnp.float32)
         accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
         pos = jax.tree.map(lambda newq, q: jnp.where(accept, newq, q),
                            new_pos, pos)
@@ -137,12 +154,12 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
         log_eps_bar = jnp.where(adapt, log_eps_bar_new, log_eps_bar)
         h_bar = jnp.where(adapt, h_bar_new, h_bar)
         return ((pos, log_eps, log_eps_bar, h_bar, t),
-                {"pos": pos, "accept": accept_prob, "is_sample": 1.0 - adapt})
+                {"pos": pos, "accept": accept_prob, "divergent": divergent,
+                 "is_sample": 1.0 - adapt})
 
     total = cfg.num_warmup + cfg.num_samples
 
-    @jax.jit
-    def run_chain(position, key, resp_unused):
+    def run_chain(position, key):
         keys = jax.random.split(key, total)
         adapt = (jnp.arange(total) < cfg.num_warmup).astype(jnp.float32)
         carry0 = (position, jnp.log(cfg.init_step_size),
@@ -152,14 +169,106 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
                                   {"key": keys, "adapt": adapt})
         return carry, out
 
-    carry, out = run_chain(position, k_chain, resp)
-    pos_stack = out["pos"]
+    carry, out = jax.jit(jax.vmap(run_chain))(positions, chain_keys)
     sample_slice = slice(cfg.num_warmup, total, cfg.thin)
-    samples = {name: np.asarray(v[sample_slice]) for name, v in pos_stack.items()}
-    accept_rate = float(out["accept"][cfg.num_warmup:].mean())
-    step_size = float(jnp.exp(carry[2]))
+    # (C, S', ...) per-chain stacks feed the diagnostics; the pooled
+    # (C*S', ...) stacks are the user-facing posterior
+    chain_samples = {name: np.asarray(v[:, sample_slice])
+                     for name, v in out["pos"].items()}
+    chain_samples = _align_chain_signs(chain_samples)
+    samples = {name: v.reshape((-1,) + v.shape[2:])
+               for name, v in chain_samples.items()}
+    accept_rate = float(out["accept"][:, cfg.num_warmup:].mean())
+    step_sizes = np.asarray(jnp.exp(carry[2]))
+    divergences = int(np.asarray(out["divergent"][:, cfg.num_warmup:]).sum())
+
+    rhat_by, ess_by = {}, {}
+    for name, v in chain_samples.items():
+        if n_chains >= 2 and v.shape[1] >= 4:
+            rhat_by[name] = float(np.nanmax(split_rhat(v)))
+        ess_by[name] = float(np.nanmin(effective_sample_size(v)))
+    diagnostics = {
+        "num_chains": n_chains,
+        "rhat": rhat_by,
+        "rhat_max": max(rhat_by.values()) if rhat_by else float("nan"),
+        "ess": ess_by,
+        "ess_min": min(ess_by.values()) if ess_by else float("nan"),
+        "divergences": divergences,
+        "step_sizes": step_sizes.tolist(),
+    }
     return {"samples": samples, "accept_rate": accept_rate,
-            "step_size": step_size}
+            "step_size": float(step_sizes.mean()),
+            "diagnostics": diagnostics}
+
+
+def _align_chain_signs(chain_samples: dict) -> dict:
+    """Resolve the 2PL/3PL reflection non-identifiability across chains.
+
+    The posterior is exactly invariant under (theta_:k, a_:k) ->
+    (-theta_:k, -a_:k) per ability dim k, so independently-initialized
+    chains land in either sign mode at random; pooling or R-hat'ing them
+    unaligned reports false non-convergence (measured: R-hat ~ 5 on a
+    well-mixed run). Align each chain's dim-k sign to chain 0 by the sign of
+    the inner product of discrimination means — the standard reflection-mode
+    fix (analogous to mixture label-switching). Within-dim rotation for K > 1
+    is a continuous symmetry this cannot fix; downstream evals use Procrustes
+    alignment for that. 1PL has no reflection symmetry (no 'a')."""
+    if "a" not in chain_samples:
+        return chain_samples
+    a = chain_samples["a"]            # (C, S, M, K)
+    theta = chain_samples["theta"]    # (C, S, N, K)
+    a_mean = a.mean(1)                # (C, M, K)
+    # sign of <a_c, a_0> per chain/dim; keep zero-dot chains unflipped
+    dots = np.einsum("cmk,mk->ck", a_mean, a_mean[0])
+    signs = np.where(dots < 0, -1.0, 1.0).astype(a.dtype)  # (C, K)
+    out = dict(chain_samples)
+    out["a"] = a * signs[:, None, None, :]
+    out["theta"] = theta * signs[:, None, None, :]
+    return out
+
+
+def split_rhat(x: np.ndarray) -> np.ndarray:
+    """Split-R-hat (Gelman et al., BDA3 11.4) per scalar parameter.
+
+    x: (C, S, ...) per-chain sample stacks -> (...) potential scale
+    reduction. Values near 1 indicate the chains mix; > 1.05 is the
+    conventional failure threshold."""
+    x = np.asarray(x, np.float64)
+    c, s = x.shape[:2]
+    s2 = s // 2
+    x = x[:, :2 * s2].reshape((2 * c, s2) + x.shape[2:])
+    mean_c = x.mean(1)
+    var_c = x.var(1, ddof=1)
+    w = var_c.mean(0)
+    b = s2 * mean_c.var(0, ddof=1)
+    var_plus = (s2 - 1) / s2 * w + b / s2
+    return np.sqrt(var_plus / np.maximum(w, 1e-300))
+
+
+def effective_sample_size(x: np.ndarray) -> np.ndarray:
+    """Within-chain bulk ESS per scalar parameter (Geyer initial monotone
+    positive sequence on the chain-averaged autocorrelation).
+
+    x: (C, S, ...) -> (...) effective sample counts out of C*S. Between-chain
+    disagreement is R-hat's job; this measures autocorrelation loss."""
+    x = np.asarray(x, np.float64)
+    c, s = x.shape[:2]
+    xc = x - x.mean(1, keepdims=True)
+    n_fft = 1 << (2 * s - 1).bit_length()
+    f = np.fft.rfft(xc, n=n_fft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), axis=1)[:, :s] / s   # (C, S, ...)
+    acov = acov.mean(0)                                      # (S, ...)
+    var0 = np.maximum(acov[0], 1e-300)
+    rho = acov / var0
+    # Geyer pairwise sums rho_{2t} + rho_{2t+1}; truncate at the first
+    # negative pair, enforce a monotone non-increasing envelope.
+    t_max = (s - 1) // 2
+    pair = rho[1:2 * t_max + 1:2] + rho[2:2 * t_max + 2:2]   # (t_max, ...)
+    pair = np.minimum.accumulate(np.maximum(pair, 0.0), axis=0)
+    # zero everything after the first zero (first negative pair)
+    alive = np.cumprod(pair > 0, axis=0)
+    tau = 1.0 + 2.0 * (pair * alive).sum(0)
+    return c * s / np.maximum(tau, 1e-300)
 
 
 def posterior_mean_prob(samples: dict, irt_model: str,
