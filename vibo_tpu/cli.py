@@ -120,16 +120,28 @@ def cmd_train(args):
         summary["new_person_acc"] = round(ev_new["acc"], 4)
         summary["new_person_base_rate"] = round(ev_new["base_rate"], 4)
         summary["new_persons_per_sec"] = round(ev_new["persons_per_sec"], 1)
-    if sim is not None and test_ds is None:  # person split reorders rows
-        theta_hat, items = evaluation.infer_posterior_means(model, res["params"], ds)
-        summary["theta_pearson"] = round(evaluation.correlation(
-            theta_hat[:sim.theta.shape[0]], sim.theta,
-            align_rotation=True)["pearson"], 4)
-        if "b" in items:
-            summary["b_pearson"] = round(evaluation.correlation(
-                items["b"][:sim.b.shape[0], 0], sim.b)["pearson"], 4)
-    print(json.dumps(summary))
+    if test_ds is None:  # person split reorders rows
+        theta_hat, items, theta_sigma = evaluation.infer_posterior_means(
+            model, res["params"], ds, return_sigma=True)
+        # underscore keys: per-person estimates for cross-method agreement
+        # (cmd_compare) — stripped from the printed summary
+        summary["_theta_hat"] = theta_hat
+        summary["_theta_sigma"] = theta_sigma
+        if sim is not None:
+            summary["theta_pearson"] = round(evaluation.correlation(
+                theta_hat[:sim.theta.shape[0]], sim.theta,
+                align_rotation=True)["pearson"], 4)
+            if "b" in items:
+                summary["b_pearson"] = round(evaluation.correlation(
+                    items["b"][:sim.b.shape[0], 0], sim.b)["pearson"], 4)
+    print(json.dumps(_public(summary)))
     return summary
+
+
+def _public(summary: dict) -> dict:
+    """Printed view of a summary: drop the underscore-keyed arrays that only
+    exist for cross-method agreement inside cmd_compare."""
+    return {k: v for k, v in summary.items() if not k.startswith("_")}
 
 
 def cmd_baseline(args):
@@ -153,6 +165,7 @@ def cmd_baseline(args):
         params, loss = mle.fit_mle(ds.response, ds.train_mask, cfg)
         summary["final_loss"] = loss
         summary["heldout_acc"] = impute_acc(np.asarray(mle.response_prob(params, cfg)))
+        summary["_theta_hat"] = np.asarray(params["theta"])
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 np.asarray(params["theta"]), sim.theta,
@@ -164,6 +177,7 @@ def cmd_baseline(args):
         summary["log_marginal"] = res["log_marginal"]
         summary["iterations"] = res["iterations"]
         summary["heldout_acc"] = impute_acc(em.response_prob(res))
+        summary["_theta_hat"] = res["theta_eap"][:, None]
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 res["theta_eap"], sim.theta[:, 0])["pearson"], 4)
@@ -194,13 +208,15 @@ def cmd_baseline(args):
                   f"--hmc-samples", file=sys.stderr)
         summary["heldout_acc"] = impute_acc(
             hmc.posterior_mean_prob(out["samples"], args.irt_model))
+        summary["_theta_hat"] = out["samples"]["theta"].mean(0)
+        summary["_theta_sd"] = out["samples"]["theta"].std(0)
         if sim is not None:
-            theta_mean = out["samples"]["theta"].mean(0)
             summary["theta_pearson"] = round(evaluation.correlation(
-                theta_mean, sim.theta, align_rotation=True)["pearson"], 4)
+                summary["_theta_hat"], sim.theta,
+                align_rotation=True)["pearson"], 4)
     else:
         raise SystemExit(f"unknown method {args.method}")
-    print(json.dumps(summary))
+    print(json.dumps(_public(summary)))
     return summary
 
 
@@ -242,8 +258,28 @@ def cmd_compare(args):
                             if args.irt_model in ("1pl", "2pl", "3pl") else "2pl")
         timed(method, lambda: cmd_baseline(b_args))
 
-    cols = ("method", "seconds", "heldout_acc", "theta_pearson")
-    table = [{c: r.get(c) for c in cols} for r in rows]
+    # Cross-method posterior agreement (the paper's protocol when no ground
+    # truth exists, SURVEY.md section 3.3 / 4.4): correlate every method's
+    # theta point estimates against the HMC posterior means on the shared
+    # split, and VIBO's posterior sigma against HMC's posterior sd
+    # (calibration). Works on real datasets where theta_pearson is absent.
+    from vibo_tpu import evaluation
+    hmc_row = next((r for r in rows if r["method"] == "hmc"), None)
+    if hmc_row is not None and "_theta_hat" in hmc_row:
+        ref = hmc_row["_theta_hat"]
+        for r in rows:
+            if r is hmc_row or "_theta_hat" not in r:
+                continue
+            r["theta_vs_hmc"] = round(evaluation.correlation(
+                r["_theta_hat"], ref, align_rotation=True)["pearson"], 4)
+            if "_theta_sigma" in r and "_theta_sd" in hmc_row:
+                r["sigma_vs_hmc"] = round(evaluation.correlation(
+                    r["_theta_sigma"], hmc_row["_theta_sd"])["pearson"], 4)
+        hmc_row["theta_vs_hmc"] = 1.0
+
+    cols = ("method", "seconds", "heldout_acc", "theta_pearson",
+            "theta_vs_hmc", "sigma_vs_hmc", "rhat_max", "converged")
+    table = [{c: r[c] for c in cols if c in r} for r in rows]
     print(json.dumps({"dataset": rows[0]["dataset"], "compare": table}))
     return table
 
