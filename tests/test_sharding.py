@@ -217,12 +217,62 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     np.testing.assert_allclose(res["final_elbo"], res1["final_elbo"], rtol=5e-5)
 
 
-def test_iwae_objective_on_mesh_falls_back_to_gspmd(eight_devices):
-    """mesh + objective='iwae': the dp shard_map path is skipped (its psum
-    cannot express the cross-shard logsumexp) and the GSPMD dense path runs."""
+def test_iwae_dp_device_count_invariant(eight_devices):
+    """The IWAE objective now runs through the packed shard_map DP path
+    (round-1 VERDICT item 4): 8 shards must reproduce the 1-shard bound
+    exactly (exogenous noise + psum'd per-sample log-weights)."""
     ds, model = _setup()
+    kw = dict(lr=1e-2, epochs=12, eval_every=6, log_every=6,
+              objective="iwae", num_mc_samples=3, packed=True)
+    res8 = Trainer(model, TrainConfig(**kw),
+                   mesh=make_mesh(eight_devices)).fit(ds)
+    res1 = Trainer(model, TrainConfig(**kw),
+                   mesh=make_mesh(eight_devices[:1])).fit(ds)
+    assert np.isfinite(res8["final_elbo"])
+    np.testing.assert_allclose(res8["final_elbo"], res1["final_elbo"],
+                               rtol=5e-5)
+
+
+def test_iwae_dp_step_matches_unsharded_loss(eight_devices):
+    """One IWAE DP step's gradient == jax.grad of the identical unsharded
+    IWAE loss built from the same exogenous noise (SGD catches scale bugs)."""
+    import optax
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    ds, model = _setup()
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = jnp.ones(N, jnp.float32)
+    key0, key1 = jax.random.key(0), jax.random.key(7)
+
     mesh = make_mesh(eight_devices)
-    res = Trainer(model, TrainConfig(lr=1e-2, epochs=12, eval_every=6,
-                                     log_every=6, objective="iwae",
-                                     num_mc_samples=3), mesh=mesh).fit(ds)
-    assert np.isfinite(res["final_elbo"])
+    tr = Trainer(model, TrainConfig(lr=1e-2, objective="iwae"), mesh=mesh)
+    tr.optimizer = optax.sgd(0.1)
+    p0, o0 = tr.init_state(key0)
+    step = tr.make_step_packed_dp(0.8, 4)
+    sh_pk, sh_rv = tr._dp_in_shardings()
+    p_dp, _, aux_dp = step(p0, o0, key1,
+                           jax.device_put(packed, sh_pk),
+                           jax.device_put(rowv, sh_rv))
+
+    tr1 = Trainer(model, TrainConfig(lr=1e-2, objective="iwae"))
+    tr1.optimizer = optax.sgd(0.1)
+    p1, o1 = tr1.init_state(key0)
+    item_eps, theta_eps = model.sample_noise(p1, key1, N, 4)
+
+    def loss_fn(p):
+        local, ratio = model.iwae_packed_terms(p, packed, item_eps,
+                                               theta_eps, rowv)
+        return -objectives.iwae_bound(local + 0.8 * ratio)
+
+    g = jax.grad(loss_fn)(p1)
+    upd, _ = tr1.optimizer.update(g, o1, p1)
+    p_ref = optax.apply_updates(p1, upd)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-3, atol=1e-5), p_dp, p_ref)
+    # and the reported bound is the global one
+    def bound_fn(p):
+        local, ratio = model.iwae_packed_terms(p, packed, item_eps,
+                                               theta_eps, rowv)
+        return objectives.iwae_bound(local + 0.8 * ratio)
+    np.testing.assert_allclose(float(aux_dp["elbo"]), float(bound_fn(p1)),
+                               rtol=1e-5)

@@ -493,6 +493,59 @@ class VIBO:
         lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
         return lls.mean(), kl_thetas.mean(), self.item_kl_from(post)
 
+    def iwae_packed_terms(self, params: dict, packed: jax.Array,
+                          item_eps: dict, theta_eps: jax.Array,
+                          row_weight: jax.Array | None = None,
+                          axis_name: str | None = None):
+        """Per-sample LOCAL IWAE log-weight contributions from exogenous
+        noise: the data-parallel IWAE building block.
+
+        Returns (local (S,), ratio (S,)):
+          local_s = masked loglik + log p(theta_s) - log q(theta_s), summed
+                    over THIS shard's persons (valid/padding rows excluded);
+          ratio_s = log p(d_s) - log q(d_s) for the item sample — computed
+                    from shard-invariant inputs, so IDENTICAL on every shard.
+        The trainer combines them across the mesh:
+          log_w = psum(local + item_scale * ratio / n_shards)   # (S,)
+          bound = logsumexp(log_w) - log S
+        psum(ratio / n_shards) == ratio, so the nonlinear logsumexp sees the
+        exact global log-weights while every input stays shard-local
+        (SURVEY.md section 3.2 "MC-sample parallel ... fused with the student
+        shard"; round-1 VERDICT item 4)."""
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        pk = packed.astype(cd)
+        mask = jnp.minimum(pk, 1.0)
+        response = jnp.maximum(pk - 1.0, 0.0)
+        use_packed_kernel = self._use_packed_kernel(params)
+        post = (self.item_dist(params, response, mask, axis_name=axis_name)
+                if cfg.item_encoder else params["item_post"])
+
+        def one_sample(i_eps, t_eps):
+            item_sample = {
+                name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
+                                              post[name]["logvar"])
+                for name in i_eps}
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+            if use_packed_kernel:
+                ll = self._packed_train_loglik(params, theta, item_sample,
+                                               packed).sum()
+            else:
+                ll = self.loglik_per_person(params, theta, item_sample,
+                                            response.astype(jnp.float32),
+                                            mask.astype(jnp.float32)).sum()
+            valid = (mask.sum(-1) > 0).astype(mu.dtype)
+            if row_weight is not None:
+                valid = valid * row_weight
+            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+                  * valid).sum()
+            ratio = self.item_log_ratio_from(post, item_sample)
+            return ll + lp - lq, ratio
+
+        return jax.vmap(one_sample)(item_eps, theta_eps)
+
     def iwae_per_person(self, params: dict, key: jax.Array, response: jax.Array,
                         mask: jax.Array, num_samples: int = 100,
                         num_persons_total: int | None = None) -> jax.Array:

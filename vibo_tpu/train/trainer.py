@@ -183,33 +183,48 @@ class Trainer:
         if mesh is None or dict(mesh.shape).get("items", 1) != 1:
             raise ValueError("data-parallel step needs a students-only mesh")
         n_shards = dict(mesh.shape)["students"]
-        if self.cfg.objective != "elbo":
-            raise ValueError("the shard_map data-parallel step supports the "
-                             "ELBO objective only (IWAE needs a cross-shard "
-                             "logsumexp; use the GSPMD dense path)")
         model, optimizer = self.model, self.optimizer
         from vibo_tpu.ops import objectives
 
-        def shard_fn(params, packed, row_weight, item_eps, theta_eps):
-            def loss_fn(p):
-                ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps,
-                                                      theta_eps, row_weight,
-                                                      axis_name="students")
-                # the sum over shards of this local objective == the global
-                # loss (kli is shard-invariant, hence the /n_shards)
-                local = -(ll - klt - item_scale * kli / n_shards)
-                return local, (ll, klt, kli)
-            (_, (ll, klt, kli)), g = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            # NO explicit psum on g: shard_map's varying-types AD already
-            # psums the cotangents of replicated (P()) inputs at the
-            # replicated->varying boundary, so g IS the global gradient of
-            # the summed local losses. An extra psum multiplies it by the
-            # shard count (a round-1 bug masked by Adam's scale invariance;
-            # caught by the SGD-based grad-equality tests).
-            ll = jax.lax.psum(ll, "students")
-            klt = jax.lax.psum(klt, "students")
-            return g, ll, klt, kli
+        # NO explicit psum on g anywhere below: shard_map's varying-types AD
+        # already psums the cotangents of replicated (P()) inputs at the
+        # replicated->varying boundary, so g IS the global gradient. An
+        # extra psum multiplies it by the shard count (a round-1 bug masked
+        # by Adam's scale invariance; caught by the SGD grad-equality tests).
+        if self.cfg.objective == "iwae":
+            def shard_fn(params, packed, row_weight, item_eps, theta_eps):
+                def loss_fn(p):
+                    local, ratio = model.iwae_packed_terms(
+                        p, packed, item_eps, theta_eps, row_weight,
+                        axis_name="students")
+                    # ratio is shard-invariant: psum(ratio / n_shards) ==
+                    # ratio, so log_w are the exact global log-weights and
+                    # the cross-shard logsumexp is computed identically on
+                    # every chip.
+                    log_w = jax.lax.psum(
+                        local + item_scale * ratio / n_shards, "students")
+                    bound = objectives.iwae_bound(log_w)
+                    return -bound, bound
+                (_, bound), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                zero = jnp.zeros((), jnp.float32)
+                # step() recombines via elbo(ll, klt, kli): bound - 0 - 0
+                return g, bound, zero, zero
+        else:
+            def shard_fn(params, packed, row_weight, item_eps, theta_eps):
+                def loss_fn(p):
+                    ll, klt, kli = model.elbo_packed_sums(
+                        p, packed, item_eps, theta_eps, row_weight,
+                        axis_name="students")
+                    # the sum over shards of this local objective == the
+                    # global loss (kli is shard-invariant, hence /n_shards)
+                    local = -(ll - klt - item_scale * kli / n_shards)
+                    return local, (ll, klt, kli)
+                (_, (ll, klt, kli)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                ll = jax.lax.psum(ll, "students")
+                klt = jax.lax.psum(klt, "students")
+                return g, ll, klt, kli
 
         smapped = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -345,9 +360,6 @@ class Trainer:
             raise ValueError(
                 "packed=True requires a students-only mesh — the shard_map "
                 "data-parallel step does not shard the item axis")
-        if self.mesh is not None and cfg.objective != "elbo":
-            use_packed = False  # IWAE on a mesh: GSPMD dense path (psum'd
-            # logsumexp isn't expressible in the dp shard_map step)
         dp = full_batch and use_packed and self.mesh is not None
         if full_batch:
             if dp:
