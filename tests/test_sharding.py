@@ -217,6 +217,78 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     np.testing.assert_allclose(res["final_elbo"], res1["final_elbo"], rtol=5e-5)
 
 
+def test_2d_packed_step_matches_unsharded(eight_devices):
+    """One packed step on the 4x2 ('students','items') mesh == jax.grad of
+    the identical unsharded packed loss (SGD; exact tile/slice/psum check
+    for the 2D path — round-1 VERDICT item 3)."""
+    import optax
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    ds, model = _setup()
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = jnp.ones(N, jnp.float32)
+    key0, key1 = jax.random.key(0), jax.random.key(7)
+
+    mesh = make_mesh(eight_devices, item_axis=2)
+    tr = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    tr.optimizer = optax.sgd(0.1)
+    p0, o0 = tr.init_state(key0)
+    step = tr.make_step_packed_dp(0.8, 2)
+    sh_pk, sh_rv = tr._dp_in_shardings()
+    p_dp, _, aux_dp = step(p0, o0, key1,
+                           jax.device_put(packed, sh_pk),
+                           jax.device_put(rowv, sh_rv))
+
+    tr1 = Trainer(model, TrainConfig(lr=1e-2))
+    tr1.optimizer = optax.sgd(0.1)
+    p1, o1 = tr1.init_state(key0)
+    item_eps, theta_eps = model.sample_noise(p1, key1, N, 2)
+
+    def loss_fn(p):
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_eps,
+                                              rowv)
+        return -objectives.elbo(ll, klt, kli, 0.8)
+
+    g = jax.grad(loss_fn)(p1)
+    upd, _ = tr1.optimizer.update(g, o1, p1)
+    p_ref = optax.apply_updates(p1, upd)
+    # item_post must NOT be device-put item-sharded here: the 2D packed step
+    # keeps params replicated and slices per shard, and p0 was init'd with
+    # param_shardings — tolerate layout by comparing values only.
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5), p_dp, p_ref)
+    ll, klt, kli = model.elbo_packed_sums(p1, packed, item_eps, theta_eps,
+                                          rowv)
+    np.testing.assert_allclose(float(aux_dp["elbo"]),
+                               float(objectives.elbo(ll, klt, kli, 0.8)),
+                               rtol=1e-5)
+
+
+def test_2d_packed_fit_matches_students_only(eight_devices):
+    """Full fit through the 2D packed path == the students-only DP path
+    (same exogenous noise => identical math, device-layout independent)."""
+    ds, model = _setup()
+    kw = dict(lr=1e-2, epochs=16, eval_every=8, log_every=8, packed=True)
+    res_2d = Trainer(model, TrainConfig(**kw),
+                     mesh=make_mesh(eight_devices, item_axis=2)).fit(ds)
+    res_dp = Trainer(model, TrainConfig(**kw),
+                     mesh=make_mesh(eight_devices)).fit(ds)
+    np.testing.assert_allclose(res_2d["final_elbo"], res_dp["final_elbo"],
+                               rtol=5e-5)
+    accs2 = [h["acc"] for h in res_2d["history"] if h["event"] == "eval"]
+    accs1 = [h["acc"] for h in res_dp["history"] if h["event"] == "eval"]
+    np.testing.assert_allclose(accs2, accs1, atol=1e-6)
+
+
+def test_2d_packed_rejects_indivisible_items(eight_devices):
+    sim = simulate_irt("2pl", 32, 17, ability_dim=1, seed=3)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=3)
+    model = VIBO(VIBOConfig(num_items=17, irt_model="2pl", hidden_dim=16))
+    mesh = make_mesh(eight_devices, item_axis=2)
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(model, TrainConfig(packed=True), mesh=mesh).fit(ds)
+
+
 def test_iwae_dp_device_count_invariant(eight_devices):
     """The IWAE objective now runs through the packed shard_map DP path
     (round-1 VERDICT item 4): 8 shards must reproduce the 1-shard bound

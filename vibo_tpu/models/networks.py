@@ -110,6 +110,60 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
     return mu, jnp.clip(logvar, -8.0, 8.0)
 
 
+def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
+                                       num_items_total: int, item_index,
+                                       axis_name: str,
+                                       compute_dtype=jnp.float32):
+    """Ability encoder under ITEM-AXIS sharding (2D ('students','items')
+    mesh): each shard holds the (B_local, M_local) column block
+    [item_index*M_local, (item_index+1)*M_local) of the response matrix and
+    the matching block of sampled item parameters.
+
+    The first layer is a contraction over the item axis, so it shards
+    naturally: each shard contracts its local columns against the
+    corresponding ROWS of W1 (and of the item-feature block, per head), and
+    the (B, H) partials psum over `axis_name`. The remaining layers are
+    (H, H)-tiny and run replicated. Output is bitwise the same math as
+    apply_ability_encoder on the full matrix (tested sharded == replicated).
+
+    item_sample: {name: (M_local, D)} local block, or None for the
+    mean-field ablation (no item conditioning).
+    """
+    w1, rest = params[0], params[1:]
+    m_l = response.shape[-1]
+    off = item_index * m_l
+    cd = compute_dtype
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x.astype(cd), w.astype(cd),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    rm = response * mask
+    w_r = jax.lax.dynamic_slice_in_dim(w1["w"], off, m_l, 0)
+    w_m = jax.lax.dynamic_slice_in_dim(w1["w"], num_items_total + off, m_l, 0)
+    h = mm(rm, w_r) + mm(mask, w_m)
+    if item_sample is not None:
+        # feats layout matches flatten_item_sample: sorted keys, each an
+        # item-major (M*D,) block starting at 2M + sum of earlier blocks
+        base = 2 * num_items_total
+        for name in sorted(item_sample):
+            s = item_sample[name]                       # (M_l, D)
+            d = s.shape[-1]
+            w_f = jax.lax.dynamic_slice_in_dim(w1["w"], base + off * d,
+                                               m_l * d, 0)
+            h = h + mm(s.reshape(-1), w_f)[None, :]
+            base += num_items_total * d
+    h = jax.lax.psum(h, axis_name)
+    x = jax.nn.relu(h + w1["b"])
+    for layer in rest[:-1]:
+        x = jax.nn.relu(mm(x, layer["w"]) + layer["b"])
+    out = linear(rest[-1], x)
+    mu, logvar = jnp.split(out, 2, axis=-1)
+    return mu, jnp.clip(logvar, -8.0, 8.0)
+
+
 # ------------------------------------------------------ item posteriors
 
 def item_head_spec(irt_model: str, ability_dim: int,

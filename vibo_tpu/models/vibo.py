@@ -216,8 +216,9 @@ class VIBO:
         if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl", "3pl"):
             from vibo_tpu.ops import pallas_elbo
             a = lp.get("a")
-            if a is None:  # 1PL == 2PL with unit discriminations on summed theta
-                a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+            if a is None:  # 1PL == 2PL with unit discriminations on summed
+                # theta; sized from the data so item-sharded tiles work
+                a = jnp.ones((mask.shape[-1], cfg.ability_dim), theta.dtype)
             if cfg.irt_model == "3pl":
                 return pallas_elbo.masked_loglik_3pl(theta, a, lp["b"],
                                                      lp["g_hat"], response, mask)
@@ -317,8 +318,9 @@ class VIBO:
                 theta, item_sample["d"], params["deep_link"], packed)
         lp = self._link_params(item_sample)
         a = lp.get("a")
-        if a is None:  # 1PL == 2PL with unit discriminations on summed theta
-            a = jnp.ones((cfg.num_items, cfg.ability_dim), theta.dtype)
+        if a is None:  # 1PL == 2PL with unit discriminations on summed
+            # theta; sized from the data so item-sharded tiles work
+            a = jnp.ones((packed.shape[-1], cfg.ability_dim), theta.dtype)
         if cfg.irt_model == "3pl":
             return pallas_elbo.masked_loglik_3pl_packed_train(
                 theta, a, lp["b"], lp["g_hat"], packed)
@@ -492,6 +494,73 @@ class VIBO:
 
         lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
         return lls.mean(), kl_thetas.mean(), self.item_kl_from(post)
+
+    def elbo_packed_sums_2d(self, params: dict, packed: jax.Array,
+                            item_eps: dict, theta_eps: jax.Array,
+                            row_weight: jax.Array,
+                            item_index, items_axis: str = "items"):
+        """Shard-local ELBO partial sums on a 2D ('students','items') mesh
+        tile: packed is this shard's (B_local, M_local) block; item
+        posteriors/noise are sliced from the replicated arrays at
+        item_index*M_local (their gradients are block-sparse, so the
+        varying-types auto-psum reassembles the full gradient).
+
+        Returns (ll_local, klt_local, kli_local):
+          ll_local  — this tile's masked loglik (sums over the whole mesh);
+          klt_local — this student shard's theta KL, IDENTICAL on every item
+                      shard (theta comes from the psum'd sharded encoder),
+                      so the caller divides by the item-shard count;
+          kli_local — this item block's KL, identical on every student
+                      shard, so the caller divides by the student-shard
+                      count. (SURVEY.md section 3.2: the 2D mesh is the
+                      natural generalization; round-1 VERDICT item 3.)
+        """
+        cfg = self.cfg
+        if cfg.item_encoder:
+            raise ValueError(
+                "the amortized item encoder is not supported on an "
+                "item-sharded mesh yet (its column statistics need a "
+                "two-axis reduction); use a students-only mesh")
+        cd = jnp.dtype(cfg.compute_dtype)
+        pk = packed.astype(cd)
+        mask = jnp.minimum(pk, 1.0)
+        response = jnp.maximum(pk - 1.0, 0.0)
+        use_packed_kernel = self._use_packed_kernel(params)
+        m_l = packed.shape[1]
+        off = item_index * m_l
+        post = {name: {k: jax.lax.dynamic_slice_in_dim(v[k], off, m_l, 0)
+                       for k in ("mu", "logvar")}
+                for name, v in params["item_post"].items()}
+        # global row validity: a person can have zero observed cells in THIS
+        # item block yet be valid (their KL must count exactly once)
+        row_cnt = jax.lax.psum(mask.sum(-1), items_axis)
+        valid = (row_cnt > 0).astype(jnp.float32) * row_weight
+
+        def one_sample(i_eps, t_eps):
+            item_sample = {}
+            for name in i_eps:
+                eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
+                item_sample[name] = dist.reparameterize_eps(
+                    eps_loc, post[name]["mu"], post[name]["logvar"])
+            mu, logvar = networks.apply_ability_encoder_item_sharded(
+                params["encoder"], response, mask,
+                item_sample if cfg.conditional_posterior else None,
+                cfg.num_items, item_index, items_axis, compute_dtype=cd)
+            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+            if use_packed_kernel:
+                ll = self._packed_train_loglik(params, theta, item_sample,
+                                               packed)
+            else:
+                ll = self.loglik_per_person(params, theta, item_sample,
+                                            response.astype(jnp.float32),
+                                            mask.astype(jnp.float32))
+            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
+            return ll.sum(), kl_theta.sum()
+
+        lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
+        kli = sum(dist.kl_standard_normal(p["mu"], p["logvar"]).sum()
+                  for p in post.values())
+        return lls.mean(), kl_thetas.mean(), kli
 
     def iwae_packed_terms(self, params: dict, packed: jax.Array,
                           item_eps: dict, theta_eps: jax.Array,

@@ -180,8 +180,10 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
 
         mesh = self.mesh
-        if mesh is None or dict(mesh.shape).get("items", 1) != 1:
-            raise ValueError("data-parallel step needs a students-only mesh")
+        if mesh is None:
+            raise ValueError("data-parallel step needs a mesh")
+        if dict(mesh.shape).get("items", 1) != 1:
+            return self._dp2d_raw_step(item_scale, num_samples)
         n_shards = dict(mesh.shape)["students"]
         model, optimizer = self.model, self.optimizer
         from vibo_tpu.ops import objectives
@@ -247,8 +249,77 @@ class Trainer:
 
         return step
 
+    def _dp2d_raw_step(self, item_scale: float, num_samples: int):
+        """shard_map packed step on a 2D ('students','items') mesh (un-jitted).
+
+        The packed matrix is tiled BOTH ways: each chip runs the fused
+        kernel on its (student-block, item-block) tile with the item
+        posteriors/noise sliced at its item index; the ability encoder's
+        first layer (a contraction over items) runs as per-shard partial
+        matmuls psum'd over the 'items' axis (networks.
+        apply_ability_encoder_item_sharded). Wide matrices (DuoLingo-scale
+        item axes) therefore never materialize a full response row per chip.
+        Loss scaling: theta-KL is identical across item shards (/n_items
+        shards) and item-KL across student shards (/n_student shards), so
+        the mesh-summed local losses equal the global loss and the
+        varying-types auto-psum delivers exact global gradients."""
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        shape = dict(mesh.shape)
+        n_s, n_i = shape["students"], shape["items"]
+        if self.cfg.objective != "elbo":
+            raise ValueError(
+                "objective='iwae' is not supported on an item-sharded mesh "
+                "yet — use a students-only mesh (items=1), where the "
+                "shard_map IWAE step runs")
+        model, optimizer = self.model, self.optimizer
+        from vibo_tpu.ops import objectives
+
+        def shard_fn(params, packed, row_weight, item_eps, theta_eps):
+            item_index = jax.lax.axis_index("items")
+
+            def loss_fn(p):
+                ll, klt, kli = model.elbo_packed_sums_2d(
+                    p, packed, item_eps, theta_eps, row_weight, item_index)
+                local = -(ll - klt / n_i - item_scale * kli / n_s)
+                return local, (ll, klt, kli)
+            (_, (ll, klt, kli)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            # reporting only (g needs no psum — see _dp_raw_step): ll sums
+            # over the whole mesh; klt over students (item-shard invariant);
+            # kli over items (student-shard invariant)
+            ll = jax.lax.psum(ll, ("students", "items"))
+            klt = jax.lax.psum(klt, "students")
+            kli = jax.lax.psum(kli, "items")
+            return g, ll, klt, kli
+
+        smapped = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("students", "items"), P("students"), P(),
+                      P(None, "students", None)),
+            out_specs=(P(), P(), P(), P()))
+
+        def step(params, opt_state, key, packed, row_weight):
+            item_eps, theta_eps = model.sample_noise(params, key,
+                                                     packed.shape[0],
+                                                     num_samples)
+            grads, ll, klt, kli = smapped(params, packed, row_weight,
+                                          item_eps, theta_eps)
+            bound = objectives.elbo(ll, klt, kli, item_scale)
+            aux = {"elbo": bound, "loglik": ll, "kl_theta": klt,
+                   "kl_items": kli}
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        return step
+
     def _dp_in_shardings(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if dict(self.mesh.shape).get("items", 1) != 1:
+            return (NamedSharding(self.mesh, P("students", "items")),
+                    NamedSharding(self.mesh, P("students")))
         return (meshlib.batch_sharding(self.mesh),
                 NamedSharding(self.mesh, P("students")))
 
@@ -344,22 +415,31 @@ class Trainer:
             os.path.join(cfg.out_dir, "metrics.jsonl") if cfg.out_dir else None)
 
         full_batch = batch_size >= n
-        items_mesh = (self.mesh is not None
-                      and dict(self.mesh.shape).get("items", 1) != 1)
+        n_items_axis = (dict(self.mesh.shape).get("items", 1)
+                        if self.mesh is not None else 1)
+        items_mesh = n_items_axis != 1
+        # 2D packed support: the tile step handles the ELBO with the
+        # free-form item posterior on an evenly-divisible item axis
+        can_2d = (items_mesh and cfg.objective == "elbo"
+                  and not self.model.cfg.item_encoder
+                  and m % n_items_axis == 0)
         use_packed = cfg.packed
         if use_packed is None:
             # auto: elbo_packed handles every link (fused kernels for linear
             # links + supported deep; XLA fallback otherwise), and int8
             # packing always cuts response HBM traffic
-            use_packed = full_batch and not items_mesh
+            use_packed = full_batch and (not items_mesh or can_2d)
         elif use_packed and not full_batch:
             raise ValueError(
                 "packed=True requires full-batch training (batch_size=None); "
                 "the minibatch path trains on unpacked resp/mask")
-        elif use_packed and items_mesh:
+        elif use_packed and items_mesh and not can_2d:
             raise ValueError(
-                "packed=True requires a students-only mesh — the shard_map "
-                "data-parallel step does not shard the item axis")
+                "packed=True on an item-sharded mesh needs objective='elbo', "
+                "a free-form item posterior (item_encoder=False), and "
+                f"num_items divisible by the items axis (got {m} items on "
+                f"{n_items_axis} item shards) — pad the dataset via "
+                "data.masking.pad_to_multiple or use a students-only mesh")
         dp = full_batch and use_packed and self.mesh is not None
         if full_batch:
             if dp:
