@@ -131,9 +131,14 @@ def test_amortized_packed_matches_dense():
 def test_amortized_iwae_bound(amortized_2pl):
     sim, ds, model, res = amortized_2pl
     out = evaluation.iwae_loglik(model, res["params"], jax.random.key(7), ds,
-                                 num_samples=20)
+                                 num_samples=20, on="train")
     assert np.isfinite(out["loglik"])
     assert out["loglik_per_cell"] > np.log(0.5)
+    # default (held-out) protocol runs and is below the train bound
+    out_h = evaluation.iwae_loglik(model, res["params"], jax.random.key(7),
+                                   ds, num_samples=20)
+    assert np.isfinite(out_h["loglik"])
+    assert out_h["loglik_per_cell"] < out["loglik_per_cell"]
 
 
 def test_amortized_dp_step_matches_unsharded(eight_devices):

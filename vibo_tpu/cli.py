@@ -110,11 +110,13 @@ def cmd_train(args):
     summary["heldout_acc"] = round(ev["acc"], 4)
     summary["heldout_base_rate"] = round(ev["base_rate"], 4)
     if args.iwae_samples:
+        on = getattr(args, "iwae_on", "heldout")
         iw = evaluation.iwae_loglik(model, res["params"],
                                     jax.random.key(args.seed + 1), ds,
-                                    num_samples=args.iwae_samples)
+                                    num_samples=args.iwae_samples, on=on)
         summary["iwae_loglik_per_cell"] = round(iw["loglik_per_cell"], 5)
         summary["iwae_samples"] = args.iwae_samples
+        summary["iwae_on"] = on
     if test_ds is not None:
         ev_new = evaluation.amortized_new_person_eval(model, res["params"], test_ds)
         summary["new_person_acc"] = round(ev_new["acc"], 4)
@@ -305,6 +307,10 @@ def main(argv=None):
                         "(arXiv:2108.11579)")
     t.add_argument("--iwae-samples", type=int, default=0,
                    help="if >0, evaluate the IWAE-S test log-lik")
+    t.add_argument("--iwae-on", default="heldout",
+                   choices=["heldout", "train"],
+                   help="cells the IWAE bound scores (the paper's metric is "
+                        "held-out test log-likelihood)")
     t.add_argument("--eval-every", type=int, default=50)
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")

@@ -74,12 +74,13 @@ def imputation_accuracy(model: VIBO, params, ds: Dataset,
 
 def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
                 num_samples: int = 100, block_size: int = 2048,
-                on: str = "train") -> dict:
+                on: str = "heldout") -> dict:
     """IWAE-S bound on log p(r) over observed cells, summed over person blocks.
 
-    on='train' evaluates the training-visible cells; on='heldout' the hidden
-    ones (conditioning the encoder on the train-visible responses either way,
-    matching the imputation protocol).
+    on='heldout' (default — the paper's metric is TEST log-likelihood,
+    SURVEY.md section 1) evaluates the hidden cells; on='train' the
+    training-visible ones. The encoder conditions on the train-visible
+    responses either way, matching the imputation protocol.
     """
     if model.cfg.use_pallas:
         # Eval runs once per fit: the XLA loglik vmaps over S samples in one
