@@ -91,9 +91,11 @@ def measure_throughput(trainer, params, opt_state, data, packed,
 
 
 def measure_time_to_train(trainer, model, params, opt_state, data, packed, ds,
-                          target_epochs=300, chunk=50):
-    """Wall-clock to train 300 full-batch epochs (compile excluded) +
-    final held-out accuracy."""
+                          target_epochs=300, converged_epochs=1500, chunk=50):
+    """Wall-clock to train `target_epochs` full-batch epochs (compile
+    excluded) + held-out accuracy there AND at `converged_epochs` — the
+    repo's own converged operating point (round-1 verdict: the bench must
+    demonstrate accuracy at convergence, not at an undertrained cutoff)."""
     import jax
     from vibo_tpu import evaluation
 
@@ -110,7 +112,15 @@ def measure_time_to_train(trainer, model, params, opt_state, data, packed, ds,
         elbo = float(e)  # forces completion of the chunk
     seconds = time.perf_counter() - t0
     acc = evaluation.imputation_accuracy(model, p, ds)
-    return seconds, elbo, acc
+    # continue to the converged operating point
+    t1 = time.perf_counter()
+    for i in range((converged_epochs - target_epochs) // chunk):
+        key, sub = jax.random.split(key)
+        p, o, e = run(p, o, sub, *data)
+    elbo_conv = float(e)
+    seconds_conv = seconds + (time.perf_counter() - t1)
+    acc_conv = evaluation.imputation_accuracy(model, p, ds)
+    return seconds, elbo, acc, seconds_conv, elbo_conv, acc_conv, p
 
 
 def main():
@@ -142,7 +152,8 @@ def main():
     if packed:
         import jax.numpy as jnp
         from vibo_tpu.ops.pallas_elbo import pack_responses
-        data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),)
+        data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),
+                jnp.asarray((ds.train_mask.sum(-1) > 0).astype(np.float32)))
     else:
         data = (resp, mask)
 
@@ -150,15 +161,21 @@ def main():
     cells = args.persons * args.items
     cells_per_sec = cells / per_step
 
-    train_seconds, final_elbo, acc = measure_time_to_train(
+    (train_seconds, final_elbo, acc, train_seconds_conv, final_elbo_conv,
+     acc_conv, trained_params) = measure_time_to_train(
         trainer, model, params, opt_state, data, packed, ds)
 
-    # cfg-2 eval at the north-star scale: IWAE-100 test log-lik wall-clock
+    # cfg-2 eval at the north-star scale: IWAE-100 test log-lik wall-clock,
+    # on the TRAINED params, held-out (the paper's metric) + train-visible
     from vibo_tpu import evaluation
+    import jax as _jax
     t0 = time.perf_counter()
-    iw = evaluation.iwae_loglik(model, params, jax.random.key(7), ds,
-                                num_samples=100)
+    iw = evaluation.iwae_loglik(model, trained_params, _jax.random.key(7), ds,
+                                num_samples=100, on="heldout")
     iwae_seconds = time.perf_counter() - t0
+    iw_train = evaluation.iwae_loglik(model, trained_params,
+                                      _jax.random.key(7), ds,
+                                      num_samples=100, on="train")
 
     if args.skip_cpu:
         cpu_cells_per_sec = None
@@ -182,8 +199,13 @@ def main():
             "train_300_epochs_seconds": round(train_seconds, 3),
             "final_elbo": round(final_elbo, 1),
             "heldout_acc": round(acc["acc"], 4),
+            "train_1500_epochs_seconds": round(train_seconds_conv, 3),
+            "final_elbo_1500": round(final_elbo_conv, 1),
+            "heldout_acc_1500": round(acc_conv["acc"], 4),
             "heldout_base_rate": round(acc["base_rate"], 4),
-            "iwae100_loglik_per_cell": round(iw["loglik_per_cell"], 5),
+            "iwae100_heldout_loglik_per_cell": round(iw["loglik_per_cell"], 5),
+            "iwae100_train_loglik_per_cell": round(
+                iw_train["loglik_per_cell"], 5),
             "iwae100_seconds": round(iwae_seconds, 2),
             "cpu_reference_cells_per_sec": (round(cpu_cells_per_sec, 1)
                                             if cpu_cells_per_sec else None),

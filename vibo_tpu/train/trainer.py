@@ -101,13 +101,15 @@ class Trainer:
         return params, opt_state
 
     def _loss_and_aux(self, p, key, item_scale, num_samples, data, packed):
-        """(neg objective, aux) for either training bound; data is (packed,)
-        or (resp, mask)."""
+        """(neg objective, aux) for either training bound; data is
+        (packed, row_valid) or (resp, mask). row_valid is precomputed
+        host-side once per fit — deriving it inside the step re-reduces the
+        int8 matrix every scan iteration (see VIBO.elbo_packed)."""
         model = self.model
         if self.cfg.objective == "iwae":
             if packed:
                 bound = model.iwae_packed(p, key, data[0], item_scale,
-                                          num_samples)
+                                          num_samples, row_valid=data[1])
             else:
                 bound = model.iwae(p, key, data[0], data[1], num_samples,
                                    item_scale)
@@ -118,7 +120,7 @@ class Trainer:
                             "kl_theta": zero, "kl_items": zero}
         if packed:
             bound, aux = model.elbo_packed(p, key, data[0], item_scale,
-                                           num_samples)
+                                           num_samples, row_valid=data[1])
         else:
             bound, aux = model.elbo(p, key, data[0], data[1], item_scale,
                                     num_samples)
@@ -143,25 +145,55 @@ class Trainer:
         return jax.jit(step, donate_argnums=donate,
                        in_shardings=(None, None, None, batch_sh, batch_sh))
 
-    def make_step_packed(self, item_scale: float, num_samples: int):
-        """Train step consuming the packed int8 response code (perf pipeline:
-        the int8 matrix is the only response-sized HBM read per step)."""
-        model, optimizer = self.model, self.optimizer
+    def _packed_raw_step(self, item_scale: float, num_samples: int):
+        """Un-jitted packed train step (perf pipeline: the int8 matrix is the
+        only response-sized HBM read per step) for both objectives.
 
-        def step(params, opt_state, key, packed):
+        Reparameterization noise is EXOGENOUS — drawn outside loss_fn via
+        sample_noise, exactly like the DP path. Drawing it inside the
+        differentiated function makes XLA fuse the threefry+erfinv chain
+        into (B, K)-shaped consumer fusions with [32,1] windows AND
+        recompute it in the VJP pass: profiled 2 x ~60 us/step at 10k x 1k
+        on v5e vs ~6 us as a standalone op."""
+        model, optimizer = self.model, self.optimizer
+        from vibo_tpu.ops import objectives
+        iwae = self.cfg.objective == "iwae"
+
+        def step(params, opt_state, key, packed, row_valid):
+            item_eps, theta_eps = model.sample_noise(params, key,
+                                                     packed.shape[0],
+                                                     num_samples)
+
             def loss_fn(p):
-                return self._loss_and_aux(p, key, item_scale, num_samples,
-                                          (packed,), packed=True)
+                if iwae:
+                    local, ratio = model.iwae_packed_terms(
+                        p, packed, item_eps, theta_eps, row_valid)
+                    bound = objectives.iwae_bound(local + item_scale * ratio)
+                    zero = jnp.zeros((), jnp.float32)
+                    return -bound, {"elbo": bound, "loglik": bound,
+                                    "kl_theta": zero, "kl_items": zero}
+                ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps,
+                                                      theta_eps, row_valid)
+                bound = objectives.elbo(ll, klt, kli, item_scale)
+                return -bound, {"elbo": bound, "loglik": ll,
+                                "kl_theta": klt, "kl_items": kli}
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, aux
 
+        return step
+
+    def make_step_packed(self, item_scale: float, num_samples: int):
+        """Jit'd packed train step (see _packed_raw_step)."""
+        step = self._packed_raw_step(item_scale, num_samples)
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0, 1))
+        from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sh = meshlib.batch_sharding(self.mesh)
+        row_sh = NamedSharding(self.mesh, P("students"))
         return jax.jit(step, donate_argnums=(0, 1),
-                       in_shardings=(None, None, None, batch_sh))
+                       in_shardings=(None, None, None, batch_sh, row_sh))
 
     def _dp_raw_step(self, item_scale: float, num_samples: int):
         """shard_map data-parallel packed step body (un-jitted).
@@ -354,14 +386,18 @@ class Trainer:
         Returns (params, opt_state, key, aux_stack) with per-step aux."""
         model, optimizer = self.model, self.optimizer
 
-        def raw_step(params, opt_state, key, *data):
-            def loss_fn(p):
-                return self._loss_and_aux(p, key, item_scale, num_samples,
-                                          data, packed=packed)
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, aux
+        if packed:
+            raw_step = self._packed_raw_step(item_scale, num_samples)
+        else:
+            def raw_step(params, opt_state, key, *data):
+                def loss_fn(p):
+                    return self._loss_and_aux(p, key, item_scale, num_samples,
+                                              data, packed=False)
+                (_, aux), grads = jax.value_and_grad(loss_fn,
+                                                     has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, aux
 
         def run(params, opt_state, key, *data):
             def body(carry, _):
@@ -376,8 +412,10 @@ class Trainer:
         dn = (0, 1) if donate else ()
         if self.mesh is None:
             return jax.jit(run, donate_argnums=dn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sh = meshlib.batch_sharding(self.mesh)
-        data_sh = (batch_sh,) if packed else (batch_sh, batch_sh)
+        row_sh = NamedSharding(self.mesh, P("students"))
+        data_sh = (batch_sh, row_sh) if packed else (batch_sh, batch_sh)
         return jax.jit(run, donate_argnums=dn,
                        in_shardings=(None, None, None) + data_sh)
 
@@ -441,6 +479,9 @@ class Trainer:
                 f"{n_items_axis} item shards) — pad the dataset via "
                 "data.masking.pad_to_multiple or use a students-only mesh")
         dp = full_batch and use_packed and self.mesh is not None
+        # row validity, folded host-side once per fit: has-any-observed-cell
+        # (real all-missing rows are possible) and, for DP, padding rows
+        row_valid = (ds.train_mask.sum(-1) > 0).astype(np.float32)
         if full_batch:
             if dp:
                 from vibo_tpu.ops.pallas_elbo import pack_responses
@@ -448,13 +489,14 @@ class Trainer:
                 pad = (-n) % n_sh
                 pk = pack_responses(ds.response, ds.train_mask)
                 pk = np.pad(pk, ((0, pad), (0, 0)))  # 0 == missing: inert
-                rowv = np.pad(np.ones(n, np.float32), (0, pad))
+                rowv = np.pad(row_valid, (0, pad))
                 sh_pk, sh_rv = self._dp_in_shardings()
                 data = (jax.device_put(jnp.asarray(pk), sh_pk),
                         jax.device_put(jnp.asarray(rowv), sh_rv))
             elif use_packed:
                 from vibo_tpu.ops.pallas_elbo import pack_responses
-                data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),)
+                data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),
+                        jnp.asarray(row_valid))
             else:
                 data = (jnp.asarray(ds.response), jnp.asarray(ds.train_mask))
                 if self.mesh is not None:
