@@ -164,9 +164,50 @@ def test_method_agreement(synth_2pl):
     assert c["pearson"] > 0.9
 
 
-def test_em_rejects_3pl():
-    import pytest
-    from vibo_tpu.models import em
-    with pytest.raises(ValueError, match="1pl"):
-        em.fit_em(np.zeros((4, 4), np.float32), np.ones((4, 4), np.float32),
-                  em.EMConfig(irt_model="3pl"))
+def test_em_3pl_recovery():
+    """3PL EM (Fisher scoring + MAP guess prior): recovers difficulty and
+    discrimination rankings, estimates guessing sanely, and beats the base
+    rate on held-out imputation (round-1 VERDICT item 10)."""
+    sim = simulate_irt("3pl", 1200, 48, ability_dim=1, seed=7)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7)
+    res = em.fit_em(ds.response, ds.train_mask,
+                    em.EMConfig(irt_model="3pl", max_iters=200))
+    assert np.isfinite(res["log_marginal"])
+    assert "g_hat" in res and res["g_hat"].shape == (48,)
+    # guess probabilities stay in a sane multiple-choice range
+    g = 1.0 / (1.0 + np.exp(-res["g_hat"]))
+    assert (g > 0.001).all() and (g < 0.75).all()
+    assert evaluation.correlation(res["b"], sim.b)["pearson"] > 0.75
+    assert evaluation.correlation(res["a"], sim.a[:, 0])["pearson"] > 0.4
+    assert evaluation.correlation(res["theta_eap"],
+                                  sim.theta[:, 0])["pearson"] > 0.75
+    prob = em.response_prob(res)
+    pred = (prob > 0.5).astype(np.float32)
+    h = ds.heldout_mask
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    ones = (h * ds.response).sum() / h.sum()
+    assert acc > max(ones, 1 - ones)
+
+
+def test_em_3pl_marginal_loglik_increases():
+    """EM's monotonicity must survive the 3PL Fisher-scoring M-step."""
+    sim = simulate_irt("3pl", 300, 24, ability_dim=1, seed=9)
+    import jax.numpy as jnp
+    resp = jnp.asarray(sim.response)
+    mask = jnp.asarray(sim.mask)
+    nodes, w = em.gauss_hermite_nodes(41)
+    log_w = jnp.asarray(np.log(np.asarray(w)))
+    a = jnp.ones(24, jnp.float32)
+    pval = (sim.response * sim.mask).sum(0) / np.maximum(sim.mask.sum(0), 1)
+    b = jnp.asarray(-np.log(np.clip(pval, 0.05, 0.95)
+                            / (1 - np.clip(pval, 0.05, 0.95))))
+    g = jnp.full((24,), -1.5, jnp.float32)
+    lls = []
+    for _ in range(6):
+        post, ll = em.e_step(resp, mask, nodes, log_w, a, b, g)
+        lls.append(float(ll))
+        a, b, g = em.m_step_3pl(resp, mask, post, nodes, a, b, g, 8,
+                                -1.5, 1.0)
+    # MAP-regularized: monotone up to the (small) prior-term trade-off
+    assert all(lls[i + 1] >= lls[i] - 1.0 for i in range(len(lls) - 1)), lls
+    assert lls[-1] > lls[0]
