@@ -9,9 +9,27 @@
 // 2=correct) ready for vibo_tpu.ops.pallas_elbo.pack_responses consumers —
 // at ~100x the throughput.
 //
+// Binarization modes (so the datasets that motivated the native path —
+// DuoLingo, WordBank, Gradescope — actually take it; round-1 advisor
+// finding):
+//   0  numeric value > 0.5                                (pisa, critlangacq)
+//   1  numeric value >= numeric denom column               (gradescope)
+//   2  like 1, but the denom column is optional (treated as 1.0 when the
+//      header lacks it)                                    (duolingo)
+//   3  trimmed lowercase string equality with `match`      (wordbank)
+//
+// Robustness (round-1 advisor findings): lines are read with getline so
+// arbitrarily long rows never split mid-record, and numeric fields parse
+// strictly (strtod + full-consumption check) with a surfaced error count —
+// the Python binding raises, matching the Python path's float() behavior —
+// instead of atof silently coercing garbage to "incorrect".
+//
 // C ABI (handle-based), consumed via ctypes from vibo_tpu/data/native.py:
-//   rl_parse(path, person_col, item_col, correct_col, min_p, min_i) -> handle
+//   rl_parse(path, person_col, item_col, correct_col, min_p, min_i)
+//   rl_parse_ex(path, person_col, item_col, correct_col, denom_col, match,
+//               mode, min_p, min_i)
 //   rl_num_persons/rl_num_items(handle)
+//   rl_parse_errors(handle)              // count of unparseable rows
 //   rl_fill(handle, int8* out)           // row-major persons x items
 //   rl_person_ids/rl_item_ids(handle)    // newline-joined sorted ids
 //   rl_error(handle) / rl_free(handle)
@@ -20,8 +38,10 @@
 // tests/test_native.py). Python remains the fallback when the .so is absent.
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -41,11 +61,12 @@ struct Loader {
     std::vector<int8_t> matrix;        // persons x items packed codes
     std::string error;
     std::string person_blob, item_blob;
+    int64_t parse_errors = 0;
 };
 
 // Split one CSV line into fields (no quoted-comma support: the response
-// dumps we target are plain). Returns false if fewer than `need` fields.
-bool split_line(const std::string& line, std::vector<std::string>& out) {
+// dumps we target are plain).
+void split_line(const std::string& line, std::vector<std::string>& out) {
     out.clear();
     size_t start = 0;
     while (true) {
@@ -60,46 +81,81 @@ bool split_line(const std::string& line, std::vector<std::string>& out) {
         out.push_back(line.substr(start, pos - start));
         start = pos + 1;
     }
+}
+
+// Strict numeric parse: the whole (trimmed) field must be consumed.
+bool parse_number(const std::string& s, double* out) {
+    const char* p = s.c_str();
+    while (*p && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (!*p) return false;
+    char* end = nullptr;
+    double v = std::strtod(p, &end);
+    if (end == p) return false;
+    while (*end && std::isspace(static_cast<unsigned char>(*end))) ++end;
+    if (*end) return false;
+    *out = v;
     return true;
+}
+
+std::string lower_trim(const std::string& s) {
+    size_t a = 0, b = s.size();
+    while (a < b && std::isspace(static_cast<unsigned char>(s[a]))) ++a;
+    while (b > a && std::isspace(static_cast<unsigned char>(s[b - 1]))) --b;
+    std::string out = s.substr(a, b - a);
+    for (auto& c : out) c = static_cast<char>(std::tolower(
+        static_cast<unsigned char>(c)));
+    return out;
 }
 
 }  // namespace
 
 extern "C" {
 
-void* rl_parse(const char* path, const char* person_col, const char* item_col,
-               const char* correct_col, int min_per_person, int min_per_item) {
+void* rl_parse_ex(const char* path, const char* person_col,
+                  const char* item_col, const char* correct_col,
+                  const char* denom_col, const char* match, int mode,
+                  int min_per_person, int min_per_item) {
     auto* L = new Loader();
     FILE* f = std::fopen(path, "rb");
     if (!f) {
         L->error = std::string("cannot open ") + path;
         return L;
     }
-    // Read whole file (response dumps are at most a few GB; stream lines).
-    std::string line;
     std::vector<std::string> fields;
-    char buf[1 << 16];
+    char* buf = nullptr;
+    size_t cap = 0;
 
-    // header
-    if (!std::fgets(buf, sizeof buf, f)) {
+    // header (getline: arbitrarily long lines stay one record)
+    if (getline(&buf, &cap, f) < 0) {
         L->error = "empty file";
+        std::free(buf);
         std::fclose(f);
         return L;
     }
-    line = buf;
-    split_line(line, fields);
-    int pcol = -1, icol = -1, ccol = -1;
+    split_line(buf, fields);
+    int pcol = -1, icol = -1, ccol = -1, dcol = -1;
     for (size_t i = 0; i < fields.size(); ++i) {
         if (fields[i] == person_col) pcol = static_cast<int>(i);
         if (fields[i] == item_col) icol = static_cast<int>(i);
         if (fields[i] == correct_col) ccol = static_cast<int>(i);
+        if (denom_col && *denom_col && fields[i] == denom_col)
+            dcol = static_cast<int>(i);
     }
     if (pcol < 0 || icol < 0 || ccol < 0) {
         L->error = "missing column(s): expected " + std::string(person_col) +
                    "," + item_col + "," + correct_col;
+        std::free(buf);
         std::fclose(f);
         return L;
     }
+    if (mode == 1 && dcol < 0) {
+        L->error = "missing column(s): expected denominator " +
+                   std::string(denom_col ? denom_col : "");
+        std::free(buf);
+        std::fclose(f);
+        return L;
+    }
+    const std::string match_lower = lower_trim(match ? match : "");
 
     // intern person/item ids -> uint32
     std::unordered_map<std::string, uint32_t> pid, iid;
@@ -108,12 +164,34 @@ void* rl_parse(const char* path, const char* person_col, const char* item_col,
     std::unordered_map<std::pair<uint32_t, uint32_t>, int8_t, PairHash> cells;
     cells.reserve(1 << 20);
 
-    while (std::fgets(buf, sizeof buf, f)) {
-        line = buf;
-        if (line.empty() || line == "\n") continue;
-        split_line(line, fields);
-        size_t need = static_cast<size_t>(std::max({pcol, icol, ccol}));
-        if (fields.size() <= need) continue;
+    while (getline(&buf, &cap, f) >= 0) {
+        if (buf[0] == '\0' || (buf[0] == '\n' && buf[1] == '\0')) continue;
+        split_line(buf, fields);
+        int need = std::max({pcol, icol, ccol, dcol});
+        if (static_cast<int>(fields.size()) <= need) {
+            L->parse_errors++;
+            continue;
+        }
+        bool correct;
+        if (mode == 3) {
+            correct = lower_trim(fields[ccol]) == match_lower;
+        } else {
+            double c;
+            if (!parse_number(fields[ccol], &c)) {
+                L->parse_errors++;
+                continue;
+            }
+            if (mode == 0) {
+                correct = c > 0.5;
+            } else {  // 1 or 2: compare against the denominator column
+                double d = 1.0;
+                if (dcol >= 0 && !parse_number(fields[dcol], &d)) {
+                    L->parse_errors++;
+                    continue;
+                }
+                correct = c >= d;
+            }
+        }
         auto intern = [](std::unordered_map<std::string, uint32_t>& map,
                          std::vector<std::string>& names,
                          const std::string& key) {
@@ -126,9 +204,9 @@ void* rl_parse(const char* path, const char* person_col, const char* item_col,
         };
         uint32_t p = intern(pid, pnames, fields[pcol]);
         uint32_t i = intern(iid, inames, fields[icol]);
-        double c = std::atof(fields[ccol].c_str());
-        cells[{p, i}] = c > 0.5 ? 2 : 1;  // packed code
+        cells[{p, i}] = correct ? 2 : 1;  // packed code
     }
+    std::free(buf);
     std::fclose(f);
 
     // per-person / per-item observed counts on deduped pairs
@@ -169,8 +247,15 @@ void* rl_parse(const char* path, const char* person_col, const char* item_col,
     return L;
 }
 
+void* rl_parse(const char* path, const char* person_col, const char* item_col,
+               const char* correct_col, int min_per_person, int min_per_item) {
+    return rl_parse_ex(path, person_col, item_col, correct_col, "", "", 0,
+                       min_per_person, min_per_item);
+}
+
 int64_t rl_num_persons(void* h) { return static_cast<Loader*>(h)->persons.size(); }
 int64_t rl_num_items(void* h) { return static_cast<Loader*>(h)->items.size(); }
+int64_t rl_parse_errors(void* h) { return static_cast<Loader*>(h)->parse_errors; }
 
 const char* rl_error(void* h) {
     auto* L = static_cast<Loader*>(h);

@@ -81,3 +81,82 @@ def test_load_dataset_uses_native(tmp_path):
     ds = load_dataset("pisa", data_dir=str(tmp_path), seed=0)
     assert ds.name == "pisa"
     assert ds.response.shape == (30, 12)
+
+
+def test_long_lines_not_split(tmp_path, rng):
+    """Lines longer than any fixed buffer must stay one record (round-1
+    advisor: a 64 KiB fgets buffer silently split them into phantom rows)."""
+    long_id = "p" + "x" * 100_000  # one ~100 KB field
+    rows = [(long_id, f"i{i}", int(rng.random() < 0.5)) for i in range(12)]
+    rows += [(f"q{p}", f"i{i}", 1) for p in range(8) for i in range(12)]
+    path = tmp_path / "long.csv"
+    _write_csv(path, rows)
+    resp_n, mask_n, pids, iids = native.parse_long_csv(
+        str(path), "student_id", "item_id", "correct")
+    resp_p, mask_p = long_to_matrix(
+        [(str(p), str(i), float(c)) for p, i, c in rows])
+    np.testing.assert_array_equal(resp_n, resp_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
+    assert long_id in pids and len(pids) == 9
+
+
+def test_malformed_numeric_raises(tmp_path):
+    """Non-numeric correct values must raise (like the Python path's
+    float()), not silently coerce to 'incorrect' (round-1 advisor)."""
+    path = tmp_path / "bad.csv"
+    _write_csv(path, [("p0", "i0", 1), ("p0", "i1", "oops"), ("p1", "i0", 0)])
+    with pytest.raises(ValueError, match="unparseable"):
+        native.parse_long_csv(str(path), "student_id", "item_id", "correct",
+                              min_per_person=1, min_per_item=1)
+
+
+def _load_both(tmp_path, name, header, rows):
+    """Load a fixture through load_dataset twice: native on and off."""
+    import csv as _csv
+
+    from vibo_tpu.data import load_dataset
+    from vibo_tpu.data import native as nat
+    path = tmp_path / f"{name}.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    ds_native = load_dataset(name, data_dir=str(tmp_path), seed=0)
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        ds_python = load_dataset(name, data_dir=str(tmp_path), seed=0)
+    finally:
+        nat.available = orig
+    return ds_native, ds_python
+
+
+def test_duolingo_threshold_mode_matches_python(tmp_path, rng):
+    rows = [(f"u{p}", f"lex{i}", int(rng.integers(0, 4)), 3)
+            for p in range(20) for i in range(15) if rng.random() < 0.8]
+    ds_n, ds_p = _load_both(
+        tmp_path, "duolingo",
+        ("user_id", "lexeme_id", "session_correct", "session_seen"),
+        [(u, l, c, min(c, s) if c else s) for u, l, c, s in rows])
+    np.testing.assert_array_equal(ds_n.response, ds_p.response)
+    np.testing.assert_array_equal(ds_n.train_mask, ds_p.train_mask)
+
+
+def test_wordbank_string_mode_matches_python(tmp_path, rng):
+    vals = ["produces", "understands", "", " Produces "]
+    rows = [(f"c{p}", f"w{i}", vals[int(rng.integers(0, 4))])
+            for p in range(20) for i in range(15)]
+    ds_n, ds_p = _load_both(
+        tmp_path, "wordbank", ("child_id", "item_definition", "value"), rows)
+    np.testing.assert_array_equal(ds_n.response, ds_p.response)
+    np.testing.assert_array_equal(ds_n.train_mask, ds_p.train_mask)
+
+
+def test_gradescope_denom_mode_matches_python(tmp_path, rng):
+    rows = [(f"s{p}", f"q{i}", float(rng.integers(0, 11)), 10.0)
+            for p in range(25) for i in range(8)]
+    ds_n, ds_p = _load_both(
+        tmp_path, "gradescope",
+        ("student_id", "question_id", "score", "max_score"), rows)
+    np.testing.assert_array_equal(ds_n.response, ds_p.response)
+    np.testing.assert_array_equal(ds_n.train_mask, ds_p.train_mask)

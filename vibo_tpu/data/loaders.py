@@ -90,17 +90,21 @@ def _read_csv(path):
 
 
 def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
-                      min_per_person: int = 5, min_per_item: int = 5):
-    if binarize is None:
-        # hot path: the native C++ parser (semantics identical to
-        # long_to_matrix; ~100x faster at DuoLingo scale). Falls back to
-        # Python if the toolchain/.so is unavailable.
-        from vibo_tpu.data import native
-        if native.available():
-            resp, mask, _, _ = native.parse_long_csv(
-                path, person_col, item_col, correct_col,
-                min_per_person=min_per_person, min_per_item=min_per_item)
-            return resp, mask
+                      min_per_person: int = 5, min_per_item: int = 5,
+                      native_spec: dict | None = None):
+    # hot path: the native C++ parser (semantics identical to long_to_matrix;
+    # ~100x faster at DuoLingo scale). native_spec carries the dataset's
+    # binarization mode (see native.BINARIZE_*), so EVERY dataset — including
+    # the threshold/string-matched ones the native path was written for —
+    # takes it (round-1 advisor finding: only pisa/critlangacq did). Falls
+    # back to Python if the toolchain/.so is unavailable.
+    from vibo_tpu.data import native
+    if native.available() and (binarize is None or native_spec is not None):
+        resp, mask, _, _ = native.parse_long_csv(
+            path, person_col, item_col, correct_col,
+            min_per_person=min_per_person, min_per_item=min_per_item,
+            **(native_spec or {}))
+        return resp, mask
     rows = []
     for row in _read_csv(path):
         c = binarize(row) if binarize else float(row[correct_col])
@@ -146,19 +150,26 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
             pcol, icol, ccol = _COLUMN_MAPS[name]
             resp, mask = _load_generic_csv(path, pcol, icol, ccol, **kw)
         elif name == "duolingo":
+            from vibo_tpu.data import native as _nat
             resp, mask = _load_generic_csv(
                 path, "user_id", "lexeme_id", "session_correct",
                 binarize=lambda r: 1.0 if float(r["session_correct"]) >=
-                float(r.get("session_seen", 1)) else 0.0, **kw)
+                float(r.get("session_seen", 1)) else 0.0,
+                native_spec=dict(denom_col="session_seen",
+                                 mode=_nat.BINARIZE_GE_DENOM_OPT), **kw)
         elif name == "wordbank":
+            from vibo_tpu.data import native as _nat
             resp, mask = _load_generic_csv(
                 path, "child_id", "item_definition", "value",
                 binarize=lambda r: 1.0 if r["value"].strip().lower() == "produces" else 0.0,
-                **kw)
+                native_spec=dict(match="produces",
+                                 mode=_nat.BINARIZE_STR_MATCH), **kw)
         elif name == "gradescope":
+            from vibo_tpu.data import native as _nat
             resp, mask = _load_generic_csv(
                 path, "student_id", "question_id", "score",
                 binarize=lambda r: 1.0 if float(r["score"]) >= float(r["max_score"]) else 0.0,
-                **kw)
+                native_spec=dict(denom_col="max_score",
+                                 mode=_nat.BINARIZE_GE_DENOM), **kw)
         tag = name
     return holdout_split(resp, mask, holdout_frac=holdout_frac, seed=seed, name=tag)

@@ -37,6 +37,12 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_NATIVE_DIR, "response_loader.cpp")
+    return (os.path.exists(src) and os.path.exists(_SO_PATH)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+
+
 def load_library():
     """Returns the ctypes library or None if unavailable."""
     global _lib, _build_failed
@@ -45,12 +51,17 @@ def load_library():
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO_PATH) and not _build():
+        # (re)build when missing OR when the source is newer than the .so
+        if (not os.path.exists(_SO_PATH) or _stale()) and not _build():
             _build_failed = True
             return None
         lib = ctypes.CDLL(_SO_PATH)
         lib.rl_parse.restype = ctypes.c_void_p
         lib.rl_parse.argtypes = [ctypes.c_char_p] * 4 + [ctypes.c_int] * 2
+        lib.rl_parse_ex.restype = ctypes.c_void_p
+        lib.rl_parse_ex.argtypes = ([ctypes.c_char_p] * 6 + [ctypes.c_int] * 3)
+        lib.rl_parse_errors.restype = ctypes.c_int64
+        lib.rl_parse_errors.argtypes = [ctypes.c_void_p]
         lib.rl_num_persons.restype = ctypes.c_int64
         lib.rl_num_persons.argtypes = [ctypes.c_void_p]
         lib.rl_num_items.restype = ctypes.c_int64
@@ -74,18 +85,34 @@ def available() -> bool:
     return load_library() is not None
 
 
+BINARIZE_GT_HALF = 0        # numeric value > 0.5
+BINARIZE_GE_DENOM = 1       # numeric value >= required denominator column
+BINARIZE_GE_DENOM_OPT = 2   # like 1, denom column optional (defaults to 1)
+BINARIZE_STR_MATCH = 3      # trimmed lowercase string equality
+
+
 def parse_long_csv(path: str, person_col: str, item_col: str, correct_col: str,
-                   min_per_person: int = 5, min_per_item: int = 5):
-    """Native CSV -> (response, mask, person_ids, item_ids). Raises on error."""
+                   min_per_person: int = 5, min_per_item: int = 5,
+                   denom_col: str = "", match: str = "",
+                   mode: int = BINARIZE_GT_HALF):
+    """Native CSV -> (response, mask, person_ids, item_ids). Raises on error,
+    including rows with unparseable numeric fields (matching the Python
+    path's float(), which raises instead of coercing garbage)."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native loader unavailable (no g++ / build failed)")
-    h = lib.rl_parse(path.encode(), person_col.encode(), item_col.encode(),
-                     correct_col.encode(), min_per_person, min_per_item)
+    h = lib.rl_parse_ex(path.encode(), person_col.encode(), item_col.encode(),
+                        correct_col.encode(), denom_col.encode(),
+                        match.encode(), mode, min_per_person, min_per_item)
     try:
         err = lib.rl_error(h)
         if err:
             raise ValueError(f"native loader: {err.decode()}")
+        bad = lib.rl_parse_errors(h)
+        if bad:
+            raise ValueError(
+                f"native loader: {bad} unparseable row(s) in {path} "
+                "(malformed numeric field or too few columns)")
         n = lib.rl_num_persons(h)
         m = lib.rl_num_items(h)
         packed = np.zeros((n, m), dtype=np.int8)
