@@ -172,7 +172,11 @@ def main():
     t0 = time.perf_counter()
     iw = evaluation.iwae_loglik(model, trained_params, _jax.random.key(7), ds,
                                 num_samples=100, on="heldout")
-    iwae_seconds = time.perf_counter() - t0
+    iwae_seconds = time.perf_counter() - t0   # cold: one-time compile+upload
+    t0 = time.perf_counter()
+    iw = evaluation.iwae_loglik(model, trained_params, _jax.random.key(9), ds,
+                                num_samples=100, on="heldout")
+    iwae_warm_seconds = time.perf_counter() - t0
     iw_train = evaluation.iwae_loglik(model, trained_params,
                                       _jax.random.key(7), ds,
                                       num_samples=100, on="train")
@@ -207,6 +211,7 @@ def main():
             "iwae100_train_loglik_per_cell": round(
                 iw_train["loglik_per_cell"], 5),
             "iwae100_seconds": round(iwae_seconds, 2),
+            "iwae100_warm_seconds": round(iwae_warm_seconds, 3),
             "cpu_reference_cells_per_sec": (round(cpu_cells_per_sec, 1)
                                             if cpu_cells_per_sec else None),
             "backend": jax.default_backend(),

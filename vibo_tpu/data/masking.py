@@ -19,9 +19,10 @@ import dataclasses
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class Dataset:
-    """Dense response data with train/held-out masks.
+    """Dense response data with train/held-out masks. (eq=False: identity
+    hashing — evaluation caches device buffers per Dataset instance.)
 
     response:    (N, M) float32 {0,1}; zero where unobserved.
     train_mask:  (N, M) float32; observed cells used for training.

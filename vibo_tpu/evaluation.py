@@ -10,6 +10,9 @@ arXiv:2002.00276 sections 6.3-6.5:
 
 from __future__ import annotations
 
+import functools
+import weakref
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +27,55 @@ def _person_blocks(n: int, block: int):
         yield start, min(start + block, n)
 
 
+_device_ds_cache: "weakref.WeakKeyDictionary[Dataset, tuple]" = \
+    weakref.WeakKeyDictionary()
+
+
+@jax.jit
+def _decode_bits(code: jax.Array):
+    return ((code & 1).astype(jnp.float32),
+            ((code >> 1) & 1).astype(jnp.float32),
+            ((code >> 2) & 1).astype(jnp.float32))
+
+
+def dataset_on_device(ds: Dataset):
+    """(response, train_mask, heldout_mask) as device f32 arrays, cached per
+    Dataset.
+
+    Host->device bytes through this image's TPU relay run at ~50 MB/s and
+    dominated eval wall-clock (2.4 s of a 2.5 s warm IWAE-100 at 10k x 1k was
+    moving 3 x 40 MB of f32). All three matrices are binary, so ONE uint8
+    bit-code (response | train<<1 | heldout<<2) crosses the wire — 12x fewer
+    bytes — and a jitted decode expands it on device. The weak cache makes
+    repeated evals on the same Dataset (every eval_every epochs during fit,
+    heldout+train IWAE in bench) transfer-free."""
+    try:
+        return _device_ds_cache[ds]
+    except KeyError:
+        pass
+    code = ((ds.response > 0).astype(np.uint8)
+            | ((ds.train_mask > 0).astype(np.uint8) << 1)
+            | ((ds.heldout_mask > 0).astype(np.uint8) << 2))
+    out = _decode_bits(jnp.asarray(code))
+    out = tuple(jax.block_until_ready(x) for x in out)
+    _device_ds_cache[ds] = out
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def _jitted(cfg, method: str):
+    """Cached jit of a VIBO method, keyed by the (hashable, frozen) config.
+
+    jax.jit's compilation cache lives on the returned wrapper: wrapping a
+    fresh bound method per evaluation call (as round 1 did) recompiled the
+    SAME program on every eval — profiled at 2-6 s/eval through the remote
+    relay, which dominated end-to-end train wall-clock whenever eval_every
+    divided the epochs. VIBOConfig is a frozen dataclass, so equal configs
+    share one compiled program process-wide."""
+    model = VIBO(cfg)
+    return jax.jit(getattr(model, method))
+
+
 def full_item_dist(model: VIBO, params, ds: Dataset) -> dict:
     """Item posterior conditioned on the FULL train-visible matrix (one
     pass). The free-form posterior ignores the data; the amortized encoder
@@ -32,16 +84,34 @@ def full_item_dist(model: VIBO, params, ds: Dataset) -> dict:
     blocking."""
     if not model.cfg.item_encoder:
         return model.item_dist(params)
-    f = jax.jit(model.item_dist)
-    return f(params, jnp.asarray(ds.response), jnp.asarray(ds.train_mask))
+    f = _jitted(model.cfg, "item_dist")
+    resp, tmask, _ = dataset_on_device(ds)
+    return f(params, resp, tmask)
 
 
 def full_item_mean(model: VIBO, params, ds: Dataset) -> dict:
     return {name: p["mu"] for name, p in full_item_dist(model, params, ds).items()}
 
 
+@functools.lru_cache(maxsize=64)
+def _impute_stats_fn(cfg):
+    """Cached jit'd per-block imputation reduction: the (correct, total,
+    ones) counts come back as three scalars instead of the (B, M) probability
+    matrix (8 MB/block through the ~50 MB/s relay)."""
+    model = VIBO(cfg)
+
+    @jax.jit
+    def stats(params, item_mean, resp, tmask, hmask):
+        prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
+        pred = (prob > 0.5).astype(jnp.float32)
+        correct = (hmask * (pred == resp)).sum()
+        return correct, hmask.sum(), (hmask * resp).sum()
+
+    return stats
+
+
 def imputation_accuracy(model: VIBO, params, ds: Dataset,
-                        block_size: int = 4096,
+                        block_size: int = 16384,
                         item_mean: dict | None = None) -> dict:
     """Predict held-out cells from posterior means of the train-visible data.
 
@@ -52,28 +122,79 @@ def imputation_accuracy(model: VIBO, params, ds: Dataset,
     """
     if item_mean is None:
         item_mean = full_item_mean(model, params, ds)
-    impute = jax.jit(model.impute_prob_with_items)
+    stats = _impute_stats_fn(model.cfg)
+    resp_d, tmask_d, hmask_d = dataset_on_device(ds)
     correct = 0.0
     total = 0.0
     ones = 0.0
     n = ds.response.shape[0]
     for s, e in _person_blocks(n, block_size):
-        resp = jnp.asarray(ds.response[s:e])
-        tmask = jnp.asarray(ds.train_mask[s:e])
-        hmask = np.asarray(ds.heldout_mask[s:e])
-        prob = np.asarray(impute(params, resp, tmask, item_mean))
-        pred = (prob > 0.5).astype(np.float32)
-        truth = ds.response[s:e]
-        correct += float((hmask * (pred == truth)).sum())
-        total += float(hmask.sum())
-        ones += float((hmask * truth).sum())
+        c, t, o = stats(params, item_mean, resp_d[s:e], tmask_d[s:e],
+                        hmask_d[s:e])
+        correct += float(c)
+        total += float(t)
+        ones += float(o)
     base_rate = max(ones, total - ones) / max(total, 1.0)
     return {"acc": correct / max(total, 1.0), "base_rate": base_rate,
             "num_heldout": int(total)}
 
 
+@functools.lru_cache(maxsize=64)
+def _iwae_block_fn(cfg, num_samples: int):
+    """Cached jit'd IWAE block bound for one (config, S): see iwae_loglik.
+
+    Samples run as lax.scan over chunks of a vmap — a 100-wide flat vmap of
+    the encoder+loglik graph compiled in ~5.5 s through the relay, the
+    chunked scan in ~3 s, and both run at the same (RPC-bound) speed; the
+    chunk also bounds the (chunk, B, M) logits intermediate, so a whole
+    10k-person matrix fits in one block/dispatch."""
+    from vibo_tpu.ops import distributions as dist
+    from vibo_tpu.ops import objectives
+
+    model = VIBO(cfg)
+    chunk = max(d for d in range(1, min(num_samples, 10) + 1)
+                if num_samples % d == 0)
+
+    @jax.jit
+    def block_bound(params, item_post, key, resp, tmask, emask, item_scale):
+        # Encoder conditions on train-visible data; likelihood on emask cells.
+        # Shared item prior/posterior terms enter scaled by block/N so the
+        # sum over blocks counts them exactly once (the ELBO's item-KL
+        # minibatch convention, SURVEY.md section 3.4).
+        # Rows without evaluated cells (all-missing padding rows from
+        # pad_to_multiple, or real persons with no held-out cells when
+        # on='heldout') are excluded from the theta prior/posterior terms:
+        # their factor marginalizes to exactly E_q[p(theta)/q(theta)] = 1, so
+        # exclusion is exact, lowers variance, and makes the bound invariant
+        # to padding (tested in tests/test_training.py).
+        valid = (emask.sum(-1) > 0).astype(jnp.float32)
+
+        def one_sample(k):
+            k_item, k_theta = jax.random.split(k)
+            item_sample = model.sample_items_from(item_post, k_item)
+            mu, logvar = model.encode(params, resp, tmask, item_sample)
+            theta = dist.reparameterize(k_theta, mu, logvar)
+            ll = model.loglik_per_person(params, theta, item_sample, resp, emask).sum()
+            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid).sum()
+            ratio = model.item_log_ratio_from(item_post, item_sample)
+            return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
+                                                     item_scale)
+
+        keys = jax.random.split(key, num_samples)
+        keys = keys.reshape(num_samples // chunk, chunk)
+
+        def body(_, ks):
+            return None, jax.vmap(one_sample)(ks)
+
+        _, log_w = jax.lax.scan(body, None, keys)
+        return objectives.iwae_bound(log_w.reshape(-1))
+
+    return block_bound
+
+
 def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
-                num_samples: int = 100, block_size: int = 2048,
+                num_samples: int = 100, block_size: int = 16384,
                 on: str = "heldout") -> dict:
     """IWAE-S bound on log p(r) over observed cells, summed over person blocks.
 
@@ -93,46 +214,16 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
     total = 0.0
     cells = 0.0
     item_post = full_item_dist(model, params, ds)
+    block_bound = _iwae_block_fn(model.cfg, num_samples)
 
-    @jax.jit
-    def block_bound(params, item_post, key, resp, tmask, emask, item_scale):
-        # Encoder conditions on train-visible data; likelihood on emask cells.
-        # Shared item prior/posterior terms enter scaled by block/N so the
-        # sum over blocks counts them exactly once (the ELBO's item-KL
-        # minibatch convention, SURVEY.md section 3.4).
-        # Rows without evaluated cells (all-missing padding rows from
-        # pad_to_multiple, or real persons with no held-out cells when
-        # on='heldout') are excluded from the theta prior/posterior terms:
-        # their factor marginalizes to exactly E_q[p(theta)/q(theta)] = 1, so
-        # exclusion is exact, lowers variance, and makes the bound invariant
-        # to padding (tested in tests/test_training.py).
-        valid = (emask.sum(-1) > 0).astype(jnp.float32)
-
-        def one_sample(k):
-            from vibo_tpu.ops import distributions as dist
-            from vibo_tpu.ops import objectives
-            k_item, k_theta = jax.random.split(k)
-            item_sample = model.sample_items_from(item_post, k_item)
-            mu, logvar = model.encode(params, resp, tmask, item_sample)
-            theta = dist.reparameterize(k_theta, mu, logvar)
-            ll = model.loglik_per_person(params, theta, item_sample, resp, emask).sum()
-            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
-            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid).sum()
-            ratio = model.item_log_ratio_from(item_post, item_sample)
-            return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
-                                                     item_scale)
-        from vibo_tpu.ops import objectives
-        log_w = jax.vmap(one_sample)(jax.random.split(key, num_samples))
-        return objectives.iwae_bound(log_w)
-
+    resp_d, tmask_d, hmask_d = dataset_on_device(ds)
+    emask_d = tmask_d if on == "train" else hmask_d
+    emask_host = ds.train_mask if on == "train" else ds.heldout_mask
     for i, (s, e) in enumerate(_person_blocks(n, block_size)):
-        resp = jnp.asarray(ds.response[s:e])
-        tmask = jnp.asarray(ds.train_mask[s:e])
-        emask = tmask if on == "train" else jnp.asarray(ds.heldout_mask[s:e])
         key, sub = jax.random.split(key)
-        total += float(block_bound(params, item_post, sub, resp, tmask, emask,
-                                   (e - s) / n))
-        cells += float(np.asarray(emask).sum())
+        total += float(block_bound(params, item_post, sub, resp_d[s:e],
+                                   tmask_d[s:e], emask_d[s:e], (e - s) / n))
+        cells += float(emask_host[s:e].sum())
     return {"loglik": total, "loglik_per_cell": total / max(cells, 1.0),
             "num_cells": int(cells), "num_samples": num_samples}
 
@@ -145,11 +236,11 @@ def infer_posterior_means(model: VIBO, params, ds: Dataset,
     deviations (VIBO's uncertainty — compared against HMC's posterior sd in
     the calibration eval)."""
     item_mean = full_item_mean(model, params, ds)
-    encode = jax.jit(lambda p, r, m: model.encode(p, r, m, item_mean))
+    encode = _jitted(model.cfg, "encode")
+    resp_d, tmask_d, _ = dataset_on_device(ds)
     thetas, sigmas = [], []
     for s, e in _person_blocks(ds.response.shape[0], block_size):
-        mu, logvar = encode(params, jnp.asarray(ds.response[s:e]),
-                            jnp.asarray(ds.train_mask[s:e]))
+        mu, logvar = encode(params, resp_d[s:e], tmask_d[s:e], item_mean)
         thetas.append(np.asarray(mu))
         if return_sigma:
             sigmas.append(np.asarray(jnp.exp(0.5 * logvar)))
