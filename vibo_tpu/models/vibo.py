@@ -510,26 +510,34 @@ class VIBO:
         spec = self._head_spec
         item_keys = jax.random.split(k_item, len(spec))
 
-        def flat_normal(k, shape):
-            # generate FLAT, then reshape: a (S, B, K) draw has minor dim
-            # K ~ 4, so threefry+erfinv runs at K/128 lane efficiency
-            # (profiled 45 us/step at 10k x 1k on v5e vs ~8 us flat+reshape)
+        def numel(shape):
             n = 1
             for d in shape:
                 n *= d
-            return jax.random.normal(k, (n,), jnp.float32).reshape(shape)
+            return n
 
-        item_eps = {name: flat_normal(
-                        k, (num_samples, self.cfg.num_items, spec[name]))
-                    for k, name in zip(item_keys, sorted(spec))}
-        theta_eps = flat_normal(
-            k_theta, (num_samples, batch, self.cfg.ability_dim))
-        # Force the noise to MATERIALIZE as buffers: without the barrier XLA
-        # fuses the threefry+erfinv chain into its (B, K)-shaped consumer
-        # fusions with [32,1] windows and rematerializes it again in the
-        # backward pass — profiled 2 x ~60 us/step at 10k x 1k on v5e, vs
-        # ~160 KB of HBM for the stored eps.
-        return jax.lax.optimization_barrier((item_eps, theta_eps))
+        # Generate FLAT and keep it flat THROUGH the barrier: a (S, B, K)
+        # draw has minor dim K ~ 4, so threefry+erfinv runs at K/128 lane
+        # efficiency. Reshaping before the barrier (round 1) let XLA fuse
+        # the erfinv into the padded (B, K)-layout materialization anyway —
+        # profiled 41 us/step at 10k x 1k on v5e for the 41k theta values;
+        # flat it is ~3 us and the post-barrier reshape is a compact copy.
+        # The barrier itself is still required: without it XLA fuses the
+        # threefry+erfinv chain into its consumer fusions AND rematerializes
+        # it in the backward pass (2 x ~60 us/step) vs ~160 KB of stored eps.
+        item_shapes = {name: (num_samples, self.cfg.num_items, spec[name])
+                       for name in spec}
+        theta_shape = (num_samples, batch, self.cfg.ability_dim)
+        flat_items = {name: jax.random.normal(
+                          k, (numel(item_shapes[name]),), jnp.float32)
+                      for k, name in zip(item_keys, sorted(spec))}
+        flat_theta = jax.random.normal(k_theta, (numel(theta_shape),),
+                                       jnp.float32)
+        flat_items, flat_theta = jax.lax.optimization_barrier(
+            (flat_items, flat_theta))
+        item_eps = {name: flat_items[name].reshape(item_shapes[name])
+                    for name in flat_items}
+        return item_eps, flat_theta.reshape(theta_shape)
 
     def elbo_packed_sums(self, params: dict, packed: jax.Array, item_eps: dict,
                          theta_eps: jax.Array,
