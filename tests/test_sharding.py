@@ -349,3 +349,103 @@ def test_iwae_dp_step_matches_unsharded_loss(eight_devices):
         return objectives.iwae_bound(local + 0.8 * ratio)
     np.testing.assert_allclose(float(aux_dp["elbo"]), float(bound_fn(p1)),
                                rtol=1e-5)
+
+
+def test_2d_iwae_step_matches_unsharded_loss(eight_devices):
+    """One IWAE step on the 4x2 ('students','items') mesh == jax.grad of the
+    identical unsharded IWAE loss (SGD; exact scaling check for the 2D
+    per-sample log-weight assembly)."""
+    import optax
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    ds, model = _setup()
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = jnp.ones(N, jnp.float32)
+    key0, key1 = jax.random.key(0), jax.random.key(7)
+
+    mesh = make_mesh(eight_devices, item_axis=2)
+    tr = Trainer(model, TrainConfig(lr=1e-2, objective="iwae"), mesh=mesh)
+    tr.optimizer = optax.sgd(0.1)
+    p0, o0 = tr.init_state(key0)
+    step = tr.make_step_packed_dp(0.8, 3)
+    sh_pk, sh_rv = tr._dp_in_shardings()
+    p_dp, _, aux_dp = step(p0, o0, key1,
+                           jax.device_put(packed, sh_pk),
+                           jax.device_put(rowv, sh_rv))
+
+    tr1 = Trainer(model, TrainConfig(lr=1e-2, objective="iwae"))
+    tr1.optimizer = optax.sgd(0.1)
+    p1, o1 = tr1.init_state(key0)
+    item_eps, theta_eps = model.sample_noise(p1, key1, N, 3)
+
+    def loss_fn(p):
+        local, ratio = model.iwae_packed_terms(p, packed, item_eps,
+                                               theta_eps, rowv)
+        return -objectives.iwae_bound(local + 0.8 * ratio)
+
+    g = jax.grad(loss_fn)(p1)
+    upd, _ = tr1.optimizer.update(g, o1, p1)
+    p_ref = optax.apply_updates(p1, upd)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5), p_dp, p_ref)
+    np.testing.assert_allclose(float(aux_dp["elbo"]), float(-loss_fn(p1)),
+                               rtol=1e-5)
+
+
+def test_2d_iwae_fit_matches_students_only(eight_devices):
+    """Full IWAE fit through the 2D packed path == the students-only DP path
+    (same exogenous noise => identical math)."""
+    ds, model = _setup()
+    kw = dict(lr=1e-2, epochs=12, eval_every=6, log_every=6,
+              objective="iwae", num_mc_samples=3, packed=True)
+    res_2d = Trainer(model, TrainConfig(**kw),
+                     mesh=make_mesh(eight_devices, item_axis=2)).fit(ds)
+    res_dp = Trainer(model, TrainConfig(**kw),
+                     mesh=make_mesh(eight_devices)).fit(ds)
+    np.testing.assert_allclose(res_2d["final_elbo"], res_dp["final_elbo"],
+                               rtol=5e-5)
+
+
+def test_2d_item_encoder_step_matches_unsharded(eight_devices):
+    """2D packed ELBO step with the AMORTIZED item posterior == jax.grad of
+    the identical unsharded loss: tile column statistics (psum'd over
+    students AND the per-person score over items), sliced residuals, and the
+    shared-encoder gradient reassembly are all exact."""
+    import optax
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    sim = simulate_irt("2pl", N, M, ability_dim=K, seed=0, missing_rate=0.1)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                            hidden_dim=32, item_encoder=True))
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = jnp.ones(N, jnp.float32)
+    key0, key1 = jax.random.key(0), jax.random.key(7)
+
+    mesh = make_mesh(eight_devices, item_axis=2)
+    tr = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    tr.optimizer = optax.sgd(0.1)
+    p0, o0 = tr.init_state(key0)
+    step = tr.make_step_packed_dp(0.8, 2)
+    sh_pk, sh_rv = tr._dp_in_shardings()
+    p_dp, _, aux_dp = step(p0, o0, key1,
+                           jax.device_put(packed, sh_pk),
+                           jax.device_put(rowv, sh_rv))
+
+    tr1 = Trainer(model, TrainConfig(lr=1e-2))
+    tr1.optimizer = optax.sgd(0.1)
+    p1, o1 = tr1.init_state(key0)
+    item_eps, theta_eps = model.sample_noise(p1, key1, N, 2)
+
+    def loss_fn(p):
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_eps,
+                                              rowv)
+        return -objectives.elbo(ll, klt, kli, 0.8)
+
+    g = jax.grad(loss_fn)(p1)
+    upd, _ = tr1.optimizer.update(g, o1, p1)
+    p_ref = optax.apply_updates(p1, upd)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5), p_dp, p_ref)
+    np.testing.assert_allclose(float(aux_dp["elbo"]), float(-loss_fn(p1)),
+                               rtol=1e-5)

@@ -260,7 +260,7 @@ ITEM_STAT_DIM = 6
 
 
 def item_stats(response, mask, axis_name: str | None = None,
-               num_persons=None):
+               num_persons=None, item_axis_name: str | None = None):
     """Permutation-invariant per-item column statistics (M, 6): the amortized
     item encoder's input, from a (B, M) masked response matrix.
 
@@ -276,13 +276,20 @@ def item_stats(response, mask, axis_name: str | None = None,
     axis_name: inside shard_map with students sharded, psum the column
     partial sums over this axis so the statistics are global and the result
     is device-count-invariant. Always computed in f32 (stats are tiny).
+    item_axis_name: on a 2D ('students','items') mesh each shard holds only
+    an item BLOCK of each row, so the per-person raw score must pool over
+    this axis too (exactness vs the unsharded stats is tested).
     """
     m = mask.astype(jnp.float32)
     r = response.astype(jnp.float32) * m
     row_cnt = m.sum(-1, keepdims=True)
+    row_sum = r.sum(-1, keepdims=True)
+    if item_axis_name is not None:
+        row_cnt = jax.lax.psum(row_cnt, item_axis_name)
+        row_sum = jax.lax.psum(row_sum, item_axis_name)
     # person raw score: the data-only ability proxy whose cross-moments with
     # the item column carry the discrimination signal
-    s = r.sum(-1, keepdims=True) / jnp.maximum(row_cnt, 1.0)     # (B, 1)
+    s = row_sum / jnp.maximum(row_cnt, 1.0)                      # (B, 1)
     partial = jnp.stack([
         r.sum(-2),                 # successes per item
         m.sum(-2),                 # attempts per item

@@ -594,10 +594,37 @@ class VIBO:
         lls, kl_thetas = _mc_eps(one_sample, item_eps, theta_eps)
         return lls.mean(), kl_thetas.mean(), self.item_kl_from(post)
 
+    def _tile_item_post(self, params: dict, response, mask, item_index,
+                        m_l: int, students_axis: str, items_axis: str) -> dict:
+        """Item posterior for THIS item block on a 2D ('students','items')
+        mesh tile.
+
+        Free-form: slice the per-item Gaussians at item_index*m_l (gradients
+        are block-sparse; the varying-types auto-psum reassembles them).
+        Amortized (cfg.item_encoder): the column statistics of the LOCAL
+        items are exact globals after psumming partial sums over
+        `students_axis` (and the per-person raw score over `items_axis` —
+        see networks.item_stats), so the shared encoder plus the sliced
+        per-item residuals reproduce the unsharded posterior bitwise for
+        this block (tested)."""
+        off = item_index * m_l
+        if not self.cfg.item_encoder:
+            return {name: {k: jax.lax.dynamic_slice_in_dim(v[k], off, m_l, 0)
+                           for k in ("mu", "logvar")}
+                    for name, v in params["item_post"].items()}
+        stats = networks.item_stats(response, mask, axis_name=students_axis,
+                                    item_axis_name=items_axis)
+        residual = {name: {k: jax.lax.dynamic_slice_in_dim(v[k], off, m_l, 0)
+                           for k in ("mu", "logvar")}
+                    for name, v in params["item_resid"].items()}
+        return networks.apply_item_encoder(params["item_enc"], stats,
+                                           self._head_spec, residual)
+
     def elbo_packed_sums_2d(self, params: dict, packed: jax.Array,
                             item_eps: dict, theta_eps: jax.Array,
                             row_weight: jax.Array,
-                            item_index, items_axis: str = "items"):
+                            item_index, items_axis: str = "items",
+                            students_axis: str = "students"):
         """Shard-local ELBO partial sums on a 2D ('students','items') mesh
         tile: packed is this shard's (B_local, M_local) block; item
         posteriors/noise are sliced from the replicated arrays at
@@ -615,11 +642,6 @@ class VIBO:
                       natural generalization; round-1 VERDICT item 3.)
         """
         cfg = self.cfg
-        if cfg.item_encoder:
-            raise ValueError(
-                "the amortized item encoder is not supported on an "
-                "item-sharded mesh yet (its column statistics need a "
-                "two-axis reduction); use a students-only mesh")
         cd = jnp.dtype(cfg.compute_dtype)
         pk = packed.astype(cd)
         mask = jnp.minimum(pk, 1.0)
@@ -627,9 +649,8 @@ class VIBO:
         use_packed_kernel = self._use_packed_kernel(params)
         m_l = packed.shape[1]
         off = item_index * m_l
-        post = {name: {k: jax.lax.dynamic_slice_in_dim(v[k], off, m_l, 0)
-                       for k in ("mu", "logvar")}
-                for name, v in params["item_post"].items()}
+        post = self._tile_item_post(params, response, mask, item_index, m_l,
+                                    students_axis, items_axis)
         # row_weight is the GLOBAL row validity (has-any-observed-cell AND
         # not-padding), folded host-side by the trainer: a person can have
         # zero observed cells in THIS item block yet be valid, so it must
@@ -661,6 +682,65 @@ class VIBO:
         kli = sum(dist.kl_standard_normal(p["mu"], p["logvar"]).sum()
                   for p in post.values())
         return lls.mean(), kl_thetas.mean(), kli
+
+    def iwae_packed_terms_2d(self, params: dict, packed: jax.Array,
+                             item_eps: dict, theta_eps: jax.Array,
+                             row_weight: jax.Array, item_index,
+                             item_scale: float | jax.Array = 1.0,
+                             items_axis: str = "items",
+                             students_axis: str = "students") -> jax.Array:
+        """Per-sample LOCAL IWAE log-weight contributions on a 2D
+        ('students','items') mesh tile -> (S,).
+
+        Scalings mirror elbo_packed_sums_2d: the masked loglik is unique per
+        tile; the theta prior/posterior terms are identical on every item
+        shard (psum'd sharded encoder) so they enter /n_items_shards; the
+        item log-ratio of the LOCAL block is identical on every student
+        shard so it enters * item_scale / n_student_shards. Therefore
+            log_w = psum(local, (students_axis, items_axis))
+        is the exact global per-sample log-weight vector, computed
+        identically on every chip, and the cross-shard logsumexp is exact
+        (the 2D generalization of iwae_packed_terms; SURVEY.md section 3.2
+        "MC-sample parallel ... fused with the student shard")."""
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        pk = packed.astype(cd)
+        mask = jnp.minimum(pk, 1.0)
+        response = jnp.maximum(pk - 1.0, 0.0)
+        use_packed_kernel = self._use_packed_kernel(params)
+        m_l = packed.shape[1]
+        off = item_index * m_l
+        post = self._tile_item_post(params, response, mask, item_index, m_l,
+                                    students_axis, items_axis)
+        valid = row_weight
+        n_i = jax.lax.axis_size(items_axis)
+        n_s = jax.lax.axis_size(students_axis)
+
+        def one_sample(i_eps, t_eps):
+            item_sample = {}
+            for name in i_eps:
+                eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
+                item_sample[name] = dist.reparameterize_eps(
+                    eps_loc, post[name]["mu"], post[name]["logvar"])
+            mu, logvar = networks.apply_ability_encoder_item_sharded(
+                params["encoder"], response, mask,
+                item_sample if cfg.conditional_posterior else None,
+                cfg.num_items, item_index, items_axis, compute_dtype=cd)
+            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+            if use_packed_kernel:
+                ll = self._packed_train_loglik(params, theta, item_sample,
+                                               packed).sum()
+            else:
+                ll = self.loglik_per_person(params, theta, item_sample,
+                                            response.astype(jnp.float32),
+                                            mask.astype(jnp.float32)).sum()
+            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+                  * valid).sum()
+            ratio = self.item_log_ratio_from(post, item_sample)
+            return ll + (lp - lq) / n_i + item_scale * ratio / n_s
+
+        return _mc_eps(one_sample, item_eps, theta_eps)
 
     def iwae_packed_terms(self, params: dict, packed: jax.Array,
                           item_eps: dict, theta_eps: jax.Array,

@@ -294,37 +294,58 @@ class Trainer:
         Loss scaling: theta-KL is identical across item shards (/n_items
         shards) and item-KL across student shards (/n_student shards), so
         the mesh-summed local losses equal the global loss and the
-        varying-types auto-psum delivers exact global gradients."""
+        varying-types auto-psum delivers exact global gradients.
+
+        Both objectives run here (IWAE via iwae_packed_terms_2d: one psum
+        over both axes yields the exact global per-sample log-weights), and
+        both item posteriors (the amortized encoder's tile statistics psum
+        over 'students' and its per-person score over 'items' —
+        VIBO._tile_item_post)."""
         from jax.sharding import PartitionSpec as P
 
         mesh = self.mesh
         shape = dict(mesh.shape)
         n_s, n_i = shape["students"], shape["items"]
-        if self.cfg.objective != "elbo":
-            raise ValueError(
-                "objective='iwae' is not supported on an item-sharded mesh "
-                "yet — use a students-only mesh (items=1), where the "
-                "shard_map IWAE step runs")
         model, optimizer = self.model, self.optimizer
         from vibo_tpu.ops import objectives
 
-        def shard_fn(params, packed, row_weight, item_eps, theta_eps):
-            item_index = jax.lax.axis_index("items")
+        if self.cfg.objective == "iwae":
+            def shard_fn(params, packed, row_weight, item_eps, theta_eps):
+                item_index = jax.lax.axis_index("items")
 
-            def loss_fn(p):
-                ll, klt, kli = model.elbo_packed_sums_2d(
-                    p, packed, item_eps, theta_eps, row_weight, item_index)
-                local = -(ll - klt / n_i - item_scale * kli / n_s)
-                return local, (ll, klt, kli)
-            (_, (ll, klt, kli)), g = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            # reporting only (g needs no psum — see _dp_raw_step): ll sums
-            # over the whole mesh; klt over students (item-shard invariant);
-            # kli over items (student-shard invariant)
-            ll = jax.lax.psum(ll, ("students", "items"))
-            klt = jax.lax.psum(klt, "students")
-            kli = jax.lax.psum(kli, "items")
-            return g, ll, klt, kli
+                def loss_fn(p):
+                    local = model.iwae_packed_terms_2d(
+                        p, packed, item_eps, theta_eps, row_weight,
+                        item_index, item_scale)
+                    # local carries the /n_i (theta terms) and /n_s (item
+                    # ratio) scalings, so this psum yields the exact global
+                    # per-sample log-weights, identically on every chip
+                    log_w = jax.lax.psum(local, ("students", "items"))
+                    bound = objectives.iwae_bound(log_w)
+                    return -bound, bound
+                (_, bound), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                zero = jnp.zeros((), jnp.float32)
+                # step() recombines via elbo(ll, klt, kli): bound - 0 - 0
+                return g, bound, zero, zero
+        else:
+            def shard_fn(params, packed, row_weight, item_eps, theta_eps):
+                item_index = jax.lax.axis_index("items")
+
+                def loss_fn(p):
+                    ll, klt, kli = model.elbo_packed_sums_2d(
+                        p, packed, item_eps, theta_eps, row_weight, item_index)
+                    local = -(ll - klt / n_i - item_scale * kli / n_s)
+                    return local, (ll, klt, kli)
+                (_, (ll, klt, kli)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                # reporting only (g needs no psum — see _dp_raw_step): ll sums
+                # over the whole mesh; klt over students (item-shard
+                # invariant); kli over items (student-shard invariant)
+                ll = jax.lax.psum(ll, ("students", "items"))
+                klt = jax.lax.psum(klt, "students")
+                kli = jax.lax.psum(kli, "items")
+                return g, ll, klt, kli
 
         smapped = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -456,11 +477,10 @@ class Trainer:
         n_items_axis = (dict(self.mesh.shape).get("items", 1)
                         if self.mesh is not None else 1)
         items_mesh = n_items_axis != 1
-        # 2D packed support: the tile step handles the ELBO with the
-        # free-form item posterior on an evenly-divisible item axis
-        can_2d = (items_mesh and cfg.objective == "elbo"
-                  and not self.model.cfg.item_encoder
-                  and m % n_items_axis == 0)
+        # 2D packed support: the tile step handles both objectives and both
+        # item posteriors; the only constraint is an evenly-divisible item
+        # axis (pad via data.masking.pad_to_multiple otherwise)
+        can_2d = items_mesh and m % n_items_axis == 0
         use_packed = cfg.packed
         if use_packed is None:
             # auto: elbo_packed handles every link (fused kernels for linear
@@ -473,9 +493,8 @@ class Trainer:
                 "the minibatch path trains on unpacked resp/mask")
         elif use_packed and items_mesh and not can_2d:
             raise ValueError(
-                "packed=True on an item-sharded mesh needs objective='elbo', "
-                "a free-form item posterior (item_encoder=False), and "
-                f"num_items divisible by the items axis (got {m} items on "
+                "packed=True on an item-sharded mesh needs num_items "
+                f"divisible by the items axis (got {m} items on "
                 f"{n_items_axis} item shards) — pad the dataset via "
                 "data.masking.pad_to_multiple or use a students-only mesh")
         dp = full_batch and use_packed and self.mesh is not None
