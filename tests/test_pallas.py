@@ -369,3 +369,125 @@ def test_random_shapes_all_kernels(seed):
         t, a, b, packed, interpret=True).sum())(theta)
     np.testing.assert_allclose(np.asarray(g_train), np.asarray(g_ref),
                                rtol=3e-5, atol=3e-4)
+
+
+# ------------------- transposed-theta one-pass train kernels
+
+
+def _mk_packed(rng, B, M):
+    resp = (rng.random((B, M)) < 0.5).astype(np.float32)
+    mask = (rng.random((B, M)) < 0.8).astype(np.float32)
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    return resp, mask, jnp.asarray(pack_responses(resp, mask))
+
+
+def test_transposed_train_kernel_2pl_matches_legacy():
+    """masked_loglik_2pl_packed_train_t(theta.T).sum-free scalar == the
+    legacy per-person kernel summed, and all gradients match (transposed
+    dtheta comes back as (K, B))."""
+    from vibo_tpu.ops import pallas_elbo as pe
+    rng = np.random.default_rng(0)
+    B, M, K = 37, 29, 3
+    theta = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+    _, _, packed = _mk_packed(rng, B, M)
+
+    def f_ref(th, aa, bb):
+        return pe.masked_loglik_2pl_packed_train(th, aa, bb, packed,
+                                                 interpret=True).sum()
+
+    def f_t(thT, aa, bb):
+        return pe.masked_loglik_2pl_packed_train_t(thT, aa, bb, packed,
+                                                   interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(theta, a, b)
+    v_t, g_t = jax.value_and_grad(f_t, argnums=(0, 1, 2))(theta.T, a, b)
+    np.testing.assert_allclose(float(v_ref), float(v_t), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_t[0]).T, np.asarray(g_ref[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_t[1]), np.asarray(g_ref[1]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_t[2]), np.asarray(g_ref[2]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_transposed_train_kernel_3pl_matches_legacy():
+    from vibo_tpu.ops import pallas_elbo as pe
+    rng = np.random.default_rng(1)
+    B, M, K = 21, 35, 2
+    theta = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+    gh = jnp.asarray(rng.normal(size=(M,)).astype(np.float32) - 1.5)
+    _, _, packed = _mk_packed(rng, B, M)
+
+    def f_ref(th, aa, bb, gg):
+        return pe.masked_loglik_3pl_packed_train(th, aa, bb, gg, packed,
+                                                 interpret=True).sum()
+
+    def f_t(thT, aa, bb, gg):
+        return pe.masked_loglik_3pl_packed_train_t(thT, aa, bb, gg, packed,
+                                                   interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=(0, 1, 2, 3))(
+        theta, a, b, gh)
+    v_t, g_t = jax.value_and_grad(f_t, argnums=(0, 1, 2, 3))(
+        theta.T, a, b, gh)
+    np.testing.assert_allclose(float(v_ref), float(v_t), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_t[0]).T, np.asarray(g_ref[0]),
+                               rtol=1e-5, atol=1e-6)
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(np.asarray(g_t[i]), np.asarray(g_ref[i]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_elbo_packed_sums_transposed_matches_legacy():
+    """The full transposed objective path (encoder head, reparam, KL, scalar
+    kernel) == the legacy path when fed the SAME noise (transposed)."""
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.data import simulate_irt
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    B, M, K = 24, 40, 2
+    sim = simulate_irt("2pl", B, M, ability_dim=K, seed=2, missing_rate=0.2)
+    packed = jnp.asarray(pack_responses(sim.response, sim.mask))
+    model = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                            hidden_dim=16, use_pallas=True))
+    params = model.init_params(jax.random.key(0))
+    rowv = jnp.asarray((sim.mask.sum(-1) > 0).astype(np.float32))
+    item_eps, theta_eps = model.sample_noise(params, jax.random.key(1), B, 2)
+    theta_epsT = jnp.swapaxes(theta_eps, 1, 2)
+
+    def f_ref(p):
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_eps,
+                                              rowv)
+        return ll - klt - kli
+
+    def f_t(p):
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_epsT,
+                                              rowv, transposed=True)
+        return ll - klt - kli
+
+    v_ref, g_ref = jax.value_and_grad(f_ref)(params)
+    v_t, g_t = jax.value_and_grad(f_t)(params)
+    np.testing.assert_allclose(float(v_ref), float(v_t), rtol=1e-5)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-6), g_t, g_ref)
+
+    # IWAE terms too
+    def w_ref(p):
+        local, ratio = model.iwae_packed_terms(p, packed, item_eps, theta_eps,
+                                               rowv)
+        return (local + 0.7 * ratio).sum()
+
+    def w_t(p):
+        local, ratio = model.iwae_packed_terms(p, packed, item_eps,
+                                               theta_epsT, rowv,
+                                               transposed=True)
+        return (local + 0.7 * ratio).sum()
+
+    v_ref, g_ref = jax.value_and_grad(w_ref)(params)
+    v_t, g_t = jax.value_and_grad(w_t)(params)
+    np.testing.assert_allclose(float(v_ref), float(v_t), rtol=1e-5)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-6), g_t, g_ref)

@@ -449,3 +449,22 @@ def test_2d_item_encoder_step_matches_unsharded(eight_devices):
         np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5), p_dp, p_ref)
     np.testing.assert_allclose(float(aux_dp["elbo"]), float(-loss_fn(p1)),
                                rtol=1e-5)
+
+
+def test_dp_transposed_theta_device_count_invariant(eight_devices):
+    """With use_pallas=True the packed DP path runs the TRANSPOSED (K, B)
+    theta pipeline (interpret-mode kernels on CPU): 8 shards must reproduce
+    the 1-shard bound exactly, including the (S, K, B) noise sharding."""
+    sim = simulate_irt("2pl", N, M, ability_dim=K, seed=0, missing_rate=0.1)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                            hidden_dim=32, use_pallas=True))
+    assert model.wants_transposed_theta()
+    kw = dict(lr=1e-2, epochs=8, eval_every=4, log_every=4, packed=True)
+    res8 = Trainer(model, TrainConfig(**kw),
+                   mesh=make_mesh(eight_devices)).fit(ds)
+    res1 = Trainer(model, TrainConfig(**kw),
+                   mesh=make_mesh(eight_devices[:1])).fit(ds)
+    assert np.isfinite(res8["final_elbo"])
+    np.testing.assert_allclose(res8["final_elbo"], res1["final_elbo"],
+                               rtol=5e-5)

@@ -111,13 +111,20 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
 
 
 def apply_ability_encoder_packed(params, packed, item_feats=None,
-                                 compute_dtype=jnp.float32):
+                                 compute_dtype=jnp.float32,
+                                 transposed_head: bool = False):
     """apply_ability_encoder consuming the int8 packed response code
     directly: the first layer runs the fused Pallas decode+dual-matmul
     kernel (ops/pallas_encoder), so the decoded response/mask matrices never
     materialize in HBM (measured ~0.17 ms of the 0.49 ms packed train step
     at 10k x 1k on v5e). Identical math to apply_ability_encoder on the
-    decoded data (tested)."""
+    decoded data (tested).
+
+    transposed_head=True emits (mu, logvar) TRANSPOSED as (K, B): the head
+    matmul contracts W^T @ x^T directly (no physical transpose), so the
+    whole downstream theta pipeline — eps, reparameterization, KL — runs in
+    the (K, B) row-major layout the transposed Pallas train kernels consume
+    (see ops/pallas_elbo 'transposed-theta' section for why)."""
     from vibo_tpu.ops import pallas_encoder
     w1, rest = params[0], params[1:]
     m = packed.shape[-1]
@@ -136,6 +143,12 @@ def apply_ability_encoder_packed(params, packed, item_feats=None,
             jax.lax.dot_general(x.astype(cd), layer["w"].astype(cd),
                                 dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) + layer["b"])
+    if transposed_head:
+        outT = jax.lax.dot_general(   # (H, 2K) x (B, H) -> (2K, B)
+            rest[-1]["w"], x, dimension_numbers=(((0,), (x.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.float32) + rest[-1]["b"][:, None]
+        muT, logvarT = jnp.split(outT, 2, axis=0)
+        return muT, jnp.clip(logvarT, -8.0, 8.0)
     out = linear(rest[-1], x)
     mu, logvar = jnp.split(out, 2, axis=-1)
     return mu, jnp.clip(logvar, -8.0, 8.0)

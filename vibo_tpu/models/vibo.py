@@ -363,10 +363,40 @@ class VIBO:
         and the data really is the int8 code."""
         return self.cfg.use_pallas and packed.dtype == jnp.int8
 
+    def wants_transposed_theta(self) -> bool:
+        """True when the packed train paths should run the theta pipeline in
+        the TRANSPOSED (K, B) layout: encoder head, noise, reparameterization
+        and KL all stay in (K, B) row-major, feeding the transposed one-pass
+        kernels. Eliminates the (B, K)-minor layout tax — XLA's preferred
+        T(4,128) layout vs Mosaic's required row-major inserted 8 relayout
+        copies (~28 us) per step at 10k x 1k (K=4) on v5e, plus padded
+        (B, 1)/(B, K) tile traffic. Callers must pass the SAME flag to
+        sample_noise and elbo_packed_sums/iwae_packed_terms."""
+        return self.cfg.use_pallas and self.cfg.irt_model in ("1pl", "2pl",
+                                                              "3pl")
+
+    def _packed_train_loglik_t(self, params: dict, thetaT: jax.Array,
+                               item_sample: dict, packed: jax.Array
+                               ) -> jax.Array:
+        """Scalar sum-of-persons loglik via the transposed one-pass kernels
+        (thetaT is (K, B); see pallas_elbo 'transposed-theta' section)."""
+        from vibo_tpu.ops import pallas_elbo
+        cfg = self.cfg
+        lp = self._link_params(item_sample)
+        a = lp.get("a")
+        if a is None:
+            a = jnp.ones((packed.shape[-1], cfg.ability_dim), thetaT.dtype)
+        if cfg.irt_model == "3pl":
+            return pallas_elbo.masked_loglik_3pl_packed_train_t(
+                thetaT, a, lp["b"], lp["g_hat"], packed)
+        return pallas_elbo.masked_loglik_2pl_packed_train_t(thetaT, a, lp["b"],
+                                                            packed)
+
     def _encode_packed(self, params: dict, packed: jax.Array, response, mask,
-                       item_sample: dict | None):
+                       item_sample: dict | None, transposed: bool = False):
         """Ability encoder for the packed pipeline: fused int8 path when
-        available, otherwise the decoded-data encoder."""
+        available, otherwise the decoded-data encoder. transposed=True
+        returns (muT, logvarT) as (K, B) — fused path only."""
         if self._use_fused_encoder(packed):
             if packed.shape[-1] != self.cfg.num_items:
                 raise ValueError(
@@ -376,7 +406,11 @@ class VIBO:
                      if self.cfg.conditional_posterior else None)
             return networks.apply_ability_encoder_packed(
                 params["encoder"], packed, feats,
-                compute_dtype=jnp.dtype(self.cfg.compute_dtype))
+                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                transposed_head=transposed)
+        if transposed:
+            mu, logvar = self.encode(params, response, mask, item_sample)
+            return mu.T, logvar.T
         return self.encode(params, response, mask, item_sample)
 
     def _decode_if_needed(self, params: dict, packed: jax.Array):
@@ -500,11 +534,15 @@ class VIBO:
         return objectives.iwae_bound(log_w)
 
     def sample_noise(self, params: dict, key: jax.Array, batch: int,
-                     num_samples: int):
+                     num_samples: int, transposed: bool = False):
         """Exogenous reparameterization noise for elbo_packed_sums:
         ({name: (S, M, D)} item eps, (S, B, K) theta eps). Generated with the
         partitionable RNG so values are sharding-invariant. Shapes come from
-        the head spec, so this works for free-form AND amortized posteriors."""
+        the head spec, so this works for free-form AND amortized posteriors.
+
+        transposed=True emits theta eps as (S, K, B) for the transposed
+        packed train path (wants_transposed_theta) — pass the same flag to
+        the consuming objective."""
         del params
         k_item, k_theta = jax.random.split(key)
         spec = self._head_spec
@@ -527,7 +565,8 @@ class VIBO:
         # it in the backward pass (2 x ~60 us/step) vs ~160 KB of stored eps.
         item_shapes = {name: (num_samples, self.cfg.num_items, spec[name])
                        for name in spec}
-        theta_shape = (num_samples, batch, self.cfg.ability_dim)
+        theta_shape = ((num_samples, self.cfg.ability_dim, batch) if transposed
+                       else (num_samples, batch, self.cfg.ability_dim))
         flat_items = {name: jax.random.normal(
                           k, (numel(item_shapes[name]),), jnp.float32)
                       for k, name in zip(item_keys, sorted(spec))}
@@ -542,7 +581,8 @@ class VIBO:
     def elbo_packed_sums(self, params: dict, packed: jax.Array, item_eps: dict,
                          theta_eps: jax.Array,
                          row_weight: jax.Array | None = None,
-                         axis_name: str | None = None):
+                         axis_name: str | None = None,
+                         transposed: bool = False):
         """Deterministic ELBO partial sums from exogenous noise:
         (loglik_sum, kl_theta_sum, kl_items), the first two averaged over the
         sample axis.
@@ -557,9 +597,15 @@ class VIBO:
         student axis divisible by the mesh — their KL(theta) is excluded
         (their loglik is already exactly 0 via the all-missing mask).
         axis_name: shard_map student axis to psum the amortized item
-        encoder's column statistics over (no-op for the free-form posterior)."""
+        encoder's column statistics over (no-op for the free-form posterior).
+        transposed: run the theta pipeline in (K, B) layout feeding the
+        transposed kernels (wants_transposed_theta); theta_eps must come
+        from sample_noise(..., transposed=True). Identical math."""
         cfg = self.cfg
         use_packed_kernel = self._use_packed_kernel(params)
+        if transposed and not use_packed_kernel:
+            raise ValueError("transposed=True requires the packed Pallas "
+                             "train kernels (linear links, use_pallas=True)")
         response, mask = self._decode_if_needed(params, packed)
         post = (self.item_dist(params, response, mask, axis_name=axis_name)
                 if cfg.item_encoder else params["item_post"])
@@ -579,8 +625,14 @@ class VIBO:
                                               post[name]["logvar"])
                 for name in i_eps}
             mu, logvar = self._encode_packed(params, packed, response, mask,
-                                             item_sample)
+                                             item_sample,
+                                             transposed=transposed)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
+            if transposed:
+                ll_sum = self._packed_train_loglik_t(params, theta,
+                                                     item_sample, packed)
+                kl_theta = dist.kl_standard_normal(mu, logvar).sum(0) * valid
+                return ll_sum, kl_theta.sum()
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
                                                packed)
@@ -745,7 +797,8 @@ class VIBO:
     def iwae_packed_terms(self, params: dict, packed: jax.Array,
                           item_eps: dict, theta_eps: jax.Array,
                           row_weight: jax.Array | None = None,
-                          axis_name: str | None = None):
+                          axis_name: str | None = None,
+                          transposed: bool = False):
         """Per-sample LOCAL IWAE log-weight contributions from exogenous
         noise: the data-parallel IWAE building block.
 
@@ -776,23 +829,32 @@ class VIBO:
             # iteration (profiled ~60 us/step at 10k x 1k on v5e)
             valid = row_weight
 
+        if transposed and not use_packed_kernel:
+            raise ValueError("transposed=True requires the packed Pallas "
+                             "train kernels (linear links, use_pallas=True)")
+        kdim = 0 if transposed else -1
+
         def one_sample(i_eps, t_eps):
             item_sample = {
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
             mu, logvar = self._encode_packed(params, packed, response, mask,
-                                             item_sample)
+                                             item_sample,
+                                             transposed=transposed)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
-            if use_packed_kernel:
+            if transposed:
+                ll = self._packed_train_loglik_t(params, theta, item_sample,
+                                                 packed)
+            elif use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
                                                packed).sum()
             else:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32)).sum()
-            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
-            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+            lp = (dist.standard_normal_log_prob(theta).sum(kdim) * valid).sum()
+            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(kdim)
                   * valid).sum()
             ratio = self.item_log_ratio_from(post, item_sample)
             return ll + lp - lq, ratio

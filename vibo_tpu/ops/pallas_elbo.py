@@ -59,6 +59,68 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def match_vma(*xs):
+    """Promote every array to the UNION of the group's varying mesh axes
+    via jax.lax.pcast(to='varying').
+
+    Why: the packed kernels are custom_vjp ops. Under shard_map's varying
+    types, a custom_vjp's bwd must return each cotangent with the SAME vma
+    as its primal — but e.g. the item parameters enter replicated while
+    their true gradient is a sum over student shards. Promoting the primal
+    to varying BEFORE the custom_vjp makes the contract consistent, and the
+    pcast's transpose (a psum over the promoted axes) reassembles the
+    replicated gradient exactly where plain-XLA AD would have put it.
+    No-op outside shard_map."""
+    vma = frozenset()
+    for x in xs:
+        vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+    out = []
+    for x in xs:
+        have = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+        extra = tuple(sorted(vma - have))
+        out.append(jax.lax.pcast(x, extra, to="varying") if extra else x)
+    return out
+
+
+def _has_vma(*xs) -> bool:
+    return any(getattr(jax.typeof(x), "vma", frozenset()) for x in xs)
+
+
+def _xla_train_2pl(theta, a, b, packed):
+    """Pure-XLA twin of the packed 2PL train kernel (per-person ll).
+
+    Used when interpret=True AND the operands carry shard_map varying-type
+    annotations: the Pallas HLO interpreter initializes its grid-loop output
+    carries without vma and fails to typecheck (jax 0.9). The Mosaic (TPU)
+    path handles vma natively; CPU-mesh tests run this twin — same math,
+    and XLA autodiff subsumes the uniform-cotangent contract."""
+    pk = packed.astype(jnp.float32)
+    m = jnp.minimum(pk, 1.0)
+    r = jnp.maximum(pk - 1.0, 0.0)
+    logits = theta @ a.T - b
+    return (m * (r * logits - jax.nn.softplus(logits))).sum(-1)
+
+
+def _xla_train_3pl(theta, a, b, g_hat, packed):
+    pk = packed.astype(jnp.float32)
+    m = jnp.minimum(pk, 1.0)
+    r = jnp.maximum(pk - 1.0, 0.0)
+    logits = theta @ a.T - b
+    return _cell_3pl(logits, g_hat, r, m).sum(-1)
+
+
+def out_sds(shape, dtype, *ins):
+    """ShapeDtypeStruct for a pallas_call output whose vma (varying mesh
+    axes) is the union of the inputs' — required under shard_map's
+    check_vma (jax >= 0.9): every kernel output is shard-local, hence
+    varying over whatever axes any input varies over. Outside shard_map the
+    union is empty and this is equivalent to the plain constructor."""
+    vma = frozenset()
+    for x in ins:
+        vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _pad_inputs(theta, a, b, resp, mask, tb, tm):
     """Zero-pad student/item axes to tile multiples. Padding is inert: padded
     mask cells are 0, so their (zero-logit) contributions vanish exactly, and
@@ -505,10 +567,10 @@ def _fused_train_fwd(theta, a, b, packed, interpret):
             pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, k), jnp.float32),
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            out_sds((bsz, 1), jnp.float32, theta, a, packed),
+            out_sds((bsz, k), jnp.float32, theta, a, packed),
+            out_sds((m, k), jnp.float32, theta, a, packed),
+            out_sds((1, m), jnp.float32, theta, a, packed),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * bsz * m * k + 16 * bsz * m,
@@ -556,6 +618,9 @@ def masked_loglik_2pl_packed_train(theta: jax.Array, a: jax.Array,
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     if theta.ndim == 2:
+        if interpret and _has_vma(theta, a, b, packed):
+            return _xla_train_2pl(theta, a, b, packed)
+        theta, a, b, packed = match_vma(theta, a, b, packed)
         return _masked_loglik_2pl_packed_train(theta, a, b, packed, interpret)
     if a.ndim == theta.ndim:
         in_axes = (0, 0, 0, None)
@@ -633,11 +698,11 @@ def _fused_train_fwd_3pl(theta, a, b, g_hat, packed, interpret):
             pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, k), jnp.float32),
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            out_sds((bsz, 1), jnp.float32, theta, a, packed),
+            out_sds((bsz, k), jnp.float32, theta, a, packed),
+            out_sds((m, k), jnp.float32, theta, a, packed),
+            out_sds((1, m), jnp.float32, theta, a, packed),
+            out_sds((1, m), jnp.float32, theta, a, packed),
         ],
         interpret=interpret,
     )(theta, a, b.reshape(1, m), g2.reshape(1, m), packed)
@@ -676,6 +741,9 @@ def masked_loglik_3pl_packed_train(theta: jax.Array, a: jax.Array,
     theta, a = theta.astype(jnp.float32), a.astype(jnp.float32)
     b, g_hat = b.astype(jnp.float32), g_hat.astype(jnp.float32)
     if theta.ndim == 2:
+        if interpret and _has_vma(theta, a, b, g_hat, packed):
+            return _xla_train_3pl(theta, a, b, g_hat, packed)
+        theta, a, b, g_hat, packed = match_vma(theta, a, b, g_hat, packed)
         return _masked_loglik_3pl_packed_train(theta, a, b, g_hat, packed,
                                                interpret)
     if a.ndim == theta.ndim:
@@ -1022,3 +1090,298 @@ def masked_loglik_2pl(theta: jax.Array, a: jax.Array, b: jax.Array,
         in_axes = (0, None, None, None, None)
     fn = lambda *xs: masked_loglik_2pl(*xs, interpret=interpret)
     return jax.vmap(fn, in_axes=in_axes)(theta, a, b, resp, mask)
+
+
+# ----------------- transposed-theta one-pass train kernels (packed)
+#
+# Layout-driven variants of the one-pass training kernels
+# (masked_loglik_*_packed_train) for the perf pipeline:
+#
+# - theta enters TRANSPOSED as (K, B) row-major. With K ~ 4, (B, K) arrays
+#   tile as T(8,128) with 4/128 lane occupancy, and XLA prefers a transposed
+#   T(4,128) layout for its own (B, K) elementwise fusions — so every
+#   Pallas boundary crossing inserted a ~3.5 us relayout copy (8 copies
+#   profiled in the 10k x 1k train step on v5e). (K, B) row-major is
+#   simultaneously XLA's efficient layout and Mosaic's required one: the
+#   copies vanish, and the whole mu/logvar/eps/theta/KL elementwise chain
+#   runs at full lane width. The in-kernel dot_generals contract over the
+#   K axis directly (MXU transposes are free relative to HBM relayouts).
+# - the per-person loglik is accumulated to ONE SCALAR in the kernel: the
+#   training loss only ever consumes ll.sum(), and a (B, 1) f32 output
+#   tiles as T(8,128) with 1/128 occupancy (~5 MB of padded HBM traffic at
+#   B = 10k that pure padding).
+#
+# Gradient contract: the scalar output makes the uniform-cotangent contract
+# of the one-pass family exact by construction (d ll_sum / d cell is the
+# same scalar for every person).
+
+def _fused_train_kernel_packed_t(thetaT_ref, a_ref, b_ref, pk_ref,
+                                 ll_ref, dthT_ref, da_ref, db_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    logits = jax.lax.dot_general(  # (K, TB) x (TM, K) -> (TB, TM)
+        thetaT_ref[:], a_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _decode_packed(pk_ref[:].astype(jnp.float32))
+    e = jnp.exp(-jnp.abs(logits))
+    log1p_e = jnp.log1p(e)
+    sp_pos = log1p_e + jnp.maximum(logits, 0.0)          # softplus(l)
+    ll_cell = -m * jnp.where(r > 0.5, sp_pos - logits, sp_pos)
+    inv = 1.0 / (1.0 + e)
+    s = jnp.where(logits >= 0, inv, 1.0 - inv)           # sigmoid(l)
+    dl = m * (r - s)
+    ll_part = ll_cell.sum().reshape(1, 1)  # Mosaic: no scalar VMEM stores
+    dthT_part = jax.lax.dot_general(  # (TM, K) x (TB, TM) -> (K, TB)
+        a_ref[:], dl, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da_part = jax.lax.dot_general(    # (TB, TM) x (K, TB) -> (TM, K)
+        dl, thetaT_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_part = -dl.sum(axis=0, keepdims=True)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        ll_ref[:] = ll_part
+
+    @pl.when(jnp.logical_or(i > 0, j > 0))
+    def _():
+        ll_ref[:] = ll_ref[:] + ll_part
+
+    @pl.when(j == 0)
+    def _():
+        dthT_ref[:] = dthT_part
+
+    @pl.when(j > 0)
+    def _():
+        dthT_ref[:] = dthT_ref[:] + dthT_part
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = da_part
+        db_ref[:] = db_part
+
+    @pl.when(i > 0)
+    def _():
+        da_ref[:] = da_ref[:] + da_part
+        db_ref[:] = db_ref[:] + db_part
+
+
+def _pad_packed_t(thetaT, a, b, packed, tb, tm):
+    bsz, m = packed.shape
+    pb, pm = (-bsz) % tb, (-m) % tm
+    if pb or pm:
+        thetaT = jnp.pad(thetaT, ((0, 0), (0, pb)))
+        a = jnp.pad(a, ((0, pm), (0, 0)))
+        b = jnp.pad(b, ((0, pm),))
+        packed = jnp.pad(packed, ((0, pb), (0, pm)))  # 0 == missing: inert
+    return thetaT, a, b, packed
+
+
+def _fused_train_fwd_t(thetaT, a, b, packed, interpret):
+    bsz0, m0 = packed.shape
+    tb = min(STUDENT_BLOCK, _cdiv(bsz0, 8) * 8)
+    tm = min(ITEM_BLOCK, _cdiv(m0, 128) * 128)
+    thetaT, a, b, packed = _pad_packed_t(thetaT, a, b, packed, tb, tm)
+    (k, bsz), m = thetaT.shape, a.shape[0]
+    ll, dthT, da, db2 = pl.pallas_call(
+        _fused_train_kernel_packed_t,
+        grid=(_cdiv(bsz, tb), _cdiv(m, tm)),
+        in_specs=[
+            pl.BlockSpec((k, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            out_sds((1, 1), jnp.float32, thetaT, a, packed),
+            out_sds((k, bsz), jnp.float32, thetaT, a, packed),
+            out_sds((m, k), jnp.float32, thetaT, a, packed),
+            out_sds((1, m), jnp.float32, thetaT, a, packed),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bsz * m * k + 16 * bsz * m,
+            bytes_accessed=bsz * m + 4 * (bsz * k * 2 + m * k * 2 + 2 * m),
+            transcendentals=2 * bsz * m),
+        interpret=interpret,
+    )(thetaT, a, b.reshape(1, m), packed)
+    return ll[0, 0], dthT[:, :bsz0], da[:m0], db2[0, :m0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _masked_loglik_2pl_packed_train_t(thetaT, a, b, packed, interpret):
+    return _fused_train_fwd_t(thetaT, a, b, packed, interpret)[0]
+
+
+def _fused_train_fwd_rule_t(thetaT, a, b, packed, interpret):
+    ll, dthT, da, db = _fused_train_fwd_t(thetaT, a, b, packed, interpret)
+    return ll, (dthT, da, db)
+
+
+def _fused_train_bwd_rule_t(interpret, residuals, g):
+    dthT, da, db = residuals
+    return g * dthT, g * da, g * db, None
+
+
+_masked_loglik_2pl_packed_train_t.defvjp(_fused_train_fwd_rule_t,
+                                         _fused_train_bwd_rule_t)
+
+
+def masked_loglik_2pl_packed_train_t(thetaT: jax.Array, a: jax.Array,
+                                     b: jax.Array, packed: jax.Array,
+                                     interpret: bool | None = None
+                                     ) -> jax.Array:
+    """Transposed-theta one-pass 2PL training kernel: thetaT (K, B) ->
+    SCALAR sum_i ll_i. Value- and gradient-identical to
+    masked_loglik_2pl_packed_train(theta.T, ...).sum() (tested)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    thetaT = thetaT.astype(jnp.float32)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if thetaT.ndim == 2:
+        if interpret and _has_vma(thetaT, a, b, packed):
+            return _xla_train_2pl(thetaT.T, a, b, packed).sum()
+        thetaT, a, b, packed = match_vma(thetaT, a, b, packed)
+        return _masked_loglik_2pl_packed_train_t(thetaT, a, b, packed,
+                                                 interpret)
+    if a.ndim == thetaT.ndim:
+        in_axes = (0, 0, 0, None)
+    else:
+        in_axes = (0, None, None, None)
+    fn = lambda *xs: masked_loglik_2pl_packed_train_t(*xs, interpret=interpret)
+    return jax.vmap(fn, in_axes=in_axes)(thetaT, a, b, packed)
+
+
+def _fused_train_kernel_3pl_packed_t(thetaT_ref, a_ref, b_ref, g_ref, pk_ref,
+                                     ll_ref, dthT_ref, da_ref, db_ref,
+                                     dg_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    logits = jax.lax.dot_general(
+        thetaT_ref[:], a_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) - b_ref[:]
+    m, r = _decode_packed(pk_ref[:].astype(jnp.float32))
+    gh = g_ref[:]
+    ll_part = _cell_3pl(logits, gh, r, m).sum().reshape(1, 1)
+    dl, dgc = _dcell_3pl(logits, gh, r, m)
+    dthT_part = jax.lax.dot_general(
+        a_ref[:], dl, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da_part = jax.lax.dot_general(
+        dl, thetaT_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_part = -dl.sum(axis=0, keepdims=True)
+    dg_part = dgc.sum(axis=0, keepdims=True)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        ll_ref[:] = ll_part
+
+    @pl.when(jnp.logical_or(i > 0, j > 0))
+    def _():
+        ll_ref[:] = ll_ref[:] + ll_part
+
+    @pl.when(j == 0)
+    def _():
+        dthT_ref[:] = dthT_part
+
+    @pl.when(j > 0)
+    def _():
+        dthT_ref[:] = dthT_ref[:] + dthT_part
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = da_part
+        db_ref[:] = db_part
+        dg_ref[:] = dg_part
+
+    @pl.when(i > 0)
+    def _():
+        da_ref[:] = da_ref[:] + da_part
+        db_ref[:] = db_ref[:] + db_part
+        dg_ref[:] = dg_ref[:] + dg_part
+
+
+def _fused_train_fwd_3pl_t(thetaT, a, b, g_hat, packed, interpret):
+    bsz0, m0 = packed.shape
+    tb = min(STUDENT_BLOCK, _cdiv(bsz0, 8) * 8)
+    tm = min(ITEM_BLOCK, _cdiv(m0, 128) * 128)
+    thetaT, a, b, packed = _pad_packed_t(thetaT, a, b, packed, tb, tm)
+    (k, bsz), m = thetaT.shape, a.shape[0]
+    g2 = jnp.pad(g_hat, ((0, m - m0),))
+    ll, dthT, da, db2, dg2 = pl.pallas_call(
+        _fused_train_kernel_3pl_packed_t,
+        grid=(_cdiv(bsz, tb), _cdiv(m, tm)),
+        in_specs=[
+            pl.BlockSpec((k, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            out_sds((1, 1), jnp.float32, thetaT, a, packed),
+            out_sds((k, bsz), jnp.float32, thetaT, a, packed),
+            out_sds((m, k), jnp.float32, thetaT, a, packed),
+            out_sds((1, m), jnp.float32, thetaT, a, packed),
+            out_sds((1, m), jnp.float32, thetaT, a, packed),
+        ],
+        interpret=interpret,
+    )(thetaT, a, b.reshape(1, m), g2.reshape(1, m), packed)
+    return ll[0, 0], dthT[:, :bsz0], da[:m0], db2[0, :m0], dg2[0, :m0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _masked_loglik_3pl_packed_train_t(thetaT, a, b, g_hat, packed, interpret):
+    return _fused_train_fwd_3pl_t(thetaT, a, b, g_hat, packed, interpret)[0]
+
+
+def _fused_train_fwd_rule_3pl_t(thetaT, a, b, g_hat, packed, interpret):
+    ll, dthT, da, db, dg = _fused_train_fwd_3pl_t(thetaT, a, b, g_hat, packed,
+                                                  interpret)
+    return ll, (dthT, da, db, dg)
+
+
+def _fused_train_bwd_rule_3pl_t(interpret, residuals, g):
+    dthT, da, db, dg = residuals
+    return g * dthT, g * da, g * db, g * dg, None
+
+
+_masked_loglik_3pl_packed_train_t.defvjp(_fused_train_fwd_rule_3pl_t,
+                                         _fused_train_bwd_rule_3pl_t)
+
+
+def masked_loglik_3pl_packed_train_t(thetaT: jax.Array, a: jax.Array,
+                                     b: jax.Array, g_hat: jax.Array,
+                                     packed: jax.Array,
+                                     interpret: bool | None = None
+                                     ) -> jax.Array:
+    """Transposed-theta one-pass 3PL training kernel: thetaT (K, B) ->
+    SCALAR sum_i ll_i (see masked_loglik_2pl_packed_train_t)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    thetaT, a = thetaT.astype(jnp.float32), a.astype(jnp.float32)
+    b, g_hat = b.astype(jnp.float32), g_hat.astype(jnp.float32)
+    if thetaT.ndim == 2:
+        if interpret and _has_vma(thetaT, a, b, g_hat, packed):
+            return _xla_train_3pl(thetaT.T, a, b, g_hat, packed).sum()
+        thetaT, a, b, g_hat, packed = match_vma(thetaT, a, b, g_hat, packed)
+        return _masked_loglik_3pl_packed_train_t(thetaT, a, b, g_hat, packed,
+                                                 interpret)
+    if a.ndim == thetaT.ndim:
+        in_axes = (0, 0, 0, 0, None)
+    else:
+        in_axes = (0, None, None, None, None)
+    fn = lambda *xs: masked_loglik_3pl_packed_train_t(*xs, interpret=interpret)
+    return jax.vmap(fn, in_axes=in_axes)(thetaT, a, b, g_hat, packed)

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vibo_tpu.ops import pallas_elbo
+
 STUDENT_BLOCK = 512
 ITEM_BLOCK = 1024
 # the backward grid accumulates over student tiles; doubling the student
@@ -124,7 +126,7 @@ def _fwd_pallas(packed, wr, wm, cd, interpret):
         ],
         out_specs=pl.BlockSpec((tb, h), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h), jnp.float32),
+        out_shape=pallas_elbo.out_sds((bsz, h), jnp.float32, packed, wr, wm),
         cost_estimate=pl.CostEstimate(
             flops=4 * bsz * m * h,
             bytes_accessed=bsz * m + 8 * m * h + 4 * bsz * h,
@@ -155,8 +157,8 @@ def _bwd_pallas(packed, dh, h_shape, cd, interpret):
             pl.BlockSpec((tm, h), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, h), jnp.float32),
-            jax.ShapeDtypeStruct((m, h), jnp.float32),
+            pallas_elbo.out_sds((m, h), jnp.float32, packed, dh),
+            pallas_elbo.out_sds((m, h), jnp.float32, packed, dh),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bsz * m * h,
@@ -195,8 +197,19 @@ def packed_first_layer(packed: jax.Array, w_r: jax.Array, w_m: jax.Array,
         interpret = not _is_tpu()
     if packed.dtype != jnp.int8:
         raise ValueError(f"packed must be int8, got {packed.dtype}")
-    return _first_layer(packed, w_r.astype(jnp.float32),
-                        w_m.astype(jnp.float32), jnp.dtype(compute_dtype).name,
+    if interpret and pallas_elbo._has_vma(packed, w_r, w_m):
+        # Pallas HLO-interpreter vs shard_map vma limitation: run the XLA
+        # twin on CPU meshes (see pallas_elbo._xla_train_2pl's docstring)
+        cd = jnp.dtype(compute_dtype)
+        pk = packed.astype(jnp.float32)
+        m, rm = jnp.minimum(pk, 1.0), jnp.maximum(pk - 1.0, 0.0)
+        h = jax.lax.dot(rm.astype(cd), w_r.astype(cd),
+                        preferred_element_type=jnp.float32)
+        return h + jax.lax.dot(m.astype(cd), w_m.astype(cd),
+                               preferred_element_type=jnp.float32)
+    packed, w_r, w_m = pallas_elbo.match_vma(
+        packed, w_r.astype(jnp.float32), w_m.astype(jnp.float32))
+    return _first_layer(packed, w_r, w_m, jnp.dtype(compute_dtype).name,
                         interpret)
 
 

@@ -158,22 +158,28 @@ class Trainer:
         model, optimizer = self.model, self.optimizer
         from vibo_tpu.ops import objectives
         iwae = self.cfg.objective == "iwae"
+        # transposed (K, B) theta pipeline on the Pallas path: see
+        # VIBO.wants_transposed_theta for the layout rationale
+        tp = model.wants_transposed_theta()
 
         def step(params, opt_state, key, packed, row_valid):
             item_eps, theta_eps = model.sample_noise(params, key,
                                                      packed.shape[0],
-                                                     num_samples)
+                                                     num_samples,
+                                                     transposed=tp)
 
             def loss_fn(p):
                 if iwae:
                     local, ratio = model.iwae_packed_terms(
-                        p, packed, item_eps, theta_eps, row_valid)
+                        p, packed, item_eps, theta_eps, row_valid,
+                        transposed=tp)
                     bound = objectives.iwae_bound(local + item_scale * ratio)
                     zero = jnp.zeros((), jnp.float32)
                     return -bound, {"elbo": bound, "loglik": bound,
                                     "kl_theta": zero, "kl_items": zero}
                 ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps,
-                                                      theta_eps, row_valid)
+                                                      theta_eps, row_valid,
+                                                      transposed=tp)
                 bound = objectives.elbo(ll, klt, kli, item_scale)
                 return -bound, {"elbo": bound, "loglik": ll,
                                 "kl_theta": klt, "kl_items": kli}
@@ -219,6 +225,11 @@ class Trainer:
         n_shards = dict(mesh.shape)["students"]
         model, optimizer = self.model, self.optimizer
         from vibo_tpu.ops import objectives
+        tp = model.wants_transposed_theta()
+        # theta noise is (S, K, B) on the transposed path: students move to
+        # the LAST axis of the shard spec
+        theta_eps_spec = (P(None, None, "students") if tp
+                          else P(None, "students", None))
 
         # NO explicit psum on g anywhere below: shard_map's varying-types AD
         # already psums the cotangents of replicated (P()) inputs at the
@@ -230,7 +241,7 @@ class Trainer:
                 def loss_fn(p):
                     local, ratio = model.iwae_packed_terms(
                         p, packed, item_eps, theta_eps, row_weight,
-                        axis_name="students")
+                        axis_name="students", transposed=tp)
                     # ratio is shard-invariant: psum(ratio / n_shards) ==
                     # ratio, so log_w are the exact global log-weights and
                     # the cross-shard logsumexp is computed identically on
@@ -249,7 +260,7 @@ class Trainer:
                 def loss_fn(p):
                     ll, klt, kli = model.elbo_packed_sums(
                         p, packed, item_eps, theta_eps, row_weight,
-                        axis_name="students")
+                        axis_name="students", transposed=tp)
                     # the sum over shards of this local objective == the
                     # global loss (kli is shard-invariant, hence /n_shards)
                     local = -(ll - klt - item_scale * kli / n_shards)
@@ -263,13 +274,14 @@ class Trainer:
         smapped = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P("students", None), P("students"), P(),
-                      P(None, "students", None)),
+                      theta_eps_spec),
             out_specs=(P(), P(), P(), P()))
 
         def step(params, opt_state, key, packed, row_weight):
             item_eps, theta_eps = model.sample_noise(params, key,
                                                      packed.shape[0],
-                                                     num_samples)
+                                                     num_samples,
+                                                     transposed=tp)
             grads, ll, klt, kli = smapped(params, packed, row_weight,
                                           item_eps, theta_eps)
             bound = objectives.elbo(ll, klt, kli, item_scale)
