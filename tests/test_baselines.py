@@ -211,3 +211,113 @@ def test_em_3pl_marginal_loglik_increases():
     # MAP-regularized: monotone up to the (small) prior-term trade-off
     assert all(lls[i + 1] >= lls[i] - 1.0 for i in range(len(lls) - 1)), lls
     assert lls[-1] > lls[0]
+
+
+def test_hmc_map_init_breaks_saddle():
+    """The MAP initializer must not sit at the theta = a = 0 saddle (both
+    gradients vanish identically there); the found mode must carry real
+    discrimination/ability signal, and chains must start over-dispersed
+    around it."""
+    sim = simulate_irt("2pl", 120, 24, ability_dim=1, seed=3)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=3)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1)
+    u_fn = hmc.make_potential(
+        np.asarray(ds.response, np.float32),
+        np.asarray(ds.train_mask, np.float32), cfg)
+    spec = hmc._flatten_spec(120, 24, cfg)
+    mode = hmc._find_mode(u_fn, spec, cfg, jax.random.key(0))
+    a = np.asarray(mode["a"])
+    theta = np.asarray(mode["theta"])
+    assert np.abs(a).mean() > 0.2, "MAP stuck at the a=0 saddle"
+    assert np.abs(theta).std() > 0.2
+    # the mode should recover the simulated abilities well
+    corr = evaluation.correlation(theta[:, 0], sim.theta[:, 0])["pearson"]
+    assert corr > 0.7, corr
+
+
+def test_hmc_prior_init_mode_still_mixes():
+    """init_mode='prior' (the pre-MAP behavior) stays supported and mixes
+    at small scale, where prior-scale starts are only a few posterior sds
+    out."""
+    sim = simulate_irt("2pl", 100, 20, ability_dim=1, seed=7)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1, num_warmup=400,
+                        num_samples=400, num_leapfrog=16, num_chains=2,
+                        init_mode="prior")
+    out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
+    assert out["diagnostics"]["rhat_max"] < 1.2, out["diagnostics"]
+    assert out["accept_rate"] > 0.4
+
+
+def test_hmc_packed_potential_matches_dense():
+    """The packed-kernel potential (one-pass Pallas loglik+grads) must agree
+    with the dense XLA potential in value and gradient for every link — the
+    TPU HMC path runs entirely on it."""
+    import jax.numpy as jnp
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+
+    for model, k in (("1pl", 1), ("2pl", 2), ("3pl", 1)):
+        sim = simulate_irt(model, 48, 24, ability_dim=k, seed=1)
+        ds = holdout_split(sim.response, sim.mask, 0.1, seed=1)
+        cfg = hmc.HMCConfig(irt_model=model, ability_dim=k)
+        resp = jnp.asarray(ds.response, jnp.float32)
+        mask = jnp.asarray(ds.train_mask, jnp.float32)
+        pk = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+        u_dense = hmc.make_potential(resp, mask, cfg)
+        u_packed = hmc.make_potential(resp, mask, cfg, packed=pk)
+        spec = hmc._flatten_spec(48, 24, cfg)
+        key = jax.random.key(0)
+        params = {n: 0.3 * jax.random.normal(jax.random.fold_in(key, i), s)
+                  for i, (n, s) in enumerate(sorted(spec.items()))}
+        vd, gd = jax.value_and_grad(u_dense)(params)
+        vp, gp = jax.value_and_grad(u_packed)(params)
+        assert abs(float(vd) - float(vp)) < 1e-2, model
+        for name in gd:
+            d = float(jnp.abs(gd[name] - gp[name]).max())
+            assert d < 1e-3, (model, name, d)
+
+
+def test_hmc_runs_with_packed_kernel():
+    """run_hmc with use_packed_kernel=True (interpret mode off-TPU) executes
+    the full vmapped multi-chain scan and produces finite diagnostics."""
+    sim = simulate_irt("2pl", 64, 16, ability_dim=1, seed=2)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=2)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1, num_warmup=60,
+                        num_samples=60, num_leapfrog=8, num_chains=2,
+                        use_packed_kernel=True)
+    out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
+    assert np.isfinite(out["accept_rate"])
+    assert out["samples"]["theta"].shape == (120, 64, 1)
+    assert np.isfinite(out["diagnostics"]["rhat_max"])
+
+
+def test_hmc_referenced_potential_constant_shift():
+    """ll_ref referencing shifts U by a constant and leaves gradients (and
+    hence the sampled posterior) unchanged — it exists purely to keep the
+    f32 energy reduction well-resolved at large N*M."""
+    import jax.numpy as jnp
+
+    sim = simulate_irt("2pl", 60, 20, ability_dim=1, seed=4)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=4)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=1)
+    resp = jnp.asarray(ds.response, jnp.float32)
+    mask = jnp.asarray(ds.train_mask, jnp.float32)
+    spec = hmc._flatten_spec(60, 20, cfg)
+    key = jax.random.key(1)
+    p1 = {n: 0.3 * jax.random.normal(jax.random.fold_in(key, i), s)
+          for i, (n, s) in enumerate(sorted(spec.items()))}
+    p2 = {n: v + 0.1 for n, v in p1.items()}
+    ref = {n: 0.2 * jax.random.normal(jax.random.fold_in(key, 9 + i), s)
+           for i, (n, s) in enumerate(sorted(spec.items()))}
+    ll_ref = hmc._make_loglik_per_person(resp, mask, cfg)(ref)
+    u0 = hmc.make_potential(resp, mask, cfg)
+    u1 = hmc.make_potential(resp, mask, cfg, ll_ref=ll_ref)
+    # same constant shift at two different positions
+    s1 = float(u0(p1) - u1(p1))
+    s2 = float(u0(p2) - u1(p2))
+    assert abs(s1 - s2) < 1e-3, (s1, s2)
+    assert abs(s1 + float(ll_ref.sum())) < 1e-3
+    g0 = jax.grad(u0)(p1)
+    g1 = jax.grad(u1)(p1)
+    for n in g0:
+        assert float(jnp.abs(g0[n] - g1[n]).max()) < 1e-5

@@ -191,7 +191,8 @@ def cmd_baseline(args):
                             ability_dim=args.ability_dim,
                             num_warmup=args.hmc_warmup,
                             num_samples=args.hmc_samples, seed=args.seed,
-                            num_chains=getattr(args, "hmc_chains", 4))
+                            num_chains=getattr(args, "hmc_chains", 4),
+                            num_leapfrog=getattr(args, "hmc_leapfrog", 20))
         out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
         diag = out["diagnostics"]
         summary["accept_rate"] = round(out["accept_rate"], 3)
@@ -337,6 +338,9 @@ def main(argv=None):
     b.add_argument("--hmc-warmup", type=int, default=300)
     b.add_argument("--hmc-samples", type=int, default=300)
     b.add_argument("--hmc-chains", type=int, default=4)
+    b.add_argument("--hmc-leapfrog", type=int, default=20,
+                   help="leapfrog steps per trajectory; large matrices mix "
+                        "slow collective modes faster with 48-64")
     b.set_defaults(fn=cmd_baseline)
 
     c = sub.add_parser("compare",
@@ -353,6 +357,7 @@ def main(argv=None):
     c.add_argument("--hmc-warmup", type=int, default=300)
     c.add_argument("--hmc-samples", type=int, default=300)
     c.add_argument("--hmc-chains", type=int, default=4)
+    c.add_argument("--hmc-leapfrog", type=int, default=20)
     c.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)

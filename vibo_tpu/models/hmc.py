@@ -41,6 +41,30 @@ class HMCConfig:
     thin: int = 1
     num_chains: int = 4                # independent chains (vmap'd); >= 2
                                        # enables split-R-hat / ESS diagnostics
+    adapt_mass: bool = True            # Stan-style diagonal mass (metric)
+                                       # adaptation during warmup — essential
+                                       # at scale: with ~1k observations per
+                                       # parameter the posterior sd is ~0.03,
+                                       # and a unit mass forces the adapted
+                                       # step to ~1e-4 (chains that cannot
+                                       # mix; R-hat >> 1)
+    init_mode: str = "map"             # "map": chains start at the joint MAP
+                                       # (found by Adam on the same potential)
+                                       # + over-dispersed Fisher-scaled noise;
+                                       # "prior": 0.5-sigma prior-scale starts
+                                       # (~7 posterior sds away per dim at the
+                                       # 10k x 1k scale — warmup then spends
+                                       # its variance windows on drift, not
+                                       # the stationary posterior)
+    map_init_steps: int = 400          # Adam steps for the "map" init
+    init_overdispersion: float = 2.0   # chain spread in posterior-sd units
+                                       # (>1 keeps split-R-hat honest)
+    use_packed_kernel: bool | None = None
+                                       # potential via the one-pass packed
+                                       # Pallas kernel (loglik + grads in a
+                                       # single int8-read pass) instead of
+                                       # the dense XLA path; None = auto
+                                       # (TPU only)
 
 
 def _flatten_spec(n, m, cfg):
@@ -52,9 +76,62 @@ def _flatten_spec(n, m, cfg):
     return spec
 
 
-def make_potential(resp, mask, cfg: HMCConfig):
-    """U(params) = -log p(r, theta, d) with standard-normal priors."""
+def make_potential(resp, mask, cfg: HMCConfig, packed=None, ll_ref=None):
+    """U(params) = -log p(r, theta, d) with standard-normal priors.
+
+    packed: optional pre-packed int8 response|mask code (pallas_elbo
+    .pack_responses). When given, the loglik value AND all its gradients
+    come from the one-pass fused Pallas train kernel — HMC is
+    value_and_grad-bound (num_leapfrog evals per trajectory over the full
+    N x M matrix), and the packed path reads the int8 code once instead of
+    materializing (N, M) f32 logits per eval. The kernel's
+    uniform-cotangent contract holds by construction here: U consumes
+    exactly -ll.sum().
+
+    ll_ref: optional (N,) per-person reference loglik (e.g. at the MAP),
+    subtracted per person BEFORE the reduction. This is a constant shift of
+    U — gradients and Metropolis differences are mathematically unchanged —
+    but it is what makes large problems sample at all in f32: at 10k x 1k
+    the raw potential is ~5e6 with ULP 0.5, so u0 - u1 carries +-0.35 of
+    pure rounding noise, the acceptance rate saturates near exp-of-noise
+    ~ 0.8 INDEPENDENT of step size, and dual averaging (target 0.8) pins
+    the step wherever it happens to wander — measured frozen chains with
+    R-hat 500-2500 and accept ~ 0.8 at epsilon spanning 0.0002-0.001.
+    Referenced to the MAP, the summed magnitude is ~d/2 (a few thousand),
+    restoring ~1e-3 energy resolution."""
+    per_person = _make_loglik_per_person(resp, mask, cfg, packed)
+
     def u(params):
+        ll = per_person(params)
+        if ll_ref is not None:
+            ll = ll - ll_ref
+        prior = sum(0.5 * jnp.square(v).sum() for v in params.values())
+        return -ll.sum() + prior
+    return u
+
+
+def _make_loglik_per_person(resp, mask, cfg: HMCConfig, packed=None):
+    """(params) -> (N,) masked loglik per person, via the fused packed
+    kernel (one pass, value + grads) or the dense XLA ops."""
+    if packed is not None:
+        from vibo_tpu.ops import pallas_elbo as pe
+
+        m = resp.shape[1]
+        ones_a = jnp.ones((m, cfg.ability_dim), jnp.float32)
+
+        def per_person(params):
+            theta = params["theta"]
+            if cfg.irt_model == "1pl":
+                return pe.masked_loglik_2pl_packed_train(
+                    theta, ones_a, params["b"], packed)
+            if cfg.irt_model == "2pl":
+                return pe.masked_loglik_2pl_packed_train(
+                    theta, params["a"], params["b"], packed)
+            return pe.masked_loglik_3pl_packed_train(
+                theta, params["a"], params["b"], params["g_hat"], packed)
+        return per_person
+
+    def per_person(params):
         theta = params["theta"]
         if cfg.irt_model == "1pl":
             logits = links.logits_1pl(theta, params["b"])
@@ -62,10 +139,8 @@ def make_potential(resp, mask, cfg: HMCConfig):
         else:
             logits = links.logits_2pl(theta, params["a"], params["b"])
             g_hat = params.get("g_hat") if cfg.irt_model == "3pl" else None
-        ll = lik.masked_loglik_total(logits, resp, mask, g_hat=g_hat)
-        prior = sum(0.5 * jnp.square(v).sum() for v in params.values())
-        return -(ll) + prior
-    return u
+        return lik.masked_loglik_per_person(logits, resp, mask, g_hat=g_hat)
+    return per_person
 
 
 def run_hmc(resp, mask, cfg: HMCConfig, key=None):
@@ -76,65 +151,190 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
     "accept_rate", "step_size", and "diagnostics" with split-R-hat (max over
     all scalar parameters), within-chain bulk ESS (min), and the divergence
     count — the convergence evidence the single-chain round-1 sampler only
-    asserted (SURVEY.md section 8 "hard parts"; round-1 VERDICT item 6)."""
+    asserted (SURVEY.md section 8 "hard parts"; round-1 VERDICT item 6).
+
+    Everything traces under matmul precision HIGHEST: TPU f32 dots default
+    to bf16 operand rounding (in XLA and in the Mosaic kernels), which
+    perturbs each cell's loglik by ~2e-3 relative — summed incoherently
+    over ~1e7 observed cells that is a dH noise floor of several units,
+    measured to flatten the accept-vs-step curve at ~0.8 for EVERY step
+    size, which in turn pins dual averaging at arbitrary frozen steps
+    (R-hat 500-3000). SGD shrugs this off; a Metropolis test cannot. The
+    fused kernels are HBM-bound, so full-f32 MXU passes cost nothing
+    measurable here."""
+    with jax.default_matmul_precision("highest"):
+        return _run_hmc_impl(resp, mask, cfg, key)
+
+
+def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
     resp = jnp.asarray(resp, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
     n, m = resp.shape
     key = jax.random.key(cfg.seed) if key is None else key
     spec = _flatten_spec(n, m, cfg)
-    u_fn = make_potential(resp, mask, cfg)
-    grad_u = jax.grad(u_fn)
+    use_pk = cfg.use_packed_kernel
+    if use_pk is None:
+        from vibo_tpu.ops.pallas_elbo import _is_tpu
+        use_pk = _is_tpu()
+    if use_pk:
+        from vibo_tpu.ops.pallas_elbo import pack_responses
+        pk = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+    else:
+        pk = None
+    u_plain = make_potential(resp, mask, cfg, packed=pk)
     n_chains = max(1, cfg.num_chains)
 
     k_init, k_chain = jax.random.split(key)
 
-    def init_one(k):
-        init_keys = jax.random.split(k, len(spec))
-        # dispersed starts across chains (required for R-hat to detect
-        # non-mixing): 0.5-sigma vs the posterior's unit-scale priors
-        return {name: 0.5 * jax.random.normal(kk, shape)
-                for kk, (name, shape) in zip(init_keys, sorted(spec.items()))}
+    # WHITENED PARAMETERIZATION — the sampler runs in x-space with
+    # q = center + scale * x, scale = Fisher posterior sd per coordinate
+    # (var ~ 1/(1 + count/4): each response carries Bernoulli information
+    # <= 1/4, plus unit prior precision). This is not merely preconditioning;
+    # in f32 it is what makes large problems integrable at all. In q-space
+    # the posterior sd at 10k x 1k is ~0.02-0.07 against coordinates of
+    # magnitude ~1 (ULP 1.2e-7): a leapfrog drift eps*M^-1*p is ~1e-7 —
+    # BELOW one ULP of the position — so the integrator's updates quantize
+    # to garbage and dH carries an eps-independent noise floor of +-2-6
+    # (measured from the typical set; true integration error there ~1e-6).
+    # The accept rate then saturates near the 0.8 target at EVERY step size
+    # and dual averaging freezes the chains at arbitrary eps (measured
+    # R-hat 500-3000 across runs). In x-space every coordinate is O(1) with
+    # posterior sd ~1: increments resolve, the metric starts at identity,
+    # and the warmup windows only refine an O(1) residual.
+    row_cnt = mask.sum(1)                  # (N,)
+    col_cnt = mask.sum(0)                  # (M,)
+    theta_sd = jax.lax.rsqrt(1.0 + 0.25 * row_cnt)
+    item_sd = jax.lax.rsqrt(1.0 + 0.25 * col_cnt)
+    scale = {}
+    for name, shape in spec.items():
+        if name == "theta":
+            scale[name] = jnp.broadcast_to(theta_sd[:, None], shape)
+        elif name == "a":
+            scale[name] = jnp.broadcast_to(item_sd[:, None], shape)
+        else:  # b, g_hat: (M,)
+            scale[name] = item_sd
+    inv_mass0 = {name: jnp.ones(shape) for name, shape in spec.items()}
+
+    if cfg.init_mode == "map":
+        # Start every chain near the joint MAP (Adam on the same potential —
+        # a few seconds even at 10k x 1k), over-dispersed by
+        # `init_overdispersion` posterior sds per coordinate. Prior-scale
+        # starts are ~7 posterior sds away in EVERY one of ~12k dims at the
+        # north-star scale; warmup's variance estimates are then dominated by
+        # the drift toward the typical set (variance >> posterior var -> mass
+        # too heavy -> step too small -> frozen chains). Starting
+        # overdispersed *relative to the posterior* keeps split-R-hat honest
+        # while making the adaptation windows stationary.
+        k_init, k_map = jax.random.split(k_init)
+        center = _find_mode(u_plain, spec, cfg, k_map)
+
+        def init_one(k):
+            init_keys = jax.random.split(k, len(spec))
+            return {name: cfg.init_overdispersion
+                    * jax.random.normal(kk, spec[name])
+                    for kk, name in zip(init_keys, sorted(spec))}
+    else:
+        center = {name: jnp.zeros(shape) for name, shape in spec.items()}
+
+        def init_one(k):
+            init_keys = jax.random.split(k, len(spec))
+            # dispersed starts across chains at prior scale (in x units)
+            return {name: 0.5 * jax.random.normal(kk, shape) / scale[name]
+                    for kk, (name, shape) in zip(init_keys,
+                                                 sorted(spec.items()))}
 
     positions = jax.vmap(init_one)(jax.random.split(k_init, n_chains))
     chain_keys = jax.random.split(k_chain, n_chains)
 
-    def leapfrog(pos, mom, eps):
-        g = grad_u(pos)
-        mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g)
+    # Per-person reference loglik at the center: the sampler's potential is
+    # referenced to it so the f32 reduction keeps O(1e-2) energy resolution
+    # at large N x M (see make_potential's ll_ref docstring).
+    ll_ref = jax.lax.stop_gradient(
+        jax.jit(_make_loglik_per_person(resp, mask, cfg, packed=pk))(center))
+    u_q = make_potential(resp, mask, cfg, packed=pk, ll_ref=ll_ref)
+
+    def u_fn(x):
+        return u_q(jax.tree.map(lambda c, s, xx: c + s * xx, center, scale,
+                                x))
+    # the one-pass kernel emits value + gradients together, and the cached
+    # (u, grad) trick below wants them paired everywhere anyway
+    vg_fn = jax.value_and_grad(u_fn)
+
+    def leapfrog(pos, mom, eps, inv_mass, g0):
+        # diagonal metric: momentum ~ N(0, M) with M = 1/inv_mass, so the
+        # position update is q += eps * inv_mass * p (Stan's M^-1 ~ posterior
+        # variance); inv_mass == 1 is classic unit-mass HMC.
+        # g0 is the CACHED gradient at pos (the potential only changes on
+        # accept, so the trajectory's first gradient is last step's final
+        # one) — with the final value_and_grad below, each trajectory costs
+        # exactly num_leapfrog potential evals.
+        mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g0)
 
         def body(carry, _):
             pos, mom = carry
-            pos = jax.tree.map(lambda q, p: q + eps * p, pos, mom)
-            g = grad_u(pos)
+            pos = jax.tree.map(lambda q, p, im: q + eps * im * p, pos, mom,
+                               inv_mass)
+            _, g = vg_fn(pos)
             mom = jax.tree.map(lambda p, gg: p - eps * gg, mom, g)
             return (pos, mom), None
 
         (pos, mom), _ = jax.lax.scan(body, (pos, mom), None,
                                      length=cfg.num_leapfrog - 1)
-        pos = jax.tree.map(lambda q, p: q + eps * p, pos, mom)
-        g = grad_u(pos)
-        mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g)
-        return pos, mom
+        pos = jax.tree.map(lambda q, p, im: q + eps * im * p, pos, mom,
+                           inv_mass)
+        u_new, g_new = vg_fn(pos)
+        mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g_new)
+        return pos, mom, u_new, g_new
 
-    def kinetic(mom):
-        return sum(0.5 * jnp.square(p).sum() for p in jax.tree.leaves(mom))
+    def kinetic(mom, inv_mass):
+        return sum(0.5 * (jnp.square(p) * im).sum()
+                   for p, im in zip(jax.tree.leaves(mom),
+                                    jax.tree.leaves(inv_mass)))
 
-    # dual averaging state: (log_eps, log_eps_bar, h_bar)
-    mu = jnp.log(10.0 * cfg.init_step_size)
+    # dual averaging constants (Hoffman & Gelman 2014)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    mu0 = jnp.log(10.0 * cfg.init_step_size)
+    # Stan's warmup schedule, simplified to fixed fractions: an initial
+    # step-size-only phase on the Fisher metric, then EXPANDING memoryless
+    # variance windows — at each window end the metric is re-estimated from
+    # that window alone, the accumulator is zeroed, and the dual-averaging
+    # search restarts around the current step. Expanding windows matter:
+    # early draws are still drifting, and a single window mixes that drift
+    # into the variance estimate (mass too heavy -> frozen chains).
+    do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
+    w = cfg.num_warmup
+    bounds = [int(0.15 * w), int(0.25 * w), int(0.45 * w), int(0.85 * w)]
+    collect_f = np.zeros(w + cfg.num_samples, np.float32)
+    switch_f = np.zeros(w + cfg.num_samples, np.float32)
+    if do_mass:
+        collect_f[bounds[0]:bounds[3]] = 1.0
+        for b in bounds[1:]:
+            switch_f[b - 1] = 1.0   # metric update fires AFTER that draw
 
     def step(carry, inp):
-        pos, log_eps, log_eps_bar, h_bar, t = carry
+        (pos, u_cur, g_cur, log_eps, log_eps_bar, h_bar, t, mu, inv_mass,
+         w_mean, w_m2, w_cnt) = carry
         k = inp["key"]
         adapt = inp["adapt"]
-        k_mom, k_acc = jax.random.split(k)
+        k_mom, k_acc, k_jit = jax.random.split(k, 3)
         mom_keys = jax.random.split(k_mom, len(spec))
-        mom = {name: jax.random.normal(kk, shape)
-               for kk, (name, shape) in zip(mom_keys, sorted(spec.items()))}
+        # p ~ N(0, M) with M = 1/inv_mass  =>  p = z / sqrt(inv_mass)
+        mom = {name: jax.random.normal(kk, spec[name])
+               for kk, name in zip(mom_keys, sorted(spec))}
+        mom = jax.tree.map(lambda z, im: z * jax.lax.rsqrt(im), mom, inv_mass)
         eps = jnp.exp(jnp.where(adapt, log_eps, log_eps_bar))
-        u0 = u_fn(pos) + kinetic(mom)
-        new_pos, new_mom = leapfrog(pos, mom, eps)
-        u1 = u_fn(new_pos) + kinetic(new_mom)
+        # jitter the trajectory LENGTH via the step (state-independent, so
+        # detailed balance holds): a fixed eps*L resonates — coordinates
+        # whose oscillation period divides the trajectory length return to
+        # their start every proposal and never decorrelate (measured: theta
+        # R-hat 1.5 at high accept on a 150-person problem). U(0.67, 1) of
+        # the adapted step keeps the stability margin while spreading the
+        # effective length over a ~1.5x range.
+        eps = eps * (1.0 - jax.random.uniform(k_jit) / 3.0)
+        u0 = u_cur + kinetic(mom, inv_mass)
+        new_pos, new_mom, u_pot, g_new = leapfrog(pos, mom, eps, inv_mass,
+                                                  g_cur)
+        u1 = u_pot + kinetic(new_mom, inv_mass)
         log_accept = jnp.minimum(0.0, u0 - u1)
         # guard NaN trajectories (divergence): reject
         log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
@@ -142,6 +342,9 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
         accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
         pos = jax.tree.map(lambda newq, q: jnp.where(accept, newq, q),
                            new_pos, pos)
+        u_cur = jnp.where(accept, u_pot, u_cur)
+        g_cur = jax.tree.map(lambda gn, gc: jnp.where(accept, gn, gc),
+                             g_new, g_cur)
         # dual averaging update (only during warmup)
         t = t + adapt
         accept_prob = jnp.exp(log_accept)
@@ -153,7 +356,50 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
         log_eps = jnp.where(adapt, log_eps_new, log_eps)
         log_eps_bar = jnp.where(adapt, log_eps_bar_new, log_eps_bar)
         h_bar = jnp.where(adapt, h_bar_new, h_bar)
-        return ((pos, log_eps, log_eps_bar, h_bar, t),
+        if do_mass:
+            # Welford accumulation of per-parameter posterior variance
+            collect = inp["collect"]
+            switch = inp["switch"] > 0
+            w_cnt_new = w_cnt + 1.0
+            def upd_mean(mn, q):
+                return mn + (q - mn) / w_cnt_new
+            def upd_m2(m2, mn, mn_new, q):
+                return m2 + (q - mn) * (q - mn_new)
+            w_mean_new = jax.tree.map(upd_mean, w_mean, pos)
+            w_m2_new = jax.tree.map(upd_m2, w_m2, w_mean, w_mean_new, pos)
+            w_cnt = jnp.where(collect > 0, w_cnt_new, w_cnt)
+            w_mean = jax.tree.map(
+                lambda new, old: jnp.where(collect > 0, new, old),
+                w_mean_new, w_mean)
+            w_m2 = jax.tree.map(
+                lambda new, old: jnp.where(collect > 0, new, old),
+                w_m2_new, w_m2)
+            # at each window end: re-estimate the metric from THIS window
+            # (regularized toward 1e-3, Stan-style), zero the accumulator,
+            # and restart the step-size search around the current adapted
+            # step
+            denom = jnp.maximum(w_cnt - 1.0, 1.0)
+            shrink = w_cnt / (w_cnt + 5.0)
+            def new_im(m2, im):
+                var = m2 / denom
+                est = jnp.clip(shrink * var + (1.0 - shrink) * 1e-3,
+                               1e-8, 1e8)
+                # guard: an (almost) empty window keeps the old metric
+                return jnp.where(w_cnt >= 4.0, est, im)
+            inv_mass = jax.tree.map(
+                lambda m2, im: jnp.where(switch, new_im(m2, im), im), w_m2,
+                inv_mass)
+            w_cnt = jnp.where(switch, 0.0, w_cnt)
+            w_mean = jax.tree.map(
+                lambda mn: jnp.where(switch, jnp.zeros_like(mn), mn), w_mean)
+            w_m2 = jax.tree.map(
+                lambda m2: jnp.where(switch, jnp.zeros_like(m2), m2), w_m2)
+            mu = jnp.where(switch, jnp.log(10.0) + log_eps_bar, mu)
+            log_eps = jnp.where(switch, log_eps_bar, log_eps)
+            h_bar = jnp.where(switch, 0.0, h_bar)
+            t = jnp.where(switch, 0.0, t)
+        return ((pos, u_cur, g_cur, log_eps, log_eps_bar, h_bar, t, mu,
+                 inv_mass, w_mean, w_m2, w_cnt),
                 {"pos": pos, "accept": accept_prob, "divergent": divergent,
                  "is_sample": 1.0 - adapt})
 
@@ -162,24 +408,33 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
     def run_chain(position, key):
         keys = jax.random.split(key, total)
         adapt = (jnp.arange(total) < cfg.num_warmup).astype(jnp.float32)
-        carry0 = (position, jnp.log(cfg.init_step_size),
+        zeros = jax.tree.map(jnp.zeros_like, position)
+        u_init, g_init = vg_fn(position)
+        carry0 = (position, u_init, g_init, jnp.log(cfg.init_step_size),
                   jnp.log(cfg.init_step_size), jnp.float32(0.0),
-                  jnp.float32(0.0))
+                  jnp.float32(0.0), mu0, dict(inv_mass0), zeros,
+                  jax.tree.map(jnp.zeros_like, position), jnp.float32(0.0))
         carry, out = jax.lax.scan(step, carry0,
-                                  {"key": keys, "adapt": adapt})
+                                  {"key": keys, "adapt": adapt,
+                                   "collect": jnp.asarray(collect_f),
+                                   "switch": jnp.asarray(switch_f)})
         return carry, out
 
     carry, out = jax.jit(jax.vmap(run_chain))(positions, chain_keys)
     sample_slice = slice(cfg.num_warmup, total, cfg.thin)
     # (C, S', ...) per-chain stacks feed the diagnostics; the pooled
-    # (C*S', ...) stacks are the user-facing posterior
-    chain_samples = {name: np.asarray(v[:, sample_slice])
+    # (C*S', ...) stacks are the user-facing posterior. Draws come out of
+    # the whitened x-space: q = center + scale * x.
+    center_np = {n: np.asarray(v) for n, v in center.items()}
+    scale_np = {n: np.asarray(v) for n, v in scale.items()}
+    chain_samples = {name: center_np[name]
+                     + scale_np[name] * np.asarray(v[:, sample_slice])
                      for name, v in out["pos"].items()}
     chain_samples = _align_chain_signs(chain_samples)
     samples = {name: v.reshape((-1,) + v.shape[2:])
                for name, v in chain_samples.items()}
     accept_rate = float(out["accept"][:, cfg.num_warmup:].mean())
-    step_sizes = np.asarray(jnp.exp(carry[2]))
+    step_sizes = np.asarray(jnp.exp(carry[4]))   # log_eps_bar per chain
     divergences = int(np.asarray(out["divergent"][:, cfg.num_warmup:]).sum())
 
     rhat_by, ess_by = {}, {}
@@ -199,6 +454,37 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
     return {"samples": samples, "accept_rate": accept_rate,
             "step_size": float(step_sizes.mean()),
             "diagnostics": diagnostics}
+
+
+def _find_mode(u_fn, spec, cfg: HMCConfig, key):
+    """Joint MAP by Adam on the HMC potential itself. Full-batch steps are
+    one fused masked reduction each, so even the 10k x 1k north-star matrix
+    takes seconds; shares the objective (and therefore the mode) with
+    models/mle.py's MAP baseline. The start is small-random, NOT zeros:
+    theta = a = 0 is a saddle where both gradients vanish identically
+    (d loglik/d theta ~ a, d loglik/d a ~ theta) and Adam would never move
+    them."""
+    import optax
+
+    init_keys = jax.random.split(key, len(spec))
+    params = {name: 0.1 * jax.random.normal(kk, spec[name])
+              for kk, name in zip(init_keys, sorted(spec))}
+    tx = optax.adam(0.05)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def run(params, opt_state):
+        def body(carry, _):
+            params, opt_state = carry
+            grads = jax.grad(u_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), None
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=cfg.map_init_steps)
+        return params
+
+    return run(params, opt_state)
 
 
 def _align_chain_signs(chain_samples: dict) -> dict:
