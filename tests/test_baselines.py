@@ -321,3 +321,44 @@ def test_hmc_referenced_potential_constant_shift():
     g1 = jax.grad(u1)(p1)
     for n in g0:
         assert float(jnp.abs(g0[n] - g1[n]).max()) < 1e-5
+
+
+def test_hmc_ridge_move_deltas_match_potential():
+    """The ridge moves' analytic accept ratios must equal the true potential
+    difference: likelihood exactly invariant, prior deltas exact."""
+    import jax.numpy as jnp
+
+    sim = simulate_irt("2pl", 80, 16, ability_dim=2, seed=6)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=6)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=2)
+    resp = jnp.asarray(ds.response, jnp.float32)
+    mask = jnp.asarray(ds.train_mask, jnp.float32)
+    u = hmc.make_potential(resp, mask, cfg)
+    spec = hmc._flatten_spec(80, 16, cfg)
+    key = jax.random.key(2)
+    pos = {nm: 0.4 * jax.random.normal(jax.random.fold_in(key, i), s)
+           for i, (nm, s) in enumerate(sorted(spec.items()))}
+    n, m, kd = 80, 16, 1
+
+    # scale move on dim kd
+    s = 0.07
+    moved = dict(pos)
+    moved["theta"] = pos["theta"].at[:, kd].mul(np.exp(s))
+    moved["a"] = pos["a"].at[:, kd].mul(np.exp(-s))
+    st = float(jnp.square(pos["theta"][:, kd]).sum())
+    sa = float(jnp.square(pos["a"][:, kd]).sum())
+    analytic = -0.5 * ((np.exp(2 * s) - 1) * st + (np.exp(-2 * s) - 1) * sa)
+    true_delta = float(u(pos) - u(moved))   # -(U' - U) = logr without jacobian
+    assert abs(true_delta - analytic) < 1e-2, (true_delta, analytic)
+
+    # location move on dim kd
+    c = 0.11
+    moved = dict(pos)
+    moved["theta"] = pos["theta"].at[:, kd].add(c)
+    moved["b"] = pos["b"] + c * pos["a"][:, kd]
+    ak = pos["a"][:, kd]
+    analytic = -0.5 * (2 * c * float(pos["theta"][:, kd].sum()) + n * c * c
+                       + 2 * c * float((pos["b"] * ak).sum())
+                       + c * c * float(jnp.square(ak).sum()))
+    true_delta = float(u(pos) - u(moved))
+    assert abs(true_delta - analytic) < 1e-2, (true_delta, analytic)

@@ -65,6 +65,13 @@ class HMCConfig:
                                        # single int8-read pass) instead of
                                        # the dense XLA path; None = auto
                                        # (TPU only)
+    ridge_moves: int = 8               # Metropolis-within-Gibbs sweeps per
+                                       # iteration along the likelihood-NULL
+                                       # ridges (location: theta+c, b+c*a;
+                                       # scale: theta*e^s, a*e^-s) — exact
+                                       # invariances of the 2PL link that
+                                       # HMC mixes ~100x slower than the
+                                       # identified directions; 0 disables
 
 
 def _flatten_spec(n, m, cfg):
@@ -302,6 +309,7 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
     # early draws are still drifting, and a single window mixes that drift
     # into the variance estimate (mass too heavy -> frozen chains).
     do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
+    do_ridge = cfg.ridge_moves > 0
     w = cfg.num_warmup
     bounds = [int(0.15 * w), int(0.25 * w), int(0.45 * w), int(0.85 * w)]
     collect_f = np.zeros(w + cfg.num_samples, np.float32)
@@ -316,7 +324,7 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
          w_mean, w_m2, w_cnt) = carry
         k = inp["key"]
         adapt = inp["adapt"]
-        k_mom, k_acc, k_jit = jax.random.split(k, 3)
+        k_mom, k_acc, k_jit, k_ridge = jax.random.split(k, 4)
         mom_keys = jax.random.split(k_mom, len(spec))
         # p ~ N(0, M) with M = 1/inv_mass  =>  p = z / sqrt(inv_mass)
         mom = {name: jax.random.normal(kk, spec[name])
@@ -345,6 +353,64 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         u_cur = jnp.where(accept, u_pot, u_cur)
         g_cur = jax.tree.map(lambda gn, gc: jnp.where(accept, gn, gc),
                              g_new, g_cur)
+        if do_ridge:
+            # Metropolis-within-Gibbs along the likelihood-NULL ridges.
+            # The 2PL/3PL link is EXACTLY invariant under (per ability dim)
+            #   location: theta_k += c, b += c * a_k
+            #   scale:    theta_k *= e^s, a_k *= e^-s   (Jacobian e^{(N-M)s})
+            # so these directions are constrained only by the priors —
+            # posterior sd ~ (N+M)^-1/2 ~ 0.01 at the north-star scale,
+            # which HMC's identified-direction step traverses ~100x slower
+            # than everything else (measured: 97% of between-chain
+            # disagreement in `a` lies along [1, a_bar]). The moves accept
+            # on prior ratios alone — no likelihood eval — and one fused
+            # value_and_grad at the end refreshes the (U, grad) cache.
+            q0 = jax.tree.map(lambda c, s, xx: c + s * xx, center, scale,
+                              pos)
+            kdim = cfg.ability_dim
+            sig_s = 2.4 / jnp.sqrt(2.0 * (n + m))
+            sig_c = 2.4 / jnp.sqrt(1.0 * (n + m))
+
+            def ridge_sweep(carry, kk):
+                theta_q, a_q, b_q = carry
+                for kd in range(kdim):
+                    k1, k2, k3, k4 = (jax.random.fold_in(kk, 4 * kd + i)
+                                      for i in range(4))
+                    if a_q is not None:
+                        sp = sig_s * jax.random.normal(k1)
+                        st = jnp.square(theta_q[:, kd]).sum()
+                        sa = jnp.square(a_q[:, kd]).sum()
+                        logr = (-0.5 * ((jnp.exp(2 * sp) - 1.0) * st
+                                        + (jnp.exp(-2 * sp) - 1.0) * sa)
+                                + (n - m) * sp)
+                        ok = jnp.log(jax.random.uniform(k2)) < logr
+                        es = jnp.where(ok, jnp.exp(sp), 1.0)
+                        theta_q = theta_q.at[:, kd].mul(es)
+                        a_q = a_q.at[:, kd].mul(1.0 / es)
+                        ak = a_q[:, kd]
+                    else:
+                        ak = jnp.ones_like(b_q)
+                    cp = sig_c * jax.random.normal(k3)
+                    logr = -0.5 * (2 * cp * theta_q[:, kd].sum()
+                                   + n * cp * cp
+                                   + 2 * cp * (b_q * ak).sum()
+                                   + cp * cp * jnp.square(ak).sum())
+                    ok = jnp.log(jax.random.uniform(k4)) < logr
+                    cc = jnp.where(ok, cp, 0.0)
+                    theta_q = theta_q.at[:, kd].add(cc)
+                    b_q = b_q + cc * ak
+                return (theta_q, a_q, b_q), None
+
+            rkeys = jax.random.split(k_ridge, cfg.ridge_moves)
+            (theta_q, a_q, b_q), _ = jax.lax.scan(
+                ridge_sweep, (q0["theta"], q0.get("a"), q0["b"]), rkeys)
+            q1 = dict(q0)
+            q1["theta"], q1["b"] = theta_q, b_q
+            if a_q is not None:
+                q1["a"] = a_q
+            pos = jax.tree.map(lambda c, s, qq: (qq - c) / s, center, scale,
+                               q1)
+            u_cur, g_cur = vg_fn(pos)
         # dual averaging update (only during warmup)
         t = t + adapt
         accept_prob = jnp.exp(log_accept)
@@ -382,8 +448,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
             shrink = w_cnt / (w_cnt + 5.0)
             def new_im(m2, im):
                 var = m2 / denom
-                est = jnp.clip(shrink * var + (1.0 - shrink) * 1e-3,
-                               1e-8, 1e8)
+                # regularize toward 1.0: the sampler runs in whitened
+                # coordinates, so the Fisher metric (identity) is the prior
+                est = jnp.clip(shrink * var + (1.0 - shrink), 1e-6, 1e6)
                 # guard: an (almost) empty window keeps the old metric
                 return jnp.where(w_cnt >= 4.0, est, im)
             inv_mass = jax.tree.map(
@@ -401,7 +468,7 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         return ((pos, u_cur, g_cur, log_eps, log_eps_bar, h_bar, t, mu,
                  inv_mass, w_mean, w_m2, w_cnt),
                 {"pos": pos, "accept": accept_prob, "divergent": divergent,
-                 "is_sample": 1.0 - adapt})
+                 "is_sample": 1.0 - adapt, "eps": eps, "dh": u1 - u0})
 
     total = cfg.num_warmup + cfg.num_samples
 
@@ -450,6 +517,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         "ess_min": min(ess_by.values()) if ess_by else float("nan"),
         "divergences": divergences,
         "step_sizes": step_sizes.tolist(),
+        # per-iteration adaptation traces (chain-major), for forensics
+        "eps_trace": np.asarray(out["eps"]),
+        "dh_trace": np.asarray(out["dh"]),
     }
     return {"samples": samples, "accept_rate": accept_rate,
             "step_size": float(step_sizes.mean()),
