@@ -89,3 +89,51 @@ def test_correlation_spearman_sign_alignment():
     assert out["spearman"] > 0.5
     # and the two statistics carry ONE consistent sign convention
     assert out["pearson"] < 0
+
+
+def test_calibration_from_probs():
+    """ECE ~ 0 for probabilities that match empirical frequencies; large for
+    overconfident ones; Brier = mean squared error on held-out cells."""
+    from vibo_tpu import evaluation
+    rng = np.random.default_rng(3)
+    prob = rng.uniform(0.02, 0.98, size=(400, 50))
+    resp = (rng.uniform(size=prob.shape) < prob).astype(np.float32)
+    h = (rng.uniform(size=prob.shape) < 0.5).astype(np.float32)
+    cal = evaluation.calibration_from_probs(prob, resp, h)
+    assert cal["ece"] < 0.03, cal["ece"]       # well calibrated by design
+    assert cal["num_heldout"] == int(h.sum())
+    # sharpened (overconfident) probabilities miscalibrate
+    sharp = np.clip(0.5 + 4.0 * (prob - 0.5), 0.001, 0.999)
+    cal2 = evaluation.calibration_from_probs(sharp, resp, h)
+    assert cal2["ece"] > 0.1, cal2["ece"]
+    assert cal2["brier"] > cal["brier"]
+    # brier check against direct computation
+    direct = float((h * (prob - resp) ** 2).sum() / h.sum())
+    assert abs(cal["brier"] - direct) < 1e-9
+
+
+def test_calibration_model_path_matches_probs_path(rng):
+    """The blocked on-device VIBO calibration must agree with the numpy
+    reference computation on the same probabilities."""
+    import jax
+    from vibo_tpu import evaluation
+    from vibo_tpu.data import simulate_irt, holdout_split
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("2pl", 80, 24, ability_dim=1, seed=5)
+    ds = holdout_split(sim.response, sim.mask, 0.15, seed=5)
+    model = VIBO(VIBOConfig(num_items=24, irt_model="2pl", ability_dim=1,
+                            hidden_dim=32))
+    res = Trainer(model, TrainConfig(epochs=30)).fit(ds)
+    cal = evaluation.calibration(model, res["params"], ds, block_size=32)
+    item_mean = evaluation.full_item_mean(model, res["params"], ds)
+    import jax.numpy as jnp
+    prob = np.asarray(model.impute_prob_with_items(
+        res["params"], jnp.asarray(ds.response), jnp.asarray(ds.train_mask),
+        item_mean))
+    ref = evaluation.calibration_from_probs(prob, ds.response,
+                                            ds.heldout_mask)
+    assert abs(cal["ece"] - ref["ece"]) < 5e-3, (cal["ece"], ref["ece"])
+    assert abs(cal["brier"] - ref["brier"]) < 5e-3
+    assert cal["num_heldout"] == ref["num_heldout"]

@@ -109,6 +109,9 @@ def cmd_train(args):
     ev = evaluation.imputation_accuracy(model, res["params"], ds)
     summary["heldout_acc"] = round(ev["acc"], 4)
     summary["heldout_base_rate"] = round(ev["base_rate"], 4)
+    cal = evaluation.calibration(model, res["params"], ds)
+    summary["ece"] = round(cal["ece"], 4)
+    summary["brier"] = round(cal["brier"], 4)
     if args.iwae_samples:
         on = getattr(args, "iwae_on", "heldout")
         iw = evaluation.iwae_loglik(model, res["params"],
@@ -155,6 +158,9 @@ def cmd_baseline(args):
         h = ds.heldout_mask
         if h.sum() == 0:
             return None
+        cal = evaluation.calibration_from_probs(prob, ds.response, h)
+        summary["ece"] = round(cal["ece"], 4)
+        summary["brier"] = round(cal["brier"], 4)
         return float((h * (pred == ds.response)).sum() / h.sum())
 
     summary = {"dataset": ds.name, "shape": list(ds.shape), "method": args.method}
@@ -192,7 +198,9 @@ def cmd_baseline(args):
                             num_warmup=args.hmc_warmup,
                             num_samples=args.hmc_samples, seed=args.seed,
                             num_chains=getattr(args, "hmc_chains", 4),
-                            num_leapfrog=getattr(args, "hmc_leapfrog", 20))
+                            num_leapfrog=getattr(args, "hmc_leapfrog", 20),
+                            target_accept=getattr(args, "hmc_target_accept",
+                                                  0.8))
         out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
         diag = out["diagnostics"]
         summary["accept_rate"] = round(out["accept_rate"], 3)
@@ -280,7 +288,7 @@ def cmd_compare(args):
                     r["_theta_sigma"], hmc_row["_theta_sd"])["pearson"], 4)
         hmc_row["theta_vs_hmc"] = 1.0
 
-    cols = ("method", "seconds", "heldout_acc", "theta_pearson",
+    cols = ("method", "seconds", "heldout_acc", "ece", "theta_pearson",
             "theta_vs_hmc", "sigma_vs_hmc", "rhat_max", "converged")
     table = [{c: r[c] for c in cols if c in r} for r in rows]
     print(json.dumps({"dataset": rows[0]["dataset"], "compare": table}))
@@ -341,6 +349,10 @@ def main(argv=None):
     b.add_argument("--hmc-leapfrog", type=int, default=20,
                    help="leapfrog steps per trajectory; large matrices mix "
                         "slow collective modes faster with 48-64")
+    b.add_argument("--hmc-target-accept", type=float, default=0.8,
+                   help="dual-averaging target; 0.65 (classic HMC optimum) "
+                        "buys longer steps on large matrices where f32 "
+                        "energy noise eats the 0.8 budget")
     b.set_defaults(fn=cmd_baseline)
 
     c = sub.add_parser("compare",
@@ -358,6 +370,7 @@ def main(argv=None):
     c.add_argument("--hmc-samples", type=int, default=300)
     c.add_argument("--hmc-chains", type=int, default=4)
     c.add_argument("--hmc-leapfrog", type=int, default=20)
+    c.add_argument("--hmc-target-accept", type=float, default=0.8)
     c.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)

@@ -313,3 +313,91 @@ def correlation(inferred: np.ndarray, truth: np.ndarray,
         spearmans.append(s)
     return {"pearson": float(np.mean(pearsons)),
             "spearman": float(np.mean(spearmans))}
+
+
+# ---------------------------------------------------------------- calibration
+
+@functools.lru_cache(maxsize=64)
+def _calib_stats_fn(cfg, bins: int):
+    """Cached jit'd per-block calibration reduction: per-bin (count,
+    correct, confidence) sums + Brier total come back as 3*bins+1 scalars
+    instead of the probability matrix (relay-friendly, like _impute_stats_fn)."""
+    model = VIBO(cfg)
+
+    @jax.jit
+    def stats(params, item_mean, resp, tmask, hmask):
+        prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
+        conf = jnp.maximum(prob, 1.0 - prob)
+        correct = ((prob > 0.5).astype(jnp.float32) == resp).astype(
+            jnp.float32)
+        idx = jnp.clip(((conf - 0.5) * 2.0 * bins).astype(jnp.int32),
+                       0, bins - 1)
+        cnt = jnp.zeros(bins).at[idx].add(hmask)
+        acc = jnp.zeros(bins).at[idx].add(hmask * correct)
+        cf = jnp.zeros(bins).at[idx].add(hmask * conf)
+        brier = (hmask * jnp.square(prob - resp)).sum()
+        return cnt, acc, cf, brier
+
+    return stats
+
+
+def _calib_summary(cnt, acc, cf, brier):
+    total = cnt.sum()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bin_acc = np.where(cnt > 0, acc / np.maximum(cnt, 1), np.nan)
+        bin_conf = np.where(cnt > 0, cf / np.maximum(cnt, 1), np.nan)
+    gap = np.abs(np.nan_to_num(bin_acc - bin_conf))
+    ece = float((cnt * gap).sum() / max(total, 1.0))
+    mce = float(gap.max()) if total > 0 else float("nan")
+    return {"ece": ece, "mce": mce,
+            "brier": float(brier / max(total, 1.0)),
+            "num_heldout": int(total),
+            "bin_count": cnt.astype(int).tolist(),
+            "bin_accuracy": np.round(bin_acc, 4).tolist(),
+            "bin_confidence": np.round(bin_conf, 4).tolist()}
+
+
+def calibration_from_probs(prob: np.ndarray, resp: np.ndarray,
+                           hmask: np.ndarray, bins: int = 10) -> dict:
+    """Calibration of an arbitrary predictor's held-out probabilities:
+    expected/max calibration error over `bins` confidence bins on [0.5, 1],
+    plus the Brier score. Used by the baselines (MLE/EM/HMC posterior
+    predictive), which already materialize their probability matrices."""
+    prob = np.asarray(prob, np.float64)
+    resp = np.asarray(resp, np.float64)
+    hmask = np.asarray(hmask, np.float64)
+    conf = np.maximum(prob, 1.0 - prob)
+    correct = ((prob > 0.5) == (resp > 0.5)).astype(np.float64)
+    idx = np.clip(((conf - 0.5) * 2.0 * bins).astype(int), 0, bins - 1)
+    w = hmask.ravel()
+    idx = idx.ravel()
+    cnt = np.bincount(idx, weights=w, minlength=bins)
+    acc = np.bincount(idx, weights=w * correct.ravel(), minlength=bins)
+    cf = np.bincount(idx, weights=w * conf.ravel(), minlength=bins)
+    brier = (w * np.square(prob - resp).ravel()).sum()
+    return _calib_summary(cnt, acc, cf, brier)
+
+
+def calibration(model: VIBO, params, ds: Dataset, bins: int = 10,
+                block_size: int = 16384, item_mean: dict | None = None) -> dict:
+    """Posterior-predictive calibration of VIBO's held-out imputation
+    probabilities (paper protocol predicts hidden cells from posterior
+    means; this measures whether those probabilities mean what they say).
+    Blocked on-device reduction — the probability matrix never leaves HBM."""
+    if item_mean is None:
+        item_mean = full_item_mean(model, params, ds)
+    stats = _calib_stats_fn(model.cfg, bins)
+    resp_d, tmask_d, hmask_d = dataset_on_device(ds)
+    cnt = np.zeros(bins)
+    acc = np.zeros(bins)
+    cf = np.zeros(bins)
+    brier = 0.0
+    n = ds.response.shape[0]
+    for s, e in _person_blocks(n, block_size):
+        c, a, f, b = stats(params, item_mean, resp_d[s:e], tmask_d[s:e],
+                           hmask_d[s:e])
+        cnt += np.asarray(c)
+        acc += np.asarray(a)
+        cf += np.asarray(f)
+        brier += float(b)
+    return _calib_summary(cnt, acc, cf, brier)
