@@ -65,6 +65,10 @@ class HMCConfig:
                                        # single int8-read pass) instead of
                                        # the dense XLA path; None = auto
                                        # (TPU only)
+    scan_chunk: int = 100              # chain iterations per device
+                                       # dispatch; bounds single-dispatch
+                                       # wall time (relay timeouts) and the
+                                       # device-resident sample trace
     ridge_moves: int = 8               # Metropolis-within-Gibbs sweeps per
                                        # iteration along the likelihood-NULL
                                        # ridges (location: theta+c, b+c*a;
@@ -471,23 +475,40 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
                  "is_sample": 1.0 - adapt, "eps": eps, "dh": u1 - u0})
 
     total = cfg.num_warmup + cfg.num_samples
+    adapt_f = (np.arange(total) < cfg.num_warmup).astype(np.float32)
 
-    def run_chain(position, key):
-        keys = jax.random.split(key, total)
-        adapt = (jnp.arange(total) < cfg.num_warmup).astype(jnp.float32)
+    # The chain runs in bounded chunks (scan_chunk iterations per device
+    # dispatch) with a host sync between: a monolithic 800-iteration
+    # dispatch holds the device for many minutes, long enough to trip
+    # relay/worker timeouts (observed as "TPU worker process crashed"),
+    # and chunking also bounds the device-resident sample trace and lets
+    # partial progress transfer while the next chunk computes.
+    def init_chain(position):
         zeros = jax.tree.map(jnp.zeros_like, position)
         u_init, g_init = vg_fn(position)
-        carry0 = (position, u_init, g_init, jnp.log(cfg.init_step_size),
-                  jnp.log(cfg.init_step_size), jnp.float32(0.0),
-                  jnp.float32(0.0), mu0, dict(inv_mass0), zeros,
-                  jax.tree.map(jnp.zeros_like, position), jnp.float32(0.0))
-        carry, out = jax.lax.scan(step, carry0,
-                                  {"key": keys, "adapt": adapt,
-                                   "collect": jnp.asarray(collect_f),
-                                   "switch": jnp.asarray(switch_f)})
-        return carry, out
+        return (position, u_init, g_init, jnp.log(cfg.init_step_size),
+                jnp.log(cfg.init_step_size), jnp.float32(0.0),
+                jnp.float32(0.0), mu0, dict(inv_mass0), zeros,
+                jax.tree.map(jnp.zeros_like, position), jnp.float32(0.0))
 
-    carry, out = jax.jit(jax.vmap(run_chain))(positions, chain_keys)
+    def run_chunk(carry, keys, adapt, collect, switch):
+        return jax.lax.scan(step, carry, {"key": keys, "adapt": adapt,
+                                          "collect": collect,
+                                          "switch": switch})
+
+    chunked = jax.jit(jax.vmap(run_chunk, in_axes=(0, 0, None, None, None)))
+    all_keys = jax.vmap(lambda k: jax.random.split(k, total))(chain_keys)
+    carry = jax.jit(jax.vmap(init_chain))(positions)
+    chunk = max(1, int(cfg.scan_chunk))
+    outs = []
+    for i in range(0, total, chunk):
+        j = min(total, i + chunk)
+        carry, o = chunked(carry, all_keys[:, i:j],
+                           jnp.asarray(adapt_f[i:j]),
+                           jnp.asarray(collect_f[i:j]),
+                           jnp.asarray(switch_f[i:j]))
+        outs.append(jax.tree.map(np.asarray, o))
+    out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *outs)
     sample_slice = slice(cfg.num_warmup, total, cfg.thin)
     # (C, S', ...) per-chain stacks feed the diagnostics; the pooled
     # (C*S', ...) stacks are the user-facing posterior. Draws come out of
