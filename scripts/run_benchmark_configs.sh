@@ -31,7 +31,8 @@ python -m vibo_tpu.cli train wordbank --irt-model deep --epochs 200 \
     --eval-every 100
 python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
     --num-items 1024 --epochs 1500 --hidden-dim 512 --steps 800 \
-    --hmc-warmup 300 --hmc-samples 300
+    --hmc-warmup 500 --hmc-samples 800 --hmc-leapfrog 64 \
+    --hmc-target-accept 0.65
 
 echo "### throughput north star"
 python bench.py

@@ -45,13 +45,17 @@ def test_baseline_mle():
     s = run(["baseline", "synthetic-2pl", "--method", "mle", "--num-persons",
              "150", "--num-items", "24", "--steps", "150"])
     assert s["heldout_acc"] is not None
+    assert 0.0 <= s["ece"] <= 1.0      # calibration reported for baselines
+    assert 0.0 <= s["brier"] <= 1.0
 
 
 def test_baseline_hmc():
     s = run(["baseline", "synthetic-1pl", "--method", "hmc", "--irt-model",
              "1pl", "--num-persons", "60", "--num-items", "12",
-             "--hmc-warmup", "50", "--hmc-samples", "50"])
+             "--hmc-warmup", "50", "--hmc-samples", "50",
+             "--hmc-leapfrog", "12", "--hmc-target-accept", "0.7"])
     assert 0.2 < s["accept_rate"] <= 1.0
+    assert 0.0 <= s["ece"] <= 1.0
 
 
 def test_mean_field_ablation():
