@@ -180,6 +180,7 @@ def main():
     iw_train = evaluation.iwae_loglik(model, trained_params,
                                       _jax.random.key(7), ds,
                                       num_samples=100, on="train")
+    cal = evaluation.calibration(model, trained_params, ds)
 
     if args.skip_cpu:
         cpu_cells_per_sec = None
@@ -207,6 +208,8 @@ def main():
             "final_elbo_1500": round(final_elbo_conv, 1),
             "heldout_acc_1500": round(acc_conv["acc"], 4),
             "heldout_base_rate": round(acc["base_rate"], 4),
+            "heldout_ece": round(cal["ece"], 4),
+            "heldout_brier": round(cal["brier"], 4),
             "iwae100_heldout_loglik_per_cell": round(iw["loglik_per_cell"], 5),
             "iwae100_train_loglik_per_cell": round(
                 iw_train["loglik_per_cell"], 5),
