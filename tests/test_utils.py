@@ -137,3 +137,19 @@ def test_calibration_model_path_matches_probs_path(rng):
     assert abs(cal["ece"] - ref["ece"]) < 5e-3, (cal["ece"], ref["ece"])
     assert abs(cal["brier"] - ref["brier"]) < 5e-3
     assert cal["num_heldout"] == ref["num_heldout"]
+
+
+def test_multiple_correlation():
+    from vibo_tpu import evaluation
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((500, 2))
+    # y is a noisy linear combination of X's columns: R should be high and
+    # exceed the correlation with either single column
+    y = 0.8 * X[:, 0] - 0.5 * X[:, 1] + 0.3 * rng.standard_normal(500)
+    r = evaluation.multiple_correlation(y, X)
+    assert r > 0.9
+    single = abs(np.corrcoef(y, X[:, 0])[0, 1])
+    assert r > single
+    # independent y: R near zero
+    z = rng.standard_normal(500)
+    assert evaluation.multiple_correlation(z, X) < 0.15

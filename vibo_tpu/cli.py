@@ -281,8 +281,22 @@ def cmd_compare(args):
         for r in rows:
             if r is hmc_row or "_theta_hat" not in r:
                 continue
-            r["theta_vs_hmc"] = round(evaluation.correlation(
-                r["_theta_hat"], ref, align_rotation=True)["pearson"], 4)
+            r_hat = np.asarray(r["_theta_hat"])
+            if r_hat.ndim == 1:
+                r_hat = r_hat[:, None]
+            if r_hat.shape[1] != ref.shape[1]:
+                # unequal ability dims (e.g. K=1 EM vs K>1 posterior):
+                # rotation alignment is undefined — report the mean
+                # multiple correlation of each lower-dim trait with the
+                # higher-dim one
+                lo, hi = ((r_hat, ref) if r_hat.shape[1] < ref.shape[1]
+                          else (ref, r_hat))
+                r["theta_vs_hmc"] = round(float(np.mean(
+                    [evaluation.multiple_correlation(lo[:, d], hi)
+                     for d in range(lo.shape[1])])), 4)
+            else:
+                r["theta_vs_hmc"] = round(evaluation.correlation(
+                    r_hat, ref, align_rotation=True)["pearson"], 4)
             if "_theta_sigma" in r and "_theta_sd" in hmc_row:
                 r["sigma_vs_hmc"] = round(evaluation.correlation(
                     r["_theta_sigma"], hmc_row["_theta_sd"])["pearson"], 4)

@@ -401,3 +401,21 @@ def calibration(model: VIBO, params, ds: Dataset, bins: int = 10,
         cf += np.asarray(f)
         brier += float(b)
     return _calib_summary(cnt, acc, cf, brier)
+
+
+def multiple_correlation(y: np.ndarray, X: np.ndarray) -> float:
+    """Multiple correlation R of a scalar trait with a K-dim trait: the
+    Pearson correlation of y with its best linear predictor from X's
+    columns. Used for cross-method theta agreement when methods use
+    different ability dimensionality (e.g. the K=1 EM baseline vs a K>1
+    posterior) — rotation alignment is undefined across unequal dims."""
+    y = np.asarray(y, np.float64).reshape(-1)
+    X = np.asarray(X, np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    Xc = np.column_stack([X, np.ones(len(y))])
+    coef, *_ = np.linalg.lstsq(Xc, y, rcond=None)
+    yhat = Xc @ coef
+    if yhat.std() < 1e-12 or y.std() < 1e-12:
+        return 0.0
+    return float(np.corrcoef(y, yhat)[0, 1])
