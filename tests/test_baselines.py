@@ -362,3 +362,37 @@ def test_hmc_ridge_move_deltas_match_potential():
                        + c * c * float(jnp.square(ak).sum()))
     true_delta = float(u(pos) - u(moved))
     assert abs(true_delta - analytic) < 1e-2, (true_delta, analytic)
+
+
+def test_hmc_rotation_alignment():
+    """Per-draw Procrustes alignment must undo arbitrary per-draw O(K)
+    rotations exactly (the K>1 posterior is uniform over rotations in raw
+    coordinates, so unaligned chains cannot pass R-hat)."""
+    rng = np.random.default_rng(0)
+    C, S, N, M, K = 3, 40, 30, 12, 2
+    theta0 = rng.standard_normal((N, K))
+    a0 = rng.standard_normal((M, K))
+    ths, As = np.zeros((C, S, N, K)), np.zeros((C, S, M, K))
+    for c in range(C):
+        # each chain sits near its OWN rotation mode (how unidentified
+        # chains actually behave) and drifts slowly through rotation space
+        qc, _ = np.linalg.qr(rng.standard_normal((K, K)))
+        ang = rng.uniform(0, 0.1)
+        for s in range(S):
+            drift = np.array([[np.cos(ang * s), -np.sin(ang * s)],
+                              [np.sin(ang * s), np.cos(ang * s)]])
+            q = qc @ drift
+            ths[c, s] = (theta0 + 0.05 * rng.standard_normal((N, K))) @ q
+            As[c, s] = (a0 + 0.05 * rng.standard_normal((M, K))) @ q
+    raw = {"theta": ths, "a": As, "b": np.zeros((C, S, M))}
+    # unaligned: rotation scrambling makes chains disagree wildly
+    assert np.nanmax(hmc.split_rhat(raw["a"])) > 1.5
+    aligned = hmc._align_chain_signs(raw)
+    assert np.nanmax(hmc.split_rhat(aligned["a"])) < 1.1
+    assert np.nanmax(hmc.split_rhat(aligned["theta"])) < 1.1
+    # aligned draws stay faithful to the (rotated) truth
+    ref = aligned["a"].mean((0, 1))
+    q, _ = np.linalg.qr(rng.standard_normal((K, K)))  # arbitrary gauge
+    err = np.abs(evaluation.correlation(
+        ref, a0, align_rotation=True)["pearson"])
+    assert err > 0.99

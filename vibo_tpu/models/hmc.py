@@ -579,28 +579,38 @@ def _find_mode(u_fn, spec, cfg: HMCConfig, key):
 
 
 def _align_chain_signs(chain_samples: dict) -> dict:
-    """Resolve the 2PL/3PL reflection non-identifiability across chains.
+    """Resolve the 2PL/3PL O(K) rotation/reflection non-identifiability.
 
-    The posterior is exactly invariant under (theta_:k, a_:k) ->
-    (-theta_:k, -a_:k) per ability dim k, so independently-initialized
-    chains land in either sign mode at random; pooling or R-hat'ing them
-    unaligned reports false non-convergence (measured: R-hat ~ 5 on a
-    well-mixed run). Align each chain's dim-k sign to chain 0 by the sign of
-    the inner product of discrimination means — the standard reflection-mode
-    fix (analogous to mixture label-switching). Within-dim rotation for K > 1
-    is a continuous symmetry this cannot fix; downstream evals use Procrustes
-    alignment for that. 1PL has no reflection symmetry (no 'a')."""
+    The posterior is EXACTLY invariant under (theta, a) -> (theta R, a R)
+    for any orthogonal R applied jointly per draw (the likelihood consumes
+    only a theta^T products; the N(0, I) priors are isotropic). For K = 1
+    that is the classic sign flip; for K > 1 it is a CONTINUOUS symmetry —
+    the posterior over raw coordinates is uniform over rotations, chains
+    sit in (and drift through) different rotations, and R-hat on raw
+    coordinates is meaningless (measured 3.6 on a PISA-shaped K=2 run whose
+    identified functionals all agreed). The standard factor-analysis fix:
+    align EVERY draw by the orthogonal Procrustes rotation of its
+    discrimination block onto a reference (chain 0's mean a), rotating
+    theta by the same R — each aligned draw is still an exact posterior
+    draw, and R-hat/means/sds become statements about the identified
+    parameterization. K=1 reduces to the old sign alignment; 1PL has no
+    'a' and no such symmetry."""
     if "a" not in chain_samples:
         return chain_samples
     a = chain_samples["a"]            # (C, S, M, K)
     theta = chain_samples["theta"]    # (C, S, N, K)
-    a_mean = a.mean(1)                # (C, M, K)
-    # sign of <a_c, a_0> per chain/dim; keep zero-dot chains unflipped
-    dots = np.einsum("cmk,mk->ck", a_mean, a_mean[0])
-    signs = np.where(dots < 0, -1.0, 1.0).astype(a.dtype)  # (C, K)
+    c, s, m, k = a.shape
+    ref = a[0].mean(0)                # (M, K)
+    flat_a = a.reshape(c * s, m, k)
+    # Procrustes per draw: M_i = a_i^T ref = U S V^T  ->  R_i = U V^T
+    cross = np.einsum("bmk,ml->bkl", flat_a, ref)
+    u, _, vt = np.linalg.svd(cross)
+    rot = np.einsum("bkl,blj->bkj", u, vt)          # (B, K, K)
     out = dict(chain_samples)
-    out["a"] = a * signs[:, None, None, :]
-    out["theta"] = theta * signs[:, None, None, :]
+    out["a"] = np.einsum("bmk,bkj->bmj", flat_a, rot).reshape(c, s, m, k)
+    n = theta.shape[2]
+    out["theta"] = np.einsum(
+        "bnk,bkj->bnj", theta.reshape(c * s, n, k), rot).reshape(c, s, n, k)
     return out
 
 
