@@ -186,3 +186,31 @@ def test_amortized_dp_step_matches_unsharded(eight_devices):
     p_ref = optax.apply_updates(p1, upd)
     jax.tree.map(lambda x, y: np.testing.assert_allclose(
         np.asarray(x), np.asarray(y), rtol=2e-3, atol=1e-5), p_dp, p_ref)
+
+
+def test_amortized_new_item_eval():
+    """Cold-start eval: items the model never trained on, scored from their
+    response columns through the shared item encoder, beat the base rate."""
+    import jax
+    from vibo_tpu import evaluation
+    from vibo_tpu.data import simulate_irt, holdout_split, split_items
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("2pl", 1000, 64, ability_dim=1, seed=13)
+    ds = holdout_split(sim.response, sim.mask, 0.15, seed=13)
+    train_ds, test_ds = split_items(ds, test_frac=0.25, seed=13)
+    assert train_ds.shape[1] + test_ds.shape[1] == 64
+    model = VIBO(VIBOConfig(num_items=train_ds.shape[1], irt_model="2pl",
+                            ability_dim=1, hidden_dim=64, item_encoder=True))
+    res = Trainer(model, TrainConfig(epochs=400)).fit(train_ds)
+    out = evaluation.amortized_new_item_eval(model, res["params"], train_ds,
+                                             test_ds)
+    assert out["num_new_items"] == test_ds.shape[1]
+    assert out["acc"] > out["base_rate"] + 0.02, out
+    # free-form posterior must refuse
+    model2 = VIBO(VIBOConfig(num_items=train_ds.shape[1], irt_model="2pl",
+                             ability_dim=1, hidden_dim=16))
+    p2 = model2.init_params(jax.random.key(0))
+    with pytest.raises(ValueError, match="item_encoder"):
+        evaluation.amortized_new_item_eval(model2, p2, train_ds, test_ds)

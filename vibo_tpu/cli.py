@@ -77,6 +77,15 @@ def cmd_train(args):
         from vibo_tpu.data.masking import split_persons
         ds, test_ds = split_persons(ds, test_frac=args.eval_new_persons,
                                     seed=args.seed)
+    test_items_ds = None
+    if getattr(args, "eval_new_items", 0) > 0:
+        if not getattr(args, "item_encoder", False):
+            raise SystemExit("--eval-new-items requires --item-encoder "
+                             "(the free-form item posterior cannot score "
+                             "unseen items)")
+        from vibo_tpu.data.masking import split_items
+        ds, test_items_ds = split_items(ds, test_frac=args.eval_new_items,
+                                        seed=args.seed)
     n, m = ds.shape
     model = VIBO(VIBOConfig(
         num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
@@ -95,8 +104,9 @@ def cmd_train(args):
         num_mc_samples=args.num_posterior_samples, seed=args.seed,
         eval_every=args.eval_every, out_dir=args.out_dir,
         objective=getattr(args, "objective", "elbo")), mesh=mesh)
-    res = trainer.fit(ds, truth=sim if test_ds is None else None,
-                      resume=getattr(args, "resume", None))
+    res = trainer.fit(
+        ds, truth=sim if (test_ds is None and test_items_ds is None) else None,
+        resume=getattr(args, "resume", None))
 
     summary = {"dataset": ds.name, "shape": list(ds.shape),
                "irt_model": args.irt_model,
@@ -125,7 +135,15 @@ def cmd_train(args):
         summary["new_person_acc"] = round(ev_new["acc"], 4)
         summary["new_person_base_rate"] = round(ev_new["base_rate"], 4)
         summary["new_persons_per_sec"] = round(ev_new["persons_per_sec"], 1)
-    if test_ds is None:  # person split reorders rows
+    if test_items_ds is not None:
+        ev_ni = evaluation.amortized_new_item_eval(model, res["params"], ds,
+                                                   test_items_ds)
+        summary["new_item_acc"] = round(ev_ni["acc"], 4)
+        summary["new_item_base_rate"] = round(ev_ni["base_rate"], 4)
+        summary["num_new_items"] = ev_ni["num_new_items"]
+    if test_ds is None and test_items_ds is None:
+        # person split reorders rows; item split subsets columns —
+        # sim-truth correlations are only valid on the unsplit matrix
         theta_hat, items, theta_sigma = evaluation.infer_posterior_means(
             model, res["params"], ds, return_sigma=True)
         # underscore keys: per-person estimates for cross-method agreement
@@ -341,6 +359,10 @@ def main(argv=None):
                    help="amortize q(d_j|r_col) from column statistics "
                         "(enables new-item cold-start) instead of free "
                         "per-item Gaussians")
+    t.add_argument("--eval-new-items", type=float, default=0.0,
+                   help="hold out this fraction of ITEMS; score them "
+                        "cold-start through the amortized item posterior "
+                        "(requires --item-encoder)")
     t.add_argument("--eval-new-persons", type=float, default=0.0,
                    help="hold out this fraction of persons and score the "
                         "amortized encoder on them (paper's headline eval)")

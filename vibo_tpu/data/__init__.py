@@ -9,5 +9,6 @@ sections 6.1-6.3.
 """
 
 from vibo_tpu.data.synthetic import simulate_irt  # noqa: F401
-from vibo_tpu.data.masking import holdout_split, Dataset  # noqa: F401
+from vibo_tpu.data.masking import (holdout_split, Dataset,  # noqa: F401
+                                   split_persons, split_items)
 from vibo_tpu.data.loaders import load_dataset  # noqa: F401

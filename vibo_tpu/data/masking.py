@@ -77,6 +77,26 @@ def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
     return take(train_idx, "train"), take(test_idx, "test")
 
 
+def split_items(ds: Dataset, test_frac: float = 0.1, seed: int = 0
+                ) -> tuple[Dataset, Dataset]:
+    """Split ITEMS into train/test column groups (cold-start eval: infer
+    posteriors for items the model never trained on from their response
+    columns alone — requires the amortized item posterior,
+    VIBOConfig(item_encoder=True))."""
+    rng = np.random.default_rng(seed + 808)
+    m = ds.response.shape[1]
+    perm = rng.permutation(m)
+    m_test = max(1, int(round(m * test_frac)))
+    test_idx, train_idx = np.sort(perm[:m_test]), np.sort(perm[m_test:])
+
+    def take(idx, tag):
+        return Dataset(response=ds.response[:, idx],
+                       train_mask=ds.train_mask[:, idx],
+                       heldout_mask=ds.heldout_mask[:, idx],
+                       name=f"{ds.name}/{tag}")
+    return take(train_idx, "train-items"), take(test_idx, "test-items")
+
+
 def pad_to_multiple(ds: Dataset, person_multiple: int = 8,
                     item_multiple: int = 128) -> Dataset:
     """Zero-pad students/items up to tile multiples. Padded cells have mask=0

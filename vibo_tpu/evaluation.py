@@ -419,3 +419,51 @@ def multiple_correlation(y: np.ndarray, X: np.ndarray) -> float:
     if yhat.std() < 1e-12 or y.std() < 1e-12:
         return 0.0
     return float(np.corrcoef(y, yhat)[0, 1])
+
+
+def amortized_new_item_eval(model: VIBO, params, train_ds: Dataset,
+                            test_ds: Dataset, block_size: int = 4096) -> dict:
+    """Cold-start NEW items (the dual of amortized_new_person_eval): infer
+    item-parameter posteriors for columns the model never trained on from
+    their train-visible response columns alone (semi-amortized item
+    encoder, new_items=True — no residuals exist for unseen items), then
+    predict those items' held-out cells using abilities inferred from the
+    TRAIN-item block. Requires VIBOConfig(item_encoder=True).
+
+    train_ds/test_ds: the column split from data.masking.split_items
+    (same persons, disjoint items)."""
+    import time
+
+    if not model.cfg.item_encoder:
+        raise ValueError(
+            "amortized_new_item_eval needs item_encoder=True — the "
+            "free-form item posterior has no parameters for unseen items")
+    t0 = time.perf_counter()
+    post = model.item_dist(params, jnp.asarray(test_ds.response, jnp.float32),
+                           jnp.asarray(test_ds.train_mask, jnp.float32),
+                           new_items=True)
+    item_mean = {name: p["mu"] for name, p in post.items()}
+    theta, _ = infer_posterior_means(model, params, train_ds, block_size)
+    theta = jnp.asarray(theta)
+
+    @jax.jit
+    def stats(params, theta_b, resp, hmask):
+        prob = model.response_prob(params, theta_b, item_mean)
+        pred = (prob > 0.5).astype(jnp.float32)
+        return ((hmask * (pred == resp)).sum(), hmask.sum(),
+                (hmask * resp).sum())
+
+    resp = jnp.asarray(test_ds.response, jnp.float32)
+    hmask = jnp.asarray(test_ds.heldout_mask, jnp.float32)
+    correct = total = ones = 0.0
+    for s, e in _person_blocks(test_ds.response.shape[0], block_size):
+        c, t, o = stats(params, theta[s:e], resp[s:e], hmask[s:e])
+        correct += float(c)
+        total += float(t)
+        ones += float(o)
+    seconds = time.perf_counter() - t0
+    base = max(ones, total - ones) / max(total, 1.0)
+    return {"acc": correct / max(total, 1.0), "base_rate": base,
+            "num_heldout": int(total), "num_new_items": test_ds.shape[1],
+            "seconds": seconds,
+            "items_per_sec": test_ds.shape[1] / max(seconds, 1e-9)}
