@@ -112,7 +112,7 @@ def test_calibration_from_probs():
     assert abs(cal["brier"] - direct) < 1e-9
 
 
-def test_calibration_model_path_matches_probs_path(rng):
+def test_calibration_model_path_matches_probs_path():
     """The blocked on-device VIBO calibration must agree with the numpy
     reference computation on the same probabilities."""
     import jax

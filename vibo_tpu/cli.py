@@ -83,6 +83,12 @@ def cmd_train(args):
             raise SystemExit("--eval-new-items requires --item-encoder "
                              "(the free-form item posterior cannot score "
                              "unseen items)")
+        if test_ds is not None:
+            raise SystemExit(
+                "--eval-new-items cannot be combined with "
+                "--eval-new-persons: the item split changes num_items and "
+                "the held-out persons' matrix would no longer match the "
+                "model (run the two evals separately)")
         from vibo_tpu.data.masking import split_items
         ds, test_items_ds = split_items(ds, test_frac=args.eval_new_items,
                                         seed=args.seed)
@@ -116,10 +122,13 @@ def cmd_train(args):
                    res.get("warm_train_seconds", res["train_seconds"]), 3),
                "cells_per_sec": round(res["cells_per_sec"], 1),
                "best": res["best"]}
-    ev = evaluation.imputation_accuracy(model, res["params"], ds)
+    item_mean = evaluation.full_item_mean(model, res["params"], ds)
+    ev = evaluation.imputation_accuracy(model, res["params"], ds,
+                                        item_mean=item_mean)
     summary["heldout_acc"] = round(ev["acc"], 4)
     summary["heldout_base_rate"] = round(ev["base_rate"], 4)
-    cal = evaluation.calibration(model, res["params"], ds)
+    cal = evaluation.calibration(model, res["params"], ds,
+                                 item_mean=item_mean)
     summary["ece"] = round(cal["ece"], 4)
     summary["brier"] = round(cal["brier"], 4)
     if args.iwae_samples:

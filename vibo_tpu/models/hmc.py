@@ -182,6 +182,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
     mask = jnp.asarray(mask, jnp.float32)
     n, m = resp.shape
     key = jax.random.key(cfg.seed) if key is None else key
+    if cfg.init_mode not in ("map", "prior"):
+        raise ValueError(f"init_mode must be 'map' or 'prior', got "
+                         f"{cfg.init_mode!r}")
     spec = _flatten_spec(n, m, cfg)
     use_pk = cfg.use_packed_kernel
     if use_pk is None:
@@ -600,14 +603,25 @@ def _align_chain_signs(chain_samples: dict) -> dict:
     a = chain_samples["a"]            # (C, S, M, K)
     theta = chain_samples["theta"]    # (C, S, N, K)
     c, s, m, k = a.shape
-    ref = a[0].mean(0)                # (M, K)
     flat_a = a.reshape(c * s, m, k)
-    # Procrustes per draw: M_i = a_i^T ref = U S V^T  ->  R_i = U V^T
-    cross = np.einsum("bmk,ml->bkl", flat_a, ref)
-    u, _, vt = np.linalg.svd(cross)
-    rot = np.einsum("bkl,blj->bkj", u, vt)          # (B, K, K)
+    # Self-consistent reference: chain 0's raw mean can itself be averaged
+    # over a wide rotation arc (shrunken / rank-deficient -> arbitrary
+    # rotations in the weak subspace), so iterate align -> re-estimate the
+    # reference from ALL aligned draws -> re-align; a couple of fixed-point
+    # steps suffice (alignment to a fixed reference is a projection).
+    ref = a[0].mean(0)                # (M, K)
+    for _ in range(3):
+        # Procrustes per draw: M_i = a_i^T ref = U S V^T  ->  R_i = U V^T
+        cross = np.einsum("bmk,ml->bkl", flat_a, ref)
+        u, _, vt = np.linalg.svd(cross)
+        rot = np.einsum("bkl,blj->bkj", u, vt)      # (B, K, K)
+        aligned_a = np.einsum("bmk,bkj->bmj", flat_a, rot)
+        new_ref = aligned_a.mean(0)
+        if np.allclose(new_ref, ref, atol=1e-6):
+            break
+        ref = new_ref
     out = dict(chain_samples)
-    out["a"] = np.einsum("bmk,bkj->bmj", flat_a, rot).reshape(c, s, m, k)
+    out["a"] = aligned_a.reshape(c, s, m, k)
     n = theta.shape[2]
     out["theta"] = np.einsum(
         "bnk,bkj->bnj", theta.reshape(c * s, n, k), rot).reshape(c, s, n, k)
