@@ -4,16 +4,27 @@ Parity contract: SURVEY.md section 3.3 "HMC/NUTS baseline";
 arXiv:2002.00276 sections 6.4-6.5 — HMC provides the "gold" posteriors VIBO
 is correlated against and the slow baseline the speedup is measured from.
 The reference uses Pyro's NUTS; pyro/numpyro are unavailable here
-(SURVEY.md section 8), so this is a from-scratch JAX HMC:
+(SURVEY.md section 8), so this is a from-scratch JAX HMC engineered for
+TPU f32 at the 10k x 1k benchmark scale:
 
-- joint potential U(theta, d) = -[masked loglik + N(0,I) log-priors]
-  (the exact same ops the VIBO decoder uses);
-- leapfrog integrator with dual-averaging step-size adaptation to a target
-  acceptance rate during warmup (Hoffman & Gelman 2014, Algo 5's adaptation);
-- fixed trajectory length (jittered via randomized sign) instead of NUTS's
-  dynamic tree — standard practice for fixed-budget samplers;
-- the whole chain is one lax.scan under jit: leapfrog steps are matmul +
-  masked-reduction heavy and run entirely on the TPU.
+- joint potential U(theta, d) = -[masked loglik + N(0,I) log-priors],
+  evaluated (value AND gradients) by the one-pass packed Pallas train
+  kernel under matmul precision HIGHEST, referenced per person to the MAP
+  loglik, with the whole sampler running in whitened coordinates
+  q = MAP + Fisher_sd * x — three fixes without which f32 rounding freezes
+  the chains entirely (see run_hmc's docstring and ARCHITECTURE.md);
+- leapfrog with the (U, grad) pair cached across Metropolis steps (each
+  trajectory costs exactly num_leapfrog kernel passes), dual-averaging
+  step-size adaptation (Hoffman & Gelman 2014), Stan-style expanding
+  memoryless variance windows, and per-iteration step-size jitter to break
+  fixed-trajectory-length resonances;
+- Metropolis-within-Gibbs sweeps along the link's exact likelihood-null
+  ridges (location/scale), which HMC alone mixes ~100x slower;
+- multi-chain via vmap with per-draw Procrustes rotation alignment (the
+  K>1 posterior is uniform over rotations in raw coordinates), split-R-hat,
+  Geyer-truncated bulk ESS, and divergence counts;
+- the chain executes in bounded lax.scan chunks (one ~15 s dispatch each)
+  so relay/worker timeouts cannot kill a long run.
 """
 
 from __future__ import annotations
