@@ -30,6 +30,7 @@ TPU f32 at the 10k x 1k benchmark scale:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -188,118 +189,89 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
         return _run_hmc_impl(resp, mask, cfg, key)
 
 
-def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
-    resp = jnp.asarray(resp, jnp.float32)
-    mask = jnp.asarray(mask, jnp.float32)
-    n, m = resp.shape
-    key = jax.random.key(cfg.seed) if key is None else key
-    if cfg.init_mode not in ("map", "prior"):
-        raise ValueError(f"init_mode must be 'map' or 'prior', got "
-                         f"{cfg.init_mode!r}")
+def _programs_key(cfg: HMCConfig, use_pk: bool) -> HMCConfig:
+    """Normalize cfg to the fields that shape the COMPILED programs, so
+    _chain_programs' cache hits across runs that differ only in seed /
+    chain counts / sampling budget. num_warmup only matters through the
+    do_mass gate (the window flags are runtime inputs)."""
+    do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
+    return dataclasses.replace(
+        cfg, seed=0, num_samples=0, thin=1, num_chains=0,
+        num_warmup=(20 if do_mass else 0), use_packed_kernel=use_pk)
+
+
+@functools.lru_cache(maxsize=16)
+def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
+    """Build (once per config-shape) the jitted chain programs, with all
+    DATA passed as arguments.
+
+    This caching is what makes repeat runs fast: closing the programs over
+    the response code / MAP center (as run_hmc naively did) bakes them into
+    the jaxpr as multi-MB constants — every run_hmc call then re-traces AND
+    re-compiles from scratch (measured 36 s of XLA compile + ~20 s of
+    tracing/transfers per run at 10k x 1k, against ~3 s of actual chain
+    compute). With data as arguments the trace cache persists process-wide
+    and a warm gold-posterior run is sampler-bound.
+
+    data dict: {"pk": int8 code} (packed) or {"resp","mask"} (dense), plus
+    for the chain programs {"center","scale": trees, "ll_ref": (N,)}."""
+    cfg = key_cfg
+    use_pk = bool(cfg.use_packed_kernel)
     spec = _flatten_spec(n, m, cfg)
-    use_pk = cfg.use_packed_kernel
-    if use_pk is None:
-        from vibo_tpu.ops.pallas_elbo import _is_tpu
-        use_pk = _is_tpu()
+    do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
+    do_ridge = cfg.ridge_moves > 0
+    kdim = cfg.ability_dim
+
     if use_pk:
-        from vibo_tpu.ops.pallas_elbo import pack_responses
-        pk = jnp.asarray(pack_responses(np.asarray(resp), np.asarray(mask)))
+        from vibo_tpu.ops import pallas_elbo as pe
+        ones_a = jnp.ones((m, kdim), jnp.float32)
+
+        def per_person(params, data):
+            theta = params["theta"]
+            if cfg.irt_model == "1pl":
+                return pe.masked_loglik_2pl_packed_train(
+                    theta, ones_a, params["b"], data["pk"])
+            if cfg.irt_model == "2pl":
+                return pe.masked_loglik_2pl_packed_train(
+                    theta, params["a"], params["b"], data["pk"])
+            return pe.masked_loglik_3pl_packed_train(
+                theta, params["a"], params["b"], params["g_hat"], data["pk"])
     else:
-        pk = None
-    u_plain = make_potential(resp, mask, cfg, packed=pk)
-    n_chains = max(1, cfg.num_chains)
+        def per_person(params, data):
+            theta = params["theta"]
+            if cfg.irt_model == "1pl":
+                logits = links.logits_1pl(theta, params["b"])
+                g_hat = None
+            else:
+                logits = links.logits_2pl(theta, params["a"], params["b"])
+                g_hat = (params.get("g_hat") if cfg.irt_model == "3pl"
+                         else None)
+            return lik.masked_loglik_per_person(logits, data["resp"],
+                                                data["mask"], g_hat=g_hat)
 
-    k_init, k_chain = jax.random.split(key)
+    def u_plain(params, data):
+        prior = sum(0.5 * jnp.square(v).sum() for v in params.values())
+        return -per_person(params, data).sum() + prior
 
-    # WHITENED PARAMETERIZATION — the sampler runs in x-space with
-    # q = center + scale * x, scale = Fisher posterior sd per coordinate
-    # (var ~ 1/(1 + count/4): each response carries Bernoulli information
-    # <= 1/4, plus unit prior precision). This is not merely preconditioning;
-    # in f32 it is what makes large problems integrable at all. In q-space
-    # the posterior sd at 10k x 1k is ~0.02-0.07 against coordinates of
-    # magnitude ~1 (ULP 1.2e-7): a leapfrog drift eps*M^-1*p is ~1e-7 —
-    # BELOW one ULP of the position — so the integrator's updates quantize
-    # to garbage and dH carries an eps-independent noise floor of +-2-6
-    # (measured from the typical set; true integration error there ~1e-6).
-    # The accept rate then saturates near the 0.8 target at EVERY step size
-    # and dual averaging freezes the chains at arbitrary eps (measured
-    # R-hat 500-3000 across runs). In x-space every coordinate is O(1) with
-    # posterior sd ~1: increments resolve, the metric starts at identity,
-    # and the warmup windows only refine an O(1) residual.
-    row_cnt = mask.sum(1)                  # (N,)
-    col_cnt = mask.sum(0)                  # (M,)
-    theta_sd = jax.lax.rsqrt(1.0 + 0.25 * row_cnt)
-    item_sd = jax.lax.rsqrt(1.0 + 0.25 * col_cnt)
-    scale = {}
-    for name, shape in spec.items():
-        if name == "theta":
-            scale[name] = jnp.broadcast_to(theta_sd[:, None], shape)
-        elif name == "a":
-            scale[name] = jnp.broadcast_to(item_sd[:, None], shape)
-        else:  # b, g_hat: (M,)
-            scale[name] = item_sd
-    inv_mass0 = {name: jnp.ones(shape) for name, shape in spec.items()}
+    def u_x(x, data):
+        q = jax.tree.map(lambda c, s, xx: c + s * xx, data["center"],
+                         data["scale"], x)
+        ll = per_person(q, data) - data["ll_ref"]
+        prior = sum(0.5 * jnp.square(v).sum() for v in q.values())
+        return -ll.sum() + prior
 
-    if cfg.init_mode == "map":
-        # Start every chain near the joint MAP (Adam on the same potential —
-        # a few seconds even at 10k x 1k), over-dispersed by
-        # `init_overdispersion` posterior sds per coordinate. Prior-scale
-        # starts are ~7 posterior sds away in EVERY one of ~12k dims at the
-        # north-star scale; warmup's variance estimates are then dominated by
-        # the drift toward the typical set (variance >> posterior var -> mass
-        # too heavy -> step too small -> frozen chains). Starting
-        # overdispersed *relative to the posterior* keeps split-R-hat honest
-        # while making the adaptation windows stationary.
-        k_init, k_map = jax.random.split(k_init)
-        center = _find_mode(u_plain, spec, cfg, k_map)
+    vg_fn = jax.value_and_grad(u_x)
 
-        def init_one(k):
-            init_keys = jax.random.split(k, len(spec))
-            return {name: cfg.init_overdispersion
-                    * jax.random.normal(kk, spec[name])
-                    for kk, name in zip(init_keys, sorted(spec))}
-    else:
-        center = {name: jnp.zeros(shape) for name, shape in spec.items()}
-
-        def init_one(k):
-            init_keys = jax.random.split(k, len(spec))
-            # dispersed starts across chains at prior scale (in x units)
-            return {name: 0.5 * jax.random.normal(kk, shape) / scale[name]
-                    for kk, (name, shape) in zip(init_keys,
-                                                 sorted(spec.items()))}
-
-    positions = jax.vmap(init_one)(jax.random.split(k_init, n_chains))
-    chain_keys = jax.random.split(k_chain, n_chains)
-
-    # Per-person reference loglik at the center: the sampler's potential is
-    # referenced to it so the f32 reduction keeps O(1e-2) energy resolution
-    # at large N x M (see make_potential's ll_ref docstring).
-    ll_ref = jax.lax.stop_gradient(
-        jax.jit(_make_loglik_per_person(resp, mask, cfg, packed=pk))(center))
-    u_q = make_potential(resp, mask, cfg, packed=pk, ll_ref=ll_ref)
-
-    def u_fn(x):
-        return u_q(jax.tree.map(lambda c, s, xx: c + s * xx, center, scale,
-                                x))
-    # the one-pass kernel emits value + gradients together, and the cached
-    # (u, grad) trick below wants them paired everywhere anyway
-    vg_fn = jax.value_and_grad(u_fn)
-
-    def leapfrog(pos, mom, eps, inv_mass, g0):
-        # diagonal metric: momentum ~ N(0, M) with M = 1/inv_mass, so the
-        # position update is q += eps * inv_mass * p (Stan's M^-1 ~ posterior
-        # variance); inv_mass == 1 is classic unit-mass HMC.
+    def leapfrog(pos, mom, eps, inv_mass, g0, data):
         # g0 is the CACHED gradient at pos (the potential only changes on
-        # accept, so the trajectory's first gradient is last step's final
-        # one) — with the final value_and_grad below, each trajectory costs
-        # exactly num_leapfrog potential evals.
+        # accept) — each trajectory costs exactly num_leapfrog evals
         mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g0)
 
         def body(carry, _):
             pos, mom = carry
             pos = jax.tree.map(lambda q, p, im: q + eps * im * p, pos, mom,
                                inv_mass)
-            _, g = vg_fn(pos)
+            _, g = vg_fn(pos, data)
             mom = jax.tree.map(lambda p, gg: p - eps * gg, mom, g)
             return (pos, mom), None
 
@@ -307,7 +279,7 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
                                      length=cfg.num_leapfrog - 1)
         pos = jax.tree.map(lambda q, p, im: q + eps * im * p, pos, mom,
                            inv_mass)
-        u_new, g_new = vg_fn(pos)
+        u_new, g_new = vg_fn(pos, data)
         mom = jax.tree.map(lambda p, gg: p - 0.5 * eps * gg, mom, g_new)
         return pos, mom, u_new, g_new
 
@@ -319,25 +291,10 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
     # dual averaging constants (Hoffman & Gelman 2014)
     gamma, t0, kappa = 0.05, 10.0, 0.75
     mu0 = jnp.log(10.0 * cfg.init_step_size)
-    # Stan's warmup schedule, simplified to fixed fractions: an initial
-    # step-size-only phase on the Fisher metric, then EXPANDING memoryless
-    # variance windows — at each window end the metric is re-estimated from
-    # that window alone, the accumulator is zeroed, and the dual-averaging
-    # search restarts around the current step. Expanding windows matter:
-    # early draws are still drifting, and a single window mixes that drift
-    # into the variance estimate (mass too heavy -> frozen chains).
-    do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
-    do_ridge = cfg.ridge_moves > 0
-    w = cfg.num_warmup
-    bounds = [int(0.15 * w), int(0.25 * w), int(0.45 * w), int(0.85 * w)]
-    collect_f = np.zeros(w + cfg.num_samples, np.float32)
-    switch_f = np.zeros(w + cfg.num_samples, np.float32)
-    if do_mass:
-        collect_f[bounds[0]:bounds[3]] = 1.0
-        for b in bounds[1:]:
-            switch_f[b - 1] = 1.0   # metric update fires AFTER that draw
+    sig_s = 2.4 / np.sqrt(2.0 * (n + m))
+    sig_c = 2.4 / np.sqrt(1.0 * (n + m))
 
-    def step(carry, inp):
+    def step(carry, inp, data):
         (pos, u_cur, g_cur, log_eps, log_eps_bar, h_bar, t, mu, inv_mass,
          w_mean, w_m2, w_cnt) = carry
         k = inp["key"]
@@ -347,23 +304,22 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         # p ~ N(0, M) with M = 1/inv_mass  =>  p = z / sqrt(inv_mass)
         mom = {name: jax.random.normal(kk, spec[name])
                for kk, name in zip(mom_keys, sorted(spec))}
-        mom = jax.tree.map(lambda z, im: z * jax.lax.rsqrt(im), mom, inv_mass)
+        mom = jax.tree.map(lambda z, im: z * jax.lax.rsqrt(im), mom,
+                           inv_mass)
         eps = jnp.exp(jnp.where(adapt, log_eps, log_eps_bar))
         # jitter the trajectory LENGTH via the step (state-independent, so
         # detailed balance holds): a fixed eps*L resonates — coordinates
         # whose oscillation period divides the trajectory length return to
-        # their start every proposal and never decorrelate (measured: theta
-        # R-hat 1.5 at high accept on a 150-person problem). U(0.67, 1) of
-        # the adapted step keeps the stability margin while spreading the
-        # effective length over a ~1.5x range.
+        # their start every proposal and never decorrelate.
         eps = eps * (1.0 - jax.random.uniform(k_jit) / 3.0)
         u0 = u_cur + kinetic(mom, inv_mass)
         new_pos, new_mom, u_pot, g_new = leapfrog(pos, mom, eps, inv_mass,
-                                                  g_cur)
+                                                  g_cur, data)
         u1 = u_pot + kinetic(new_mom, inv_mass)
         log_accept = jnp.minimum(0.0, u0 - u1)
         # guard NaN trajectories (divergence): reject
-        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept,
+                               -jnp.inf)
         divergent = 1.0 - jnp.isfinite(u1 - u0).astype(jnp.float32)
         accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
         pos = jax.tree.map(lambda newq, q: jnp.where(accept, newq, q),
@@ -372,22 +328,14 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         g_cur = jax.tree.map(lambda gn, gc: jnp.where(accept, gn, gc),
                              g_new, g_cur)
         if do_ridge:
-            # Metropolis-within-Gibbs along the likelihood-NULL ridges.
-            # The 2PL/3PL link is EXACTLY invariant under (per ability dim)
-            #   location: theta_k += c, b += c * a_k
-            #   scale:    theta_k *= e^s, a_k *= e^-s   (Jacobian e^{(N-M)s})
-            # so these directions are constrained only by the priors —
-            # posterior sd ~ (N+M)^-1/2 ~ 0.01 at the north-star scale,
-            # which HMC's identified-direction step traverses ~100x slower
-            # than everything else (measured: 97% of between-chain
-            # disagreement in `a` lies along [1, a_bar]). The moves accept
-            # on prior ratios alone — no likelihood eval — and one fused
-            # value_and_grad at the end refreshes the (U, grad) cache.
-            q0 = jax.tree.map(lambda c, s, xx: c + s * xx, center, scale,
-                              pos)
-            kdim = cfg.ability_dim
-            sig_s = 2.4 / jnp.sqrt(2.0 * (n + m))
-            sig_c = 2.4 / jnp.sqrt(1.0 * (n + m))
+            # Metropolis-within-Gibbs along the likelihood-NULL ridges
+            # (location: theta_k += c, b += c*a_k; scale: theta_k *= e^s,
+            # a_k *= e^-s, Jacobian e^{(N-M)s}) — exact invariances the
+            # priors alone constrain, which HMC mixes ~100x slower. Accepts
+            # cost prior ratios only; one fused value_and_grad at the end
+            # refreshes the (U, grad) cache.
+            q0 = jax.tree.map(lambda c, s, xx: c + s * xx, data["center"],
+                              data["scale"], pos)
 
             def ridge_sweep(carry, kk):
                 theta_q, a_q, b_q = carry
@@ -426,9 +374,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
             q1["theta"], q1["b"] = theta_q, b_q
             if a_q is not None:
                 q1["a"] = a_q
-            pos = jax.tree.map(lambda c, s, qq: (qq - c) / s, center, scale,
-                               q1)
-            u_cur, g_cur = vg_fn(pos)
+            pos = jax.tree.map(lambda c, s, qq: (qq - c) / s,
+                               data["center"], data["scale"], q1)
+            u_cur, g_cur = vg_fn(pos, data)
         # dual averaging update (only during warmup)
         t = t + adapt
         accept_prob = jnp.exp(log_accept)
@@ -441,12 +389,15 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         log_eps_bar = jnp.where(adapt, log_eps_bar_new, log_eps_bar)
         h_bar = jnp.where(adapt, h_bar_new, h_bar)
         if do_mass:
-            # Welford accumulation of per-parameter posterior variance
+            # Welford accumulation of per-parameter posterior variance;
+            # Stan-style expanding memoryless windows (flags are inputs)
             collect = inp["collect"]
             switch = inp["switch"] > 0
             w_cnt_new = w_cnt + 1.0
+
             def upd_mean(mn, q):
                 return mn + (q - mn) / w_cnt_new
+
             def upd_m2(m2, mn, mn_new, q):
                 return m2 + (q - mn) * (q - mn_new)
             w_mean_new = jax.tree.map(upd_mean, w_mean, pos)
@@ -458,12 +409,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
             w_m2 = jax.tree.map(
                 lambda new, old: jnp.where(collect > 0, new, old),
                 w_m2_new, w_m2)
-            # at each window end: re-estimate the metric from THIS window
-            # (regularized toward 1e-3, Stan-style), zero the accumulator,
-            # and restart the step-size search around the current adapted
-            # step
             denom = jnp.maximum(w_cnt - 1.0, 1.0)
             shrink = w_cnt / (w_cnt + 5.0)
+
             def new_im(m2, im):
                 var = m2 / denom
                 # regularize toward 1.0: the sampler runs in whitened
@@ -476,7 +424,8 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
                 inv_mass)
             w_cnt = jnp.where(switch, 0.0, w_cnt)
             w_mean = jax.tree.map(
-                lambda mn: jnp.where(switch, jnp.zeros_like(mn), mn), w_mean)
+                lambda mn: jnp.where(switch, jnp.zeros_like(mn), mn),
+                w_mean)
             w_m2 = jax.tree.map(
                 lambda m2: jnp.where(switch, jnp.zeros_like(m2), m2), w_m2)
             mu = jnp.where(switch, jnp.log(10.0) + log_eps_bar, mu)
@@ -488,39 +437,170 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
                 {"pos": pos, "accept": accept_prob, "divergent": divergent,
                  "is_sample": 1.0 - adapt, "eps": eps, "dh": u1 - u0})
 
+    def init_chain(position, data):
+        zeros = jax.tree.map(jnp.zeros_like, position)
+        u_init, g_init = vg_fn(position, data)
+        inv_mass0 = {name: jnp.ones(shape) for name, shape in spec.items()}
+        return (position, u_init, g_init, jnp.log(cfg.init_step_size),
+                jnp.log(cfg.init_step_size), jnp.float32(0.0),
+                jnp.float32(0.0), mu0, inv_mass0, zeros,
+                jax.tree.map(jnp.zeros_like, position), jnp.float32(0.0))
+
+    def run_chunk(carry, keys, adapt, collect, switch, data):
+        return jax.lax.scan(lambda c, x: step(c, x, data), carry,
+                            {"key": keys, "adapt": adapt,
+                             "collect": collect, "switch": switch})
+
+    import optax
+    tx = optax.adam(0.05)
+
+    def map_run(params, data):
+        opt_state = tx.init(params)
+
+        def body(carry, _):
+            params, opt_state = carry
+            grads = jax.grad(u_plain)(params, data)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), None
+        (params, _), _ = jax.lax.scan(body, (params, opt_state), None,
+                                      length=cfg.map_init_steps)
+        return params
+
+    import types
+    return types.SimpleNamespace(
+        chunked=jax.jit(jax.vmap(run_chunk,
+                                 in_axes=(0, 0, None, None, None, None))),
+        init=jax.jit(jax.vmap(init_chain, in_axes=(0, None))),
+        map_run=jax.jit(map_run),
+        ll_ref_fn=jax.jit(per_person),
+    )
+
+
+def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
+    resp_np = np.asarray(resp, np.float32)
+    mask_np = np.asarray(mask, np.float32)
+    n, m = resp_np.shape
+    key = jax.random.key(cfg.seed) if key is None else key
+    if cfg.init_mode not in ("map", "prior"):
+        raise ValueError(f"init_mode must be 'map' or 'prior', got "
+                         f"{cfg.init_mode!r}")
+    spec = _flatten_spec(n, m, cfg)
+    use_pk = cfg.use_packed_kernel
+    if use_pk is None:
+        from vibo_tpu.ops.pallas_elbo import _is_tpu
+        use_pk = _is_tpu()
+    if use_pk:
+        from vibo_tpu.ops.pallas_elbo import pack_responses
+        # the packed code is the ONLY response-sized device upload — the
+        # dense f32 matrices (8x bigger through the ~50 MB/s relay) stay
+        # on the host, where the Fisher counts come from numpy
+        base_data = {"pk": jnp.asarray(pack_responses(resp_np, mask_np))}
+    else:
+        base_data = {"resp": jnp.asarray(resp_np),
+                     "mask": jnp.asarray(mask_np)}
+    programs = _chain_programs(_programs_key(cfg, use_pk), n, m)
+    n_chains = max(1, cfg.num_chains)
+
+    k_init, k_chain = jax.random.split(key)
+
+    # WHITENED PARAMETERIZATION — the sampler runs in x-space with
+    # q = center + scale * x, scale = Fisher posterior sd per coordinate
+    # (var ~ 1/(1 + count/4): each response carries Bernoulli information
+    # <= 1/4, plus unit prior precision). This is not merely preconditioning;
+    # in f32 it is what makes large problems integrable at all. In q-space
+    # the posterior sd at 10k x 1k is ~0.02-0.07 against coordinates of
+    # magnitude ~1 (ULP 1.2e-7): a leapfrog drift eps*M^-1*p is ~1e-7 —
+    # BELOW one ULP of the position — so the integrator's updates quantize
+    # to garbage and dH carries an eps-independent noise floor of +-2-6
+    # (measured from the typical set; true integration error there ~1e-6).
+    # The accept rate then saturates near the 0.8 target at EVERY step size
+    # and dual averaging freezes the chains at arbitrary eps (measured
+    # R-hat 500-3000 across runs). In x-space every coordinate is O(1) with
+    # posterior sd ~1: increments resolve, the metric starts at identity,
+    # and the warmup windows only refine an O(1) residual.
+    row_cnt = mask_np.sum(1)               # (N,)
+    col_cnt = mask_np.sum(0)               # (M,)
+    theta_sd = 1.0 / np.sqrt(1.0 + 0.25 * row_cnt)
+    item_sd = 1.0 / np.sqrt(1.0 + 0.25 * col_cnt)
+    scale = {}
+    for name, shape in spec.items():
+        if name == "theta":
+            scale[name] = jnp.asarray(
+                np.broadcast_to(theta_sd[:, None], shape).copy())
+        elif name == "a":
+            scale[name] = jnp.asarray(
+                np.broadcast_to(item_sd[:, None], shape).copy())
+        else:  # b, g_hat: (M,)
+            scale[name] = jnp.asarray(item_sd)
+
+    if cfg.init_mode == "map":
+        # Start every chain near the joint MAP (Adam on the same potential —
+        # seconds even at 10k x 1k), over-dispersed by `init_overdispersion`
+        # posterior sds per coordinate. Prior-scale starts are ~7 posterior
+        # sds away in EVERY one of ~12k dims at the north-star scale;
+        # warmup's variance estimates are then dominated by the drift toward
+        # the typical set (mass too heavy -> frozen chains). The start is
+        # small-random, NOT zeros: theta = a = 0 is a saddle where both
+        # gradients vanish identically.
+        k_init, k_map = jax.random.split(k_init)
+        map_keys = jax.random.split(k_map, len(spec))
+        params0 = {name: 0.1 * jax.random.normal(kk, spec[name])
+                   for kk, name in zip(map_keys, sorted(spec))}
+        center = programs.map_run(params0, base_data)
+
+        def init_one(k):
+            init_keys = jax.random.split(k, len(spec))
+            return {name: cfg.init_overdispersion
+                    * jax.random.normal(kk, spec[name])
+                    for kk, name in zip(init_keys, sorted(spec))}
+    else:
+        center = {name: jnp.zeros(shape) for name, shape in spec.items()}
+
+        def init_one(k):
+            init_keys = jax.random.split(k, len(spec))
+            # dispersed starts across chains at prior scale (in x units)
+            return {name: 0.5 * jax.random.normal(kk, shape) / scale[name]
+                    for kk, (name, shape) in zip(init_keys,
+                                                 sorted(spec.items()))}
+
+    positions = jax.jit(jax.vmap(init_one))(jax.random.split(k_init,
+                                                             n_chains))
+    chain_keys = jax.random.split(k_chain, n_chains)
+
+    # Per-person reference loglik at the center: the sampler's potential is
+    # referenced to it so the f32 reduction keeps O(1e-2) energy resolution
+    # at large N x M (see make_potential's ll_ref docstring).
+    ll_ref = jax.lax.stop_gradient(programs.ll_ref_fn(center, base_data))
+    data = dict(base_data, center=center, scale=scale, ll_ref=ll_ref)
+
+    # Stan-style warmup schedule flags (runtime inputs, not compiled in):
+    # step-size-only phase, then EXPANDING memoryless variance windows
+    do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
+    w = cfg.num_warmup
+    bounds = [int(0.15 * w), int(0.25 * w), int(0.45 * w), int(0.85 * w)]
     total = cfg.num_warmup + cfg.num_samples
+    collect_f = np.zeros(total, np.float32)
+    switch_f = np.zeros(total, np.float32)
+    if do_mass:
+        collect_f[bounds[0]:bounds[3]] = 1.0
+        for b in bounds[1:]:
+            switch_f[b - 1] = 1.0   # metric update fires AFTER that draw
     adapt_f = (np.arange(total) < cfg.num_warmup).astype(np.float32)
 
     # The chain runs in bounded chunks (scan_chunk iterations per device
-    # dispatch) with a host sync between: a monolithic 800-iteration
-    # dispatch holds the device for many minutes, long enough to trip
-    # relay/worker timeouts (observed as "TPU worker process crashed"),
-    # and chunking also bounds the device-resident sample trace and lets
-    # partial progress transfer while the next chunk computes.
-    def init_chain(position):
-        zeros = jax.tree.map(jnp.zeros_like, position)
-        u_init, g_init = vg_fn(position)
-        return (position, u_init, g_init, jnp.log(cfg.init_step_size),
-                jnp.log(cfg.init_step_size), jnp.float32(0.0),
-                jnp.float32(0.0), mu0, dict(inv_mass0), zeros,
-                jax.tree.map(jnp.zeros_like, position), jnp.float32(0.0))
-
-    def run_chunk(carry, keys, adapt, collect, switch):
-        return jax.lax.scan(step, carry, {"key": keys, "adapt": adapt,
-                                          "collect": collect,
-                                          "switch": switch})
-
-    chunked = jax.jit(jax.vmap(run_chunk, in_axes=(0, 0, None, None, None)))
+    # dispatch) with a host sync between: a monolithic multi-minute
+    # dispatch trips relay/worker timeouts, and chunking bounds the
+    # device-resident sample trace.
     all_keys = jax.vmap(lambda k: jax.random.split(k, total))(chain_keys)
-    carry = jax.jit(jax.vmap(init_chain))(positions)
+    carry = programs.init(positions, data)
     chunk = max(1, int(cfg.scan_chunk))
     outs = []
     for i in range(0, total, chunk):
         j = min(total, i + chunk)
-        carry, o = chunked(carry, all_keys[:, i:j],
-                           jnp.asarray(adapt_f[i:j]),
-                           jnp.asarray(collect_f[i:j]),
-                           jnp.asarray(switch_f[i:j]))
+        carry, o = programs.chunked(carry, all_keys[:, i:j],
+                                    jnp.asarray(adapt_f[i:j]),
+                                    jnp.asarray(collect_f[i:j]),
+                                    jnp.asarray(switch_f[i:j]), data)
         outs.append(jax.tree.map(np.asarray, o))
     out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *outs)
     sample_slice = slice(cfg.num_warmup, total, cfg.thin)
