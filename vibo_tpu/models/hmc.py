@@ -377,11 +377,19 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
             pos = jax.tree.map(lambda c, s, qq: (qq - c) / s,
                                data["center"], data["scale"], q1)
             u_cur, g_cur = vg_fn(pos, data)
-        # dual averaging update (only during warmup)
+        # dual averaging update (only during warmup). The adaptation
+        # statistic is POOLED across chains (pmean over the vmap axis):
+        # all chains see the same posterior, so sharing the signal makes
+        # the step-size search 4x less noisy and eliminates single-chain
+        # bad-adaptation basins (measured: one seed's phase-1 collapse to
+        # eps ~ 0.005 left it at R-hat 1.35 while its siblings converged).
+        # The Metropolis accept itself stays per-chain, so the sampled
+        # distribution is untouched.
         t = t + adapt
         accept_prob = jnp.exp(log_accept)
+        accept_stat = jax.lax.pmean(accept_prob, "chains")
         h_bar_new = (1.0 - 1.0 / (t + t0)) * h_bar + \
-            (cfg.target_accept - accept_prob) / (t + t0)
+            (cfg.target_accept - accept_stat) / (t + t0)
         log_eps_new = mu - jnp.sqrt(t) / gamma * h_bar_new
         eta = t ** (-kappa)
         log_eps_bar_new = eta * log_eps_new + (1.0 - eta) * log_eps_bar
@@ -413,7 +421,10 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
             shrink = w_cnt / (w_cnt + 5.0)
 
             def new_im(m2, im):
-                var = m2 / denom
+                # pool the window variances across chains (4x the draws
+                # per estimate; each chain's Welford mean is its own, so
+                # pooling the variances is exact for the shared metric)
+                var = jax.lax.pmean(m2 / denom, "chains")
                 # regularize toward 1.0: the sampler runs in whitened
                 # coordinates, so the Fisher metric (identity) is the prior
                 est = jnp.clip(shrink * var + (1.0 - shrink), 1e-6, 1e6)
@@ -469,7 +480,8 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
     import types
     return types.SimpleNamespace(
         chunked=jax.jit(jax.vmap(run_chunk,
-                                 in_axes=(0, 0, None, None, None, None))),
+                                 in_axes=(0, 0, None, None, None, None),
+                                 axis_name="chains")),
         init=jax.jit(jax.vmap(init_chain, in_axes=(0, None))),
         map_run=jax.jit(map_run),
         ll_ref_fn=jax.jit(per_person),
