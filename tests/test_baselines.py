@@ -105,6 +105,7 @@ def hmc_run():
     return sim, ds, out
 
 
+@pytest.mark.slow
 def test_hmc_diagnostics(hmc_run):
     sim, ds, out = hmc_run
     assert 0.4 < out["accept_rate"] <= 1.0, out
@@ -139,6 +140,7 @@ def test_split_rhat_detects_nonmixing():
     assert np.all(hmc.effective_sample_size(ar) < 200)
 
 
+@pytest.mark.slow
 def test_hmc_recovery_and_imputation(hmc_run):
     sim, ds, out = hmc_run
     theta_mean = out["samples"]["theta"].mean(0)[:, 0]
@@ -189,6 +191,7 @@ def test_em_3pl_recovery():
     assert acc > max(ones, 1 - ones)
 
 
+@pytest.mark.slow
 def test_em_3pl_marginal_loglik_increases():
     """EM's monotonicity must survive the 3PL Fisher-scoring M-step."""
     sim = simulate_irt("3pl", 300, 24, ability_dim=1, seed=9)
@@ -235,6 +238,7 @@ def test_hmc_map_init_breaks_saddle():
     assert corr > 0.7, corr
 
 
+@pytest.mark.slow
 def test_hmc_prior_init_mode_still_mixes():
     """init_mode='prior' (the pre-MAP behavior) stays supported and mixes
     at small scale, where prior-scale starts are only a few posterior sds
@@ -277,6 +281,7 @@ def test_hmc_packed_potential_matches_dense():
             assert d < 1e-3, (model, name, d)
 
 
+@pytest.mark.slow
 def test_hmc_runs_with_packed_kernel():
     """run_hmc with use_packed_kernel=True (interpret mode off-TPU) executes
     the full vmapped multi-chain scan and produces finite diagnostics."""
@@ -395,3 +400,91 @@ def test_hmc_rotation_alignment():
     err = np.abs(evaluation.correlation(
         ref, a0, align_rotation=True)["pearson"])
     assert err > 0.99
+
+
+def test_rotation_move_preserves_potential():
+    """The O(K) rotation Gibbs move relies on EXACT posterior invariance:
+    U(theta R, a R, b, ...) == U(theta, a, b, ...) for orthogonal R."""
+    sim = simulate_irt("2pl", 50, 16, ability_dim=3, seed=11)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=3)
+    u = hmc.make_potential(sim.response, sim.mask, cfg)
+    rng = np.random.default_rng(3)
+    params = {"theta": jax.numpy.asarray(rng.normal(size=(50, 3)), "float32"),
+              "a": jax.numpy.asarray(rng.normal(size=(16, 3)), "float32"),
+              "b": jax.numpy.asarray(rng.normal(size=(16,)), "float32")}
+    g = rng.normal(size=(3, 3))
+    q, r = np.linalg.qr(g)
+    rot = jax.numpy.asarray(q * np.sign(np.diag(r)), "float32")
+    u0 = float(u(params))
+    u1 = float(u({"theta": params["theta"] @ rot, "a": params["a"] @ rot,
+                  "b": params["b"]}))
+    assert abs(u0 - u1) < 1e-2 * abs(u0) * 1e-3 + 0.05
+
+
+def test_chain_programs_potential_matches_make_potential():
+    """The production whitened potential (what the sampler integrates) must
+    equal make_potential composed with q = center + scale * x — value AND
+    gradient (round-2 advisor: the two paths must not drift)."""
+    import dataclasses as dc
+
+    sim = simulate_irt("2pl", 40, 12, ability_dim=2, seed=7)
+    cfg = hmc.HMCConfig(irt_model="2pl", ability_dim=2,
+                        use_packed_kernel=False)
+    progs = hmc._chain_programs(hmc._programs_key(cfg, False), 40, 12)
+    rng = np.random.default_rng(0)
+    spec = hmc._flatten_spec(40, 12, cfg)
+    center = {k: jax.numpy.asarray(rng.normal(size=s) * 0.3, "float32")
+              for k, s in spec.items()}
+    scale = {k: jax.numpy.asarray(0.5 + rng.uniform(size=s), "float32")
+             for k, s in spec.items()}
+    x = {k: jax.numpy.asarray(rng.normal(size=s), "float32")
+         for k, s in spec.items()}
+    data = {"resp": jax.numpy.asarray(sim.response),
+            "mask": jax.numpy.asarray(sim.mask),
+            "center": center, "scale": scale,
+            "ll_ref": jax.numpy.zeros((40,), "float32")}
+    u_ref = hmc.make_potential(sim.response, sim.mask, cfg)
+
+    def u_composed(x):
+        q = jax.tree.map(lambda c, s, xx: c + s * xx, center, scale, x)
+        return u_ref(q)
+
+    v_prod, g_prod = progs.vg(x, data)
+    v_ref, g_ref = jax.value_and_grad(u_composed)(x)
+    np.testing.assert_allclose(float(v_prod), float(v_ref), rtol=1e-5)
+    for k in spec:
+        np.testing.assert_allclose(np.asarray(g_prod[k]),
+                                   np.asarray(g_ref[k]), rtol=1e-4,
+                                   atol=1e-4)
+
+
+@pytest.mark.slow
+def test_hmc_deep_link_gold_posterior():
+    """irt_model='deep': sample (theta, d) under a trained deep decoder —
+    runs, mixes on a tiny problem, and its posterior-predictive imputation
+    beats the base rate (the cfg-5 deep gold-posterior path)."""
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("2pl", 150, 24, ability_dim=1, seed=9)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=9)
+    model = VIBO(VIBOConfig(num_items=24, irt_model="deep", ability_dim=1,
+                            hidden_dim=32, item_latent_dim=4,
+                            deep_hidden_dim=32, deep_item_chunk=0))
+    res = Trainer(model, TrainConfig(lr=5e-3, epochs=150,
+                                     eval_every=150)).fit(ds)
+    dp = res["params"]["deep_link"]
+    cfg = hmc.HMCConfig(irt_model="deep", ability_dim=1, num_warmup=150,
+                        num_samples=150, num_chains=2, num_leapfrog=8,
+                        use_packed_kernel=False, seed=1)
+    out = hmc.run_hmc(ds.response, ds.train_mask, cfg, deep_params=dp)
+    assert sorted(out["samples"]) == ["d", "theta"]
+    assert 0.2 < out["accept_rate"] <= 1.0
+    assert out["diagnostics"]["divergences"] == 0
+    prob = hmc.posterior_mean_prob(out["samples"], "deep", deep_params=dp)
+    pred = (prob > 0.5).astype(np.float32)
+    h = ds.heldout_mask
+    acc = float((h * (pred == ds.response)).sum() / h.sum())
+    ones = float((h * ds.response).sum() / h.sum())
+    base = max(ones, 1 - ones)
+    assert acc > base - 0.02

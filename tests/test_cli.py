@@ -20,6 +20,7 @@ def test_train_synthetic_1pl(tmp_path):
     assert (tmp_path / "best.npz").exists()
 
 
+@pytest.mark.slow
 def test_train_3pl_iwae():
     s = run(["train", "synthetic-3pl", "--irt-model", "3pl", "--num-persons",
              "128", "--num-items", "24", "--epochs", "10", "--eval-every", "10",
@@ -49,6 +50,7 @@ def test_baseline_mle():
     assert 0.0 <= s["brier"] <= 1.0
 
 
+@pytest.mark.slow
 def test_baseline_hmc():
     s = run(["baseline", "synthetic-1pl", "--method", "hmc", "--irt-model",
              "1pl", "--num-persons", "60", "--num-items", "12",
@@ -86,3 +88,37 @@ def test_compare_subcommand(capsys):
     methods = [r["method"] for r in rep["compare"]]
     assert methods == ["vibo", "mle", "em"]
     assert all(r["seconds"] > 0 for r in rep["compare"])
+
+
+def test_profile_flag(tmp_path):
+    prof_dir = tmp_path / "trace"
+    run(["train", "synthetic-1pl", "--num-persons", "64", "--num-items", "16",
+         "--epochs", "3", "--eval-every", "3", "--hidden-dim", "32",
+         "--profile", str(prof_dir)])
+    import glob
+    assert glob.glob(str(prof_dir / "plugins" / "profile" / "*" / "*.xplane.pb"))
+
+
+def test_baseline_deep_requires_hmc():
+    with pytest.raises(SystemExit):
+        run(["baseline", "synthetic-2pl", "--method", "em", "--irt-model",
+             "deep", "--num-persons", "60", "--num-items", "12"])
+    with pytest.raises(SystemExit):
+        # deep HMC without a decoder source
+        run(["baseline", "synthetic-2pl", "--method", "hmc", "--irt-model",
+             "deep", "--num-persons", "60", "--num-items", "12"])
+
+
+@pytest.mark.slow
+def test_compare_deep_uses_deep_hmc(capsys):
+    main(["compare", "synthetic-2pl", "--irt-model", "deep", "--num-persons",
+          "100", "--num-items", "16", "--epochs", "30", "--steps", "40",
+          "--hmc-warmup", "30", "--hmc-samples", "30", "--methods", "mle,hmc",
+          "--hidden-dim", "32"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = json.loads(out[-1])
+    hmc_row = next(r for r in rep["compare"] if r["method"] == "hmc")
+    # the deep HMC row exists with diagnostics and agreement vs VIBO
+    assert "rhat_max" in hmc_row
+    vibo_row = next(r for r in rep["compare"] if r["method"] == "vibo")
+    assert "theta_vs_hmc" in vibo_row

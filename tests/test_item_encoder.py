@@ -141,6 +141,7 @@ def test_amortized_iwae_bound(amortized_2pl):
     assert out_h["loglik_per_cell"] < out["loglik_per_cell"]
 
 
+@pytest.mark.slow
 def test_amortized_dp_step_matches_unsharded(eight_devices):
     """The shard_map DP step with psum'd column statistics reproduces the
     unsharded update (device-count invariance of the amortized posterior)."""

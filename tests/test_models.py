@@ -35,6 +35,7 @@ def test_elbo_finite_all_links(irt_model, conditional):
     assert float(aux["loglik"]) <= 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("irt_model", ["2pl", "deep"])
 def test_iwae_vs_elbo(irt_model):
     """IWAE-S >= IWAE-1 in expectation; both finite. (Monotonicity of the
@@ -140,6 +141,7 @@ def test_deep_vibo_chunked_elbo():
     np.testing.assert_allclose(float(bound), float(bound2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_iwae_per_person():
     resp, mask = _data()
     cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K, hidden_dim=32)

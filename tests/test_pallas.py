@@ -95,6 +95,7 @@ def test_ragged_tiles(rng):
                                rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vibo_model_pallas_path(rng):
     """VIBOConfig(use_pallas=True) ELBO == use_pallas=False ELBO (same key)."""
     import os
@@ -113,6 +114,7 @@ def test_vibo_model_pallas_path(rng):
     np.testing.assert_allclose(float(b1), float(b2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_representation(rng):
     from vibo_tpu.ops.pallas_elbo import pack_responses, masked_loglik_2pl_packed
     theta, a, b, resp, mask = _inputs(rng, 48, 200, 3)
@@ -201,6 +203,7 @@ def test_3pl_gradient_extreme_logits():
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_3pl_packed_matches_dense(rng):
     from vibo_tpu.ops.pallas_elbo import (masked_loglik_3pl,
                                           masked_loglik_3pl_packed,
@@ -228,6 +231,7 @@ def test_3pl_packed_matches_dense(rng):
                                    rtol=3e-5, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_3pl_vibo_model_pallas_path(rng):
     """Full 3PL VIBO ELBO: pallas path == pure-JAX path, dense and packed."""
     from vibo_tpu.models import VIBO, VIBOConfig
@@ -282,6 +286,7 @@ def test_train_variant_matches_general(rng):
                                rtol=3e-5, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_train_variant_vmap_samples(rng):
     """vmap over the MC-sample axis (the elbo_packed usage pattern)."""
     from vibo_tpu.ops.pallas_elbo import (masked_loglik_2pl_packed_train,
@@ -333,6 +338,7 @@ def test_3pl_train_variant_matches_general(rng):
                                    rtol=3e-5, atol=3e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [11, 22, 33, 44])
 def test_random_shapes_all_kernels(seed):
     """Property test: random (B, M, K) incl. non-tile-aligned raggedness —
@@ -442,6 +448,7 @@ def test_transposed_train_kernel_3pl_matches_legacy():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_elbo_packed_sums_transposed_matches_legacy():
     """The full transposed objective path (encoder head, reparam, KL, scalar
     kernel) == the legacy path when fed the SAME noise (transposed)."""

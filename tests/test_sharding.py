@@ -128,6 +128,7 @@ def test_packed_step_sharded_equals_replicated(eight_devices):
                                rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_dp_step_device_count_invariant(eight_devices):
     """shard_map DP packed step: 8-shard result == 1-shard result (exogenous
     partitionable-RNG noise makes the math device-count-invariant)."""
@@ -200,6 +201,7 @@ def test_dp_grads_match_unsharded(eight_devices):
         np.asarray(x), np.asarray(y), rtol=2e-3, atol=1e-5), p_dp, p_ref)
 
 
+@pytest.mark.slow
 def test_dp_fit_nondivisible_persons(eight_devices):
     """Trainer.fit pads 61 students onto 8 shards; padding rows are inert."""
     from vibo_tpu.data import simulate_irt, holdout_split
@@ -265,6 +267,7 @@ def test_2d_packed_step_matches_unsharded(eight_devices):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_packed_fit_matches_students_only(eight_devices):
     """Full fit through the 2D packed path == the students-only DP path
     (same exogenous noise => identical math, device-layout independent)."""
@@ -290,6 +293,7 @@ def test_2d_packed_rejects_indivisible_items(eight_devices):
         Trainer(model, TrainConfig(packed=True), mesh=mesh).fit(ds)
 
 
+@pytest.mark.slow
 def test_iwae_dp_device_count_invariant(eight_devices):
     """The IWAE objective now runs through the packed shard_map DP path
     (round-1 VERDICT item 4): 8 shards must reproduce the 1-shard bound
@@ -306,6 +310,7 @@ def test_iwae_dp_device_count_invariant(eight_devices):
                                rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_iwae_dp_step_matches_unsharded_loss(eight_devices):
     """One IWAE DP step's gradient == jax.grad of the identical unsharded
     IWAE loss built from the same exogenous noise (SGD catches scale bugs)."""
@@ -351,6 +356,7 @@ def test_iwae_dp_step_matches_unsharded_loss(eight_devices):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_iwae_step_matches_unsharded_loss(eight_devices):
     """One IWAE step on the 4x2 ('students','items') mesh == jax.grad of the
     identical unsharded IWAE loss (SGD; exact scaling check for the 2D
@@ -392,6 +398,7 @@ def test_2d_iwae_step_matches_unsharded_loss(eight_devices):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_iwae_fit_matches_students_only(eight_devices):
     """Full IWAE fit through the 2D packed path == the students-only DP path
     (same exogenous noise => identical math)."""
@@ -451,6 +458,7 @@ def test_2d_item_encoder_step_matches_unsharded(eight_devices):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_transposed_theta_device_count_invariant(eight_devices):
     """With use_pallas=True the packed DP path runs the TRANSPOSED (K, B)
     theta pipeline (interpret-mode kernels on CPU): 8 shards must reproduce

@@ -76,6 +76,7 @@ def test_iwae_eval_runs(trained_1pl):
     assert out["loglik_per_cell"] < out_tr["loglik_per_cell"]
 
 
+@pytest.mark.slow
 def test_fused_fit_matches_stepwise():
     """fuse_epochs=True (lax.scan chunks) must reproduce the per-epoch path
     exactly: same PRNG split order, same updates, same final ELBO."""
@@ -153,6 +154,7 @@ def test_iwae_loglik_padding_invariant():
         np.testing.assert_allclose(a["loglik"], b["loglik"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_iwae_training_objective():
     """objective='iwae' trains: bound improves, imputation beats base rate,
     and the packed fused-kernel path matches the dense path's semantics."""

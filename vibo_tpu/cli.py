@@ -46,6 +46,10 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the whole command "
+                        "into DIR (inspect with TensorBoard or Perfetto; "
+                        "SURVEY.md section 6 'tracing')")
 
 
 def _load(args):
@@ -150,6 +154,11 @@ def cmd_train(args):
         summary["new_item_acc"] = round(ev_ni["acc"], 4)
         summary["new_item_base_rate"] = round(ev_ni["base_rate"], 4)
         summary["num_new_items"] = ev_ni["num_new_items"]
+    if args.irt_model == "deep":
+        # trained decoder weights, for the deep HMC gold posterior
+        # (cmd_compare passes them to baseline --method hmc); underscore
+        # key: stripped from the printed summary
+        summary["_deep_link"] = res["params"]["deep_link"]
     if test_ds is None and test_items_ds is None:
         # person split reorders rows; item split subsets columns —
         # sim-truth correlations are only valid on the unsplit matrix
@@ -191,6 +200,10 @@ def cmd_baseline(args):
         return float((h * (pred == ds.response)).sum() / h.sum())
 
     summary = {"dataset": ds.name, "shape": list(ds.shape), "method": args.method}
+    if args.irt_model == "deep" and args.method != "hmc":
+        raise SystemExit(
+            "the deep link has no closed-form MLE/EM baseline (nonlinear "
+            "decoder); only --method hmc samples it, under a trained decoder")
     if args.method == "mle" or args.method == "map":
         from vibo_tpu.models import mle
         cfg = mle.MLEConfig(irt_model=args.irt_model,
@@ -220,6 +233,17 @@ def cmd_baseline(args):
         import sys
 
         from vibo_tpu.models import hmc
+        deep_params = getattr(args, "deep_params", None)
+        if args.irt_model == "deep" and deep_params is None:
+            ckpt_path = getattr(args, "deep_ckpt", None)
+            if not ckpt_path:
+                raise SystemExit(
+                    "--irt-model deep HMC samples under a TRAINED decoder: "
+                    "pass --deep-ckpt (a best.npz from `train ... --irt-model"
+                    " deep --out-dir ...`) or run it via `compare`")
+            from vibo_tpu.serve import AbilityScorer
+            scorer = AbilityScorer.from_checkpoint(ckpt_path)
+            deep_params = scorer.params["deep_link"]
         cfg = hmc.HMCConfig(irt_model=args.irt_model,
                             ability_dim=args.ability_dim,
                             num_warmup=args.hmc_warmup,
@@ -228,7 +252,8 @@ def cmd_baseline(args):
                             num_leapfrog=getattr(args, "hmc_leapfrog", 20),
                             target_accept=getattr(args, "hmc_target_accept",
                                                   0.8))
-        out = hmc.run_hmc(ds.response, ds.train_mask, cfg)
+        out = hmc.run_hmc(ds.response, ds.train_mask, cfg,
+                          deep_params=deep_params)
         diag = out["diagnostics"]
         summary["accept_rate"] = round(out["accept_rate"], 3)
         summary["step_size"] = round(out["step_size"], 5)
@@ -236,6 +261,10 @@ def cmd_baseline(args):
         summary["rhat_max"] = round(diag["rhat_max"], 4)
         summary["ess_min"] = round(diag["ess_min"], 1)
         summary["divergences"] = diag["divergences"]
+        # "converged" certifies mixing around the MAP-mode basin on
+        # gauge-fixed draws (see hmc diagnostics "init_mode" note), the
+        # standard evidence for unimodal IRT posteriors
+        summary["init_mode"] = diag["init_mode"]
         summary["converged"] = bool(diag["rhat_max"] <= 1.05
                                     and diag["divergences"] == 0)
         if not summary["converged"]:
@@ -245,7 +274,8 @@ def cmd_baseline(args):
                   f"samples as a gold posterior; increase --hmc-warmup/"
                   f"--hmc-samples", file=sys.stderr)
         summary["heldout_acc"] = impute_acc(
-            hmc.posterior_mean_prob(out["samples"], args.irt_model))
+            hmc.posterior_mean_prob(out["samples"], args.irt_model,
+                                    deep_params=deep_params))
         summary["_theta_hat"] = out["samples"]["theta"].mean(0)
         summary["_theta_sd"] = out["samples"]["theta"].std(0)
         if sim is not None:
@@ -292,8 +322,26 @@ def cmd_compare(args):
             continue
         b_args = argparse.Namespace(**vars(args))
         b_args.method = method
-        b_args.irt_model = (args.irt_model
-                            if args.irt_model in ("1pl", "2pl", "3pl") else "2pl")
+        if args.irt_model in ("1pl", "2pl", "3pl"):
+            b_args.irt_model = args.irt_model
+        elif method == "hmc":
+            # deep: HMC samples (theta, d) under the decoder the VIBO run
+            # just trained — the cfg-5 deep gold posterior (no silent 2PL
+            # downgrade; round-2 verdict item 4)
+            b_args.irt_model = "deep"
+            b_args.deep_params = rows[0]["_deep_link"]
+        else:
+            import sys
+            print("NOTE: the deep link has no MLE/EM analog; running the "
+                  f"{method} baseline as 2PL", file=sys.stderr)
+            b_args.irt_model = "2pl"
+        if method == "em" and args.ability_dim > 1:
+            import sys
+            print(f"NOTE: the EM baseline is K=1 by classical Gauss-Hermite "
+                  f"restriction (models/em.py); comparing it against "
+                  f"ability-dim={args.ability_dim} methods via the mean "
+                  f"multiple correlation of its single trait with the "
+                  f"higher-dim posterior", file=sys.stderr)
         timed(method, lambda: cmd_baseline(b_args))
 
     # Cross-method posterior agreement (the paper's protocol when no ground
@@ -386,7 +434,12 @@ def main(argv=None):
     _add_common(b)
     b.add_argument("--method", required=True,
                    choices=["mle", "map", "em", "hmc"])
-    b.add_argument("--irt-model", default="2pl", choices=["1pl", "2pl", "3pl"])
+    b.add_argument("--irt-model", default="2pl",
+                   choices=["1pl", "2pl", "3pl", "deep"])
+    b.add_argument("--deep-ckpt", default=None,
+                   help="--irt-model deep + --method hmc: checkpoint "
+                        "(best.npz from a deep `train --out-dir`) whose "
+                        "decoder weights the sampler holds fixed")
     b.add_argument("--steps", type=int, default=500)
     b.add_argument("--hmc-warmup", type=int, default=300)
     b.add_argument("--hmc-samples", type=int, default=300)
@@ -422,6 +475,10 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "profile", None):
+        from vibo_tpu.utils.prof import trace
+        with trace(args.profile):
+            return args.fn(args)
     return args.fn(args)
 
 

