@@ -27,28 +27,33 @@ def _person_blocks(n: int, block: int):
         yield start, min(start + block, n)
 
 
-_device_ds_cache: "weakref.WeakKeyDictionary[Dataset, tuple]" = \
+_device_ds_cache: "weakref.WeakKeyDictionary[Dataset, jax.Array]" = \
     weakref.WeakKeyDictionary()
 
 
-@jax.jit
 def _decode_bits(code: jax.Array):
+    """uint8 bit-code -> (response, train_mask, heldout_mask) f32. Called
+    INSIDE the jitted per-block reductions so XLA fuses the decode into each
+    consumer's operand read — the decoded f32 matrices never persist in HBM
+    (at the 131k x 2k six-figure scale they would be 3 x 1 GB vs the code's
+    268 MB)."""
     return ((code & 1).astype(jnp.float32),
             ((code >> 1) & 1).astype(jnp.float32),
             ((code >> 2) & 1).astype(jnp.float32))
 
 
-def dataset_on_device(ds: Dataset):
-    """(response, train_mask, heldout_mask) as device f32 arrays, cached per
-    Dataset.
+def dataset_code_on_device(ds: Dataset) -> jax.Array:
+    """The dataset as ONE device uint8 bit-code
+    (response | train<<1 | heldout<<2), cached per Dataset.
 
     Host->device bytes through this image's TPU relay run at ~50 MB/s and
     dominated eval wall-clock (2.4 s of a 2.5 s warm IWAE-100 at 10k x 1k was
-    moving 3 x 40 MB of f32). All three matrices are binary, so ONE uint8
-    bit-code (response | train<<1 | heldout<<2) crosses the wire — 12x fewer
-    bytes — and a jitted decode expands it on device. The weak cache makes
-    repeated evals on the same Dataset (every eval_every epochs during fit,
-    heldout+train IWAE in bench) transfer-free."""
+    moving 3 x 40 MB of f32), so one uint8 code crosses the wire — 12x fewer
+    bytes — and stays the ONLY response-sized device residue: every evaluator
+    slices person blocks of the code and decodes inside its jitted reduction
+    (see _decode_bits). The weak cache makes repeated evals on the same
+    Dataset (every eval_every epochs during fit, heldout+train IWAE in
+    bench) transfer-free."""
     try:
         return _device_ds_cache[ds]
     except KeyError:
@@ -56,10 +61,22 @@ def dataset_on_device(ds: Dataset):
     code = ((ds.response > 0).astype(np.uint8)
             | ((ds.train_mask > 0).astype(np.uint8) << 1)
             | ((ds.heldout_mask > 0).astype(np.uint8) << 2))
-    out = _decode_bits(jnp.asarray(code))
-    out = tuple(jax.block_until_ready(x) for x in out)
+    out = jax.block_until_ready(jnp.asarray(code))
     _device_ds_cache[ds] = out
     return out
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_code_fn(cfg):
+    """Cached jit'd ability encoder consuming a uint8 code block."""
+    model = VIBO(cfg)
+
+    @jax.jit
+    def f(params, item_mean, code):
+        resp, tmask, _ = _decode_bits(code)
+        return model.encode(params, resp, tmask, item_mean)
+
+    return f
 
 
 @functools.lru_cache(maxsize=128)
@@ -84,9 +101,22 @@ def full_item_dist(model: VIBO, params, ds: Dataset) -> dict:
     blocking."""
     if not model.cfg.item_encoder:
         return model.item_dist(params)
-    f = _jitted(model.cfg, "item_dist")
-    resp, tmask, _ = dataset_on_device(ds)
-    return f(params, resp, tmask)
+    f = _item_dist_code_fn(model.cfg)
+    return f(params, dataset_code_on_device(ds))
+
+
+@functools.lru_cache(maxsize=64)
+def _item_dist_code_fn(cfg):
+    """Cached jit'd item posterior from the uint8 code (decode fused into
+    the column-statistics reductions)."""
+    model = VIBO(cfg)
+
+    @jax.jit
+    def f(params, code):
+        resp, tmask, _ = _decode_bits(code)
+        return model.item_dist(params, resp, tmask)
+
+    return f
 
 
 def full_item_mean(model: VIBO, params, ds: Dataset) -> dict:
@@ -101,7 +131,8 @@ def _impute_stats_fn(cfg):
     model = VIBO(cfg)
 
     @jax.jit
-    def stats(params, item_mean, resp, tmask, hmask):
+    def stats(params, item_mean, code):
+        resp, tmask, hmask = _decode_bits(code)
         prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
         pred = (prob > 0.5).astype(jnp.float32)
         correct = (hmask * (pred == resp)).sum()
@@ -123,14 +154,13 @@ def imputation_accuracy(model: VIBO, params, ds: Dataset,
     if item_mean is None:
         item_mean = full_item_mean(model, params, ds)
     stats = _impute_stats_fn(model.cfg)
-    resp_d, tmask_d, hmask_d = dataset_on_device(ds)
+    code_d = dataset_code_on_device(ds)
     correct = 0.0
     total = 0.0
     ones = 0.0
     n = ds.response.shape[0]
     for s, e in _person_blocks(n, block_size):
-        c, t, o = stats(params, item_mean, resp_d[s:e], tmask_d[s:e],
-                        hmask_d[s:e])
+        c, t, o = stats(params, item_mean, code_d[s:e])
         correct += float(c)
         total += float(t)
         ones += float(o)
@@ -140,8 +170,9 @@ def imputation_accuracy(model: VIBO, params, ds: Dataset,
 
 
 @functools.lru_cache(maxsize=64)
-def _iwae_block_fn(cfg, num_samples: int):
-    """Cached jit'd IWAE block bound for one (config, S): see iwae_loglik.
+def _iwae_block_fn(cfg, num_samples: int, on: str):
+    """Cached jit'd IWAE block bound for one (config, S, eval-mask): see
+    iwae_loglik.
 
     Samples run as lax.scan over chunks of a vmap — a 100-wide flat vmap of
     the encoder+loglik graph compiled in ~5.5 s through the relay, the
@@ -156,7 +187,9 @@ def _iwae_block_fn(cfg, num_samples: int):
                 if num_samples % d == 0)
 
     @jax.jit
-    def block_bound(params, item_post, key, resp, tmask, emask, item_scale):
+    def block_bound(params, item_post, key, code, item_scale):
+        resp, tmask, hmask = _decode_bits(code)
+        emask = tmask if on == "train" else hmask
         # Encoder conditions on train-visible data; likelihood on emask cells.
         # Shared item prior/posterior terms enter scaled by block/N so the
         # sum over blocks counts them exactly once (the ELBO's item-KL
@@ -214,15 +247,14 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
     total = 0.0
     cells = 0.0
     item_post = full_item_dist(model, params, ds)
-    block_bound = _iwae_block_fn(model.cfg, num_samples)
+    block_bound = _iwae_block_fn(model.cfg, num_samples, on)
 
-    resp_d, tmask_d, hmask_d = dataset_on_device(ds)
-    emask_d = tmask_d if on == "train" else hmask_d
+    code_d = dataset_code_on_device(ds)
     emask_host = ds.train_mask if on == "train" else ds.heldout_mask
     for i, (s, e) in enumerate(_person_blocks(n, block_size)):
         key, sub = jax.random.split(key)
-        total += float(block_bound(params, item_post, sub, resp_d[s:e],
-                                   tmask_d[s:e], emask_d[s:e], (e - s) / n))
+        total += float(block_bound(params, item_post, sub, code_d[s:e],
+                                   (e - s) / n))
         cells += float(emask_host[s:e].sum())
     return {"loglik": total, "loglik_per_cell": total / max(cells, 1.0),
             "num_cells": int(cells), "num_samples": num_samples}
@@ -236,11 +268,11 @@ def infer_posterior_means(model: VIBO, params, ds: Dataset,
     deviations (VIBO's uncertainty — compared against HMC's posterior sd in
     the calibration eval)."""
     item_mean = full_item_mean(model, params, ds)
-    encode = _jitted(model.cfg, "encode")
-    resp_d, tmask_d, _ = dataset_on_device(ds)
+    encode = _encode_code_fn(model.cfg)
+    code_d = dataset_code_on_device(ds)
     thetas, sigmas = [], []
     for s, e in _person_blocks(ds.response.shape[0], block_size):
-        mu, logvar = encode(params, resp_d[s:e], tmask_d[s:e], item_mean)
+        mu, logvar = encode(params, item_mean, code_d[s:e])
         thetas.append(np.asarray(mu))
         if return_sigma:
             sigmas.append(np.asarray(jnp.exp(0.5 * logvar)))
@@ -325,7 +357,8 @@ def _calib_stats_fn(cfg, bins: int):
     model = VIBO(cfg)
 
     @jax.jit
-    def stats(params, item_mean, resp, tmask, hmask):
+    def stats(params, item_mean, code):
+        resp, tmask, hmask = _decode_bits(code)
         prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
         conf = jnp.maximum(prob, 1.0 - prob)
         correct = ((prob > 0.5).astype(jnp.float32) == resp).astype(
@@ -387,15 +420,14 @@ def calibration(model: VIBO, params, ds: Dataset, bins: int = 10,
     if item_mean is None:
         item_mean = full_item_mean(model, params, ds)
     stats = _calib_stats_fn(model.cfg, bins)
-    resp_d, tmask_d, hmask_d = dataset_on_device(ds)
+    code_d = dataset_code_on_device(ds)
     cnt = np.zeros(bins)
     acc = np.zeros(bins)
     cf = np.zeros(bins)
     brier = 0.0
     n = ds.response.shape[0]
     for s, e in _person_blocks(n, block_size):
-        c, a, f, b = stats(params, item_mean, resp_d[s:e], tmask_d[s:e],
-                           hmask_d[s:e])
+        c, a, f, b = stats(params, item_mean, code_d[s:e])
         cnt += np.asarray(c)
         acc += np.asarray(a)
         cf += np.asarray(f)
