@@ -24,6 +24,17 @@
 // the Python binding raises, matching the Python path's float() behavior —
 // instead of atof silently coercing garbage to "incorrect".
 //
+// Performance (round-3, measured on the 13M-row DuoLingo-scale file):
+// the first version spent its time on per-field substr allocations and on a
+// node-based unordered_map<pair,int8> that rehashed its way to 12.7M
+// entries — 110 s, only 2.3x the Python path. The hot loop now (a) splits
+// fields IN PLACE by NUL-punching the getline buffer (zero allocations per
+// row), (b) interns ids through a reused scratch key (allocation-free
+// lookups), and (c) replaces the pair hash map with a flat
+// (key, seq, code) record vector + one std::sort, deduping keep-LAST by
+// sequence number in a linear scan. The measured end-to-end numbers for
+// 13M rows on one core live in RESULTS.md ("At-scale raw ingestion").
+//
 // C ABI (handle-based), consumed via ctypes from vibo_tpu/data/native.py:
 //   rl_parse(path, person_col, item_col, correct_col, min_p, min_i)
 //   rl_parse_ex(path, person_col, item_col, correct_col, denom_col, match,
@@ -49,12 +60,6 @@
 
 namespace {
 
-struct PairHash {
-    size_t operator()(const std::pair<uint32_t, uint32_t>& p) const {
-        return (static_cast<size_t>(p.first) << 32) ^ p.second;
-    }
-};
-
 struct Loader {
     std::vector<std::string> persons;  // sorted kept person ids
     std::vector<std::string> items;    // sorted kept item ids
@@ -64,47 +69,76 @@ struct Loader {
     int64_t parse_errors = 0;
 };
 
-// Split one CSV line into fields (no quoted-comma support: the response
-// dumps we target are plain).
-void split_line(const std::string& line, std::vector<std::string>& out) {
+// One observed cell in file order; key = person_id << 32 | item_id. Sorting
+// by (key, seq) groups duplicate (person, item) pairs with the LAST file
+// occurrence at the group's end — the dedupe semantics of the Python path's
+// dict assignment — without a 13M-entry node-based hash map.
+struct Rec {
+    uint64_t key;
+    uint32_t seq;
+    int8_t code;
+};
+
+// Split one CSV line IN PLACE: replaces each ',' (and the trailing
+// newline) with NUL and records field starts. Zero allocations per row.
+// (No quoted-comma support: the response dumps we target are plain.)
+void split_line_inplace(char* line, std::vector<char*>& out) {
     out.clear();
-    size_t start = 0;
-    while (true) {
-        size_t pos = line.find(',', start);
-        if (pos == std::string::npos) {
-            std::string last = line.substr(start);
-            while (!last.empty() && (last.back() == '\r' || last.back() == '\n'))
-                last.pop_back();
-            out.push_back(std::move(last));
+    char* p = line;
+    out.push_back(p);
+    for (; *p; ++p) {
+        if (*p == ',') {
+            *p = '\0';
+            out.push_back(p + 1);
+        } else if (*p == '\n' || *p == '\r') {
+            *p = '\0';
             break;
         }
-        out.push_back(line.substr(start, pos - start));
-        start = pos + 1;
     }
 }
 
 // Strict numeric parse: the whole (trimmed) field must be consumed.
-bool parse_number(const std::string& s, double* out) {
-    const char* p = s.c_str();
-    while (*p && std::isspace(static_cast<unsigned char>(*p))) ++p;
-    if (!*p) return false;
+bool parse_number(const char* s, double* out) {
+    while (*s && std::isspace(static_cast<unsigned char>(*s))) ++s;
+    if (!*s) return false;
     char* end = nullptr;
-    double v = std::strtod(p, &end);
-    if (end == p) return false;
+    double v = std::strtod(s, &end);
+    if (end == s) return false;
     while (*end && std::isspace(static_cast<unsigned char>(*end))) ++end;
     if (*end) return false;
     *out = v;
     return true;
 }
 
+void lower_trim_into(const char* s, std::string& out) {
+    out.clear();
+    const char* a = s;
+    while (*a && std::isspace(static_cast<unsigned char>(*a))) ++a;
+    const char* b = a + std::strlen(a);
+    while (b > a && std::isspace(static_cast<unsigned char>(b[-1]))) --b;
+    for (; a < b; ++a)
+        out.push_back(static_cast<char>(std::tolower(
+            static_cast<unsigned char>(*a))));
+}
+
 std::string lower_trim(const std::string& s) {
-    size_t a = 0, b = s.size();
-    while (a < b && std::isspace(static_cast<unsigned char>(s[a]))) ++a;
-    while (b > a && std::isspace(static_cast<unsigned char>(s[b - 1]))) --b;
-    std::string out = s.substr(a, b - a);
-    for (auto& c : out) c = static_cast<char>(std::tolower(
-        static_cast<unsigned char>(c)));
+    std::string out;
+    lower_trim_into(s.c_str(), out);
     return out;
+}
+
+// Intern through a REUSED scratch string: map.find allocates nothing once
+// scratch's capacity covers the longest id; only genuinely new ids copy.
+uint32_t intern(std::unordered_map<std::string, uint32_t>& map,
+                std::vector<std::string>& names, const char* key,
+                std::string& scratch) {
+    scratch.assign(key);
+    auto it = map.find(scratch);
+    if (it != map.end()) return it->second;
+    uint32_t id = static_cast<uint32_t>(names.size());
+    map.emplace(scratch, id);
+    names.push_back(scratch);
+    return id;
 }
 
 }  // namespace
@@ -121,7 +155,7 @@ void* rl_parse_ex(const char* path, const char* person_col,
         L->error = std::string("cannot open ") + path;
         return L;
     }
-    std::vector<std::string> fields;
+    std::vector<char*> fields;
     char* buf = nullptr;
     size_t cap = 0;
 
@@ -132,13 +166,13 @@ void* rl_parse_ex(const char* path, const char* person_col,
         std::fclose(f);
         return L;
     }
-    split_line(buf, fields);
+    split_line_inplace(buf, fields);
     int pcol = -1, icol = -1, ccol = -1, dcol = -1;
     for (size_t i = 0; i < fields.size(); ++i) {
-        if (fields[i] == person_col) pcol = static_cast<int>(i);
-        if (fields[i] == item_col) icol = static_cast<int>(i);
-        if (fields[i] == correct_col) ccol = static_cast<int>(i);
-        if (denom_col && *denom_col && fields[i] == denom_col)
+        if (!std::strcmp(fields[i], person_col)) pcol = static_cast<int>(i);
+        if (!std::strcmp(fields[i], item_col)) icol = static_cast<int>(i);
+        if (!std::strcmp(fields[i], correct_col)) ccol = static_cast<int>(i);
+        if (denom_col && *denom_col && !std::strcmp(fields[i], denom_col))
             dcol = static_cast<int>(i);
     }
     if (pcol < 0 || icol < 0 || ccol < 0) {
@@ -160,21 +194,22 @@ void* rl_parse_ex(const char* path, const char* person_col,
     // intern person/item ids -> uint32
     std::unordered_map<std::string, uint32_t> pid, iid;
     std::vector<std::string> pnames, inames;
-    // dedupe pairs, keep LAST response
-    std::unordered_map<std::pair<uint32_t, uint32_t>, int8_t, PairHash> cells;
-    cells.reserve(1 << 20);
+    std::string scratch, match_scratch;
+    // observed cells in file order; deduped keep-LAST after one sort
+    std::vector<Rec> recs;
+    const int need = std::max({pcol, icol, ccol, dcol});
 
     while (getline(&buf, &cap, f) >= 0) {
-        if (buf[0] == '\0' || (buf[0] == '\n' && buf[1] == '\0')) continue;
-        split_line(buf, fields);
-        int need = std::max({pcol, icol, ccol, dcol});
+        if (buf[0] == '\0' || buf[0] == '\n') continue;
+        split_line_inplace(buf, fields);
         if (static_cast<int>(fields.size()) <= need) {
             L->parse_errors++;
             continue;
         }
         bool correct;
         if (mode == 3) {
-            correct = lower_trim(fields[ccol]) == match_lower;
+            lower_trim_into(fields[ccol], match_scratch);
+            correct = match_scratch == match_lower;
         } else {
             double c;
             if (!parse_number(fields[ccol], &c)) {
@@ -192,28 +227,32 @@ void* rl_parse_ex(const char* path, const char* person_col,
                 correct = c >= d;
             }
         }
-        auto intern = [](std::unordered_map<std::string, uint32_t>& map,
-                         std::vector<std::string>& names,
-                         const std::string& key) {
-            auto it = map.find(key);
-            if (it != map.end()) return it->second;
-            uint32_t id = static_cast<uint32_t>(names.size());
-            map.emplace(key, id);
-            names.push_back(key);
-            return id;
-        };
-        uint32_t p = intern(pid, pnames, fields[pcol]);
-        uint32_t i = intern(iid, inames, fields[icol]);
-        cells[{p, i}] = correct ? 2 : 1;  // packed code
+        uint32_t p = intern(pid, pnames, fields[pcol], scratch);
+        uint32_t i = intern(iid, inames, fields[icol], scratch);
+        recs.push_back({(static_cast<uint64_t>(p) << 32) | i,
+                        static_cast<uint32_t>(recs.size()),
+                        static_cast<int8_t>(correct ? 2 : 1)});
     }
     std::free(buf);
     std::fclose(f);
 
+    // keep-LAST dedupe: sort by (pair, file order); a pair's last
+    // occurrence is the final element of its run
+    std::sort(recs.begin(), recs.end(), [](const Rec& a, const Rec& b) {
+        return a.key != b.key ? a.key < b.key : a.seq < b.seq;
+    });
+    size_t out_n = 0;
+    for (size_t r = 0; r < recs.size(); ++r) {
+        if (r + 1 == recs.size() || recs[r + 1].key != recs[r].key)
+            recs[out_n++] = recs[r];
+    }
+    recs.resize(out_n);
+
     // per-person / per-item observed counts on deduped pairs
     std::vector<uint32_t> pcount(pnames.size(), 0), icount(inames.size(), 0);
-    for (const auto& kv : cells) {
-        pcount[kv.first.first]++;
-        icount[kv.first.second]++;
+    for (const auto& rec : recs) {
+        pcount[rec.key >> 32]++;
+        icount[rec.key & 0xffffffffu]++;
     }
     // kept ids, sorted lexicographically (matches Python sorted())
     std::vector<uint32_t> keep_p, keep_i;
@@ -239,10 +278,11 @@ void* rl_parse_ex(const char* path, const char* person_col,
 
     const size_t n = L->persons.size(), m = L->items.size();
     L->matrix.assign(n * m, 0);
-    for (const auto& kv : cells) {
-        int32_t r = prow[kv.first.first];
-        int32_t c = icolv[kv.first.second];
-        if (r >= 0 && c >= 0) L->matrix[static_cast<size_t>(r) * m + c] = kv.second;
+    for (const auto& rec : recs) {
+        int32_t r = prow[rec.key >> 32];
+        int32_t c = icolv[rec.key & 0xffffffffu];
+        if (r >= 0 && c >= 0)
+            L->matrix[static_cast<size_t>(r) * m + c] = rec.code;
     }
     return L;
 }
@@ -265,6 +305,21 @@ const char* rl_error(void* h) {
 void rl_fill(void* h, int8_t* out) {
     auto* L = static_cast<Loader*>(h);
     std::memcpy(out, L->matrix.data(), L->matrix.size());
+}
+
+// Decode the packed codes straight into caller-allocated f32 response/mask
+// buffers in one pass — the numpy `(packed > 0).astype(f32)` route
+// measured ~19 s at the 140k x 2048 scale (two 1.1 GB temporaries through
+// a bool intermediate each) vs one streamed C loop here.
+void rl_fill_f32(void* h, float* resp, float* mask) {
+    auto* L = static_cast<Loader*>(h);
+    const size_t total = L->matrix.size();
+    const int8_t* src = L->matrix.data();
+    for (size_t k = 0; k < total; ++k) {
+        int8_t c = src[k];
+        mask[k] = c > 0 ? 1.0f : 0.0f;
+        resp[k] = c == 2 ? 1.0f : 0.0f;
+    }
 }
 
 const char* rl_person_ids(void* h) {

@@ -2,6 +2,7 @@
 matrices on the same CSV, plus a throughput sanity check."""
 
 import csv
+import os
 import time
 
 import numpy as np
@@ -160,3 +161,43 @@ def test_gradescope_denom_mode_matches_python(tmp_path, rng):
         ("student_id", "question_id", "score", "max_score"), rows)
     np.testing.assert_array_equal(ds_n.response, ds_p.response)
     np.testing.assert_array_equal(ds_n.train_mask, ds_p.train_mask)
+
+
+@pytest.mark.slow
+def test_native_parse_at_scale_matches_python(tmp_path):
+    """Generate a DuoLingo-format trace file at reduced scale (2M rows) with
+    scripts/gen_duolingo_csv.py, ingest through the native loader, and assert
+    bitwise equality with the Python path + a real speed advantage. The full
+    13M-row measurement lives in RESULTS.md."""
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_duolingo_csv
+
+    path = tmp_path / "duolingo.csv"
+    gen_duolingo_csv.generate(str(path), rows=2_000_000, users=20_000,
+                              lexemes=512, seed=1)
+
+    from vibo_tpu.data import native
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    t0 = time.perf_counter()
+    resp_n, mask_n, pids, iids = native.parse_long_csv(
+        str(path), "user_id", "lexeme_id", "session_correct",
+        denom_col="session_seen", mode=native.BINARIZE_GE_DENOM_OPT,
+        min_per_person=5, min_per_item=5)
+    t_native = time.perf_counter() - t0
+
+    from vibo_tpu.data.loaders import long_to_matrix, _read_csv
+    t0 = time.perf_counter()
+    rows = [(r["user_id"], r["lexeme_id"],
+             1.0 if float(r["session_correct"]) >= float(r["session_seen"])
+             else 0.0) for r in _read_csv(str(path))]
+    resp_p, mask_p = long_to_matrix(rows, min_per_person=5, min_per_item=5)
+    t_python = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(mask_n, mask_p)
+    np.testing.assert_array_equal(resp_n, resp_p)
+    assert pids == sorted(pids) and iids == sorted(iids)
+    assert t_native < t_python, (t_native, t_python)

@@ -93,7 +93,8 @@ def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
                       min_per_person: int = 5, min_per_item: int = 5,
                       native_spec: dict | None = None):
     # hot path: the native C++ parser (semantics identical to long_to_matrix;
-    # ~100x faster at DuoLingo scale). native_spec carries the dataset's
+    # measured numbers at 13M-row DuoLingo scale in RESULTS.md "At-scale raw
+    # ingestion"). native_spec carries the dataset's
     # binarization mode (see native.BINARIZE_*), so EVERY dataset — including
     # the threshold/string-matched ones the native path was written for —
     # takes it (round-1 advisor finding: only pisa/critlangacq did). Falls

@@ -71,6 +71,10 @@ def load_library():
         lib.rl_fill.restype = None
         lib.rl_fill.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_int8)]
+        lib.rl_fill_f32.restype = None
+        lib.rl_fill_f32.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.POINTER(ctypes.c_float)]
         lib.rl_person_ids.restype = ctypes.c_char_p
         lib.rl_person_ids.argtypes = [ctypes.c_void_p]
         lib.rl_item_ids.restype = ctypes.c_char_p
@@ -115,12 +119,16 @@ def parse_long_csv(path: str, person_col: str, item_col: str, correct_col: str,
                 "(malformed numeric field or too few columns)")
         n = lib.rl_num_persons(h)
         m = lib.rl_num_items(h)
-        packed = np.zeros((n, m), dtype=np.int8)
-        lib.rl_fill(h, packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        response = np.empty((n, m), dtype=np.float32)
+        mask = np.empty((n, m), dtype=np.float32)
+        # one-pass C decode straight into the f32 buffers: the numpy
+        # `(packed > 0).astype` route costs two ~1 GB bool temporaries at
+        # DuoLingo scale (measured ~19 s of the old end-to-end parse)
+        lib.rl_fill_f32(h,
+                        response.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         person_ids = lib.rl_person_ids(h).decode().splitlines()
         item_ids = lib.rl_item_ids(h).decode().splitlines()
     finally:
         lib.rl_free(h)
-    mask = (packed > 0).astype(np.float32)
-    response = (packed == 2).astype(np.float32)
     return response, mask, person_ids, item_ids
