@@ -59,6 +59,58 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# ------------------------------------------- varying-mesh-axes (vma) fence
+#
+# match_vma/out_sds below reach into jax's shard_map varying-types surface —
+# jax.typeof(x).vma, lax.pcast(to='varying'), ShapeDtypeStruct(vma=...) —
+# which is new in jax 0.9 and outside any compatibility policy. ALL vma
+# access in this repo goes through _vma_of/match_vma/out_sds, and the API is
+# probed once (lazily, backend-free) so a future jax that renames any piece
+# fails LOUDLY at the first sharded kernel call instead of silently reading
+# an empty vma set — which would drop the psum that pcast's transpose
+# provides and produce wrong (shard-local) item gradients.
+#
+# Coverage note: on the virtual CPU mesh, interpret-mode Pallas cannot
+# typecheck vma-carrying grid carries (jax 0.9), so the sharded CPU tests
+# exercise the _xla_train_* twins below (same math, asserted equal to the
+# kernels by tests/test_pallas.py). The Mosaic+vma combination compiles on
+# real TPU, but multi-CHIP Mosaic+vma execution is exercised nowhere on this
+# one-chip image — the driver's dryrun validates it on the CPU mesh twins.
+
+_VMA_API_ERROR: str | None = None
+
+
+def _probe_vma_api() -> str | None:
+    try:
+        t = jax.typeof(jax.ShapeDtypeStruct((), jnp.float32))
+        if not hasattr(t, "vma"):
+            return "jax.typeof(...) has no .vma attribute"
+        if not callable(getattr(jax.lax, "pcast", None)):
+            return "jax.lax.pcast is missing"
+        jax.ShapeDtypeStruct((), jnp.float32, vma=frozenset())
+        return None
+    except Exception as e:  # renamed kwarg, changed signature, ...
+        return f"probe raised {e!r}"
+
+
+def _vma_of(x) -> frozenset:
+    """Varying mesh axes of x's abstract type (empty outside shard_map).
+
+    Single chokepoint for the vma API (see fence note above): raises with
+    an actionable message if this jax no longer exposes it."""
+    global _VMA_API_ERROR
+    if _VMA_API_ERROR is None:
+        _VMA_API_ERROR = _probe_vma_api() or "ok"
+    if _VMA_API_ERROR != "ok":
+        raise RuntimeError(
+            "vibo_tpu's sharded packed kernels need jax's varying-types API "
+            f"(jax.typeof(x).vma / lax.pcast / ShapeDtypeStruct(vma=...)), "
+            f"but this jax ({jax.__version__}) failed the probe: "
+            f"{_VMA_API_ERROR}. Update vibo_tpu/ops/pallas_elbo.py's vma "
+            "fence for the new API, or train without a mesh.")
+    return jax.typeof(x).vma or frozenset()
+
+
 def match_vma(*xs):
     """Promote every array to the UNION of the group's varying mesh axes
     via jax.lax.pcast(to='varying').
@@ -73,17 +125,16 @@ def match_vma(*xs):
     No-op outside shard_map."""
     vma = frozenset()
     for x in xs:
-        vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+        vma |= _vma_of(x)
     out = []
     for x in xs:
-        have = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
-        extra = tuple(sorted(vma - have))
+        extra = tuple(sorted(vma - _vma_of(x)))
         out.append(jax.lax.pcast(x, extra, to="varying") if extra else x)
     return out
 
 
 def _has_vma(*xs) -> bool:
-    return any(getattr(jax.typeof(x), "vma", frozenset()) for x in xs)
+    return any(_vma_of(x) for x in xs)
 
 
 def _xla_train_2pl(theta, a, b, packed):
@@ -117,7 +168,7 @@ def out_sds(shape, dtype, *ins):
     union is empty and this is equivalent to the plain constructor."""
     vma = frozenset()
     for x in ins:
-        vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+        vma |= _vma_of(x)
     return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
