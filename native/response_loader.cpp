@@ -60,10 +60,16 @@
 
 namespace {
 
+struct Cell {
+    uint32_t row;
+    uint32_t col;
+    int8_t code;  // 1=incorrect, 2=correct (missing cells are not stored)
+};
+
 struct Loader {
     std::vector<std::string> persons;  // sorted kept person ids
     std::vector<std::string> items;    // sorted kept item ids
-    std::vector<int8_t> matrix;        // persons x items packed codes
+    std::vector<Cell> cells;           // observed cells, row-major sorted
     std::string error;
     std::string person_blob, item_blob;
     int64_t parse_errors = 0;
@@ -276,13 +282,20 @@ void* rl_parse_ex(const char* path, const char* person_col,
         L->items.push_back(inames[keep_i[c]]);
     }
 
-    const size_t n = L->persons.size(), m = L->items.size();
-    L->matrix.assign(n * m, 0);
+    // Sparse output: at DuoLingo scale (13M observed cells in a 131k x 2k
+    // matrix, ~5% density) materializing the dense matrix here AND decoding
+    // it to f32 later cost two full-matrix passes — 2.1 GB of page-fault
+    // writes each, measured ~17 s on this image's single virtualized core —
+    // for ~95% zeros. The fill entry points scatter only the observed cells
+    // into caller-ZEROED buffers instead (cells stay grouped per person —
+    // recs is key-sorted — so each scatter row's pages are visited once).
+    L->cells.reserve(recs.size());
     for (const auto& rec : recs) {
         int32_t r = prow[rec.key >> 32];
         int32_t c = icolv[rec.key & 0xffffffffu];
         if (r >= 0 && c >= 0)
-            L->matrix[static_cast<size_t>(r) * m + c] = rec.code;
+            L->cells.push_back({static_cast<uint32_t>(r),
+                                static_cast<uint32_t>(c), rec.code});
     }
     return L;
 }
@@ -302,23 +315,27 @@ const char* rl_error(void* h) {
     return L->error.empty() ? nullptr : L->error.c_str();
 }
 
+// Scatter packed codes into a caller-ZEROED persons x items int8 buffer.
 void rl_fill(void* h, int8_t* out) {
     auto* L = static_cast<Loader*>(h);
-    std::memcpy(out, L->matrix.data(), L->matrix.size());
+    const size_t m = L->items.size();
+    for (const auto& c : L->cells)
+        out[static_cast<size_t>(c.row) * m + c.col] = c.code;
 }
 
-// Decode the packed codes straight into caller-allocated f32 response/mask
-// buffers in one pass — the numpy `(packed > 0).astype(f32)` route
-// measured ~19 s at the 140k x 2048 scale (two 1.1 GB temporaries through
-// a bool intermediate each) vs one streamed C loop here.
+// Decode straight into caller-ZEROED f32 response/mask buffers, touching
+// only the observed cells. The round-2 version streamed a dense int8 matrix
+// through a full-matrix decode loop; at 131k x 2048 (~5% density) that was
+// 2.1 GB of stores for ~95% zeros — measured 17 s of the 34 s end-to-end
+// parse on this image's single core. The numpy `(packed > 0).astype(f32)`
+// route it replaced was worse still (~19 s in bool temporaries alone).
 void rl_fill_f32(void* h, float* resp, float* mask) {
     auto* L = static_cast<Loader*>(h);
-    const size_t total = L->matrix.size();
-    const int8_t* src = L->matrix.data();
-    for (size_t k = 0; k < total; ++k) {
-        int8_t c = src[k];
-        mask[k] = c > 0 ? 1.0f : 0.0f;
-        resp[k] = c == 2 ? 1.0f : 0.0f;
+    const size_t m = L->items.size();
+    for (const auto& c : L->cells) {
+        const size_t k = static_cast<size_t>(c.row) * m + c.col;
+        mask[k] = 1.0f;
+        resp[k] = c.code == 2 ? 1.0f : 0.0f;
     }
 }
 
