@@ -7,7 +7,8 @@
 // last response, filter persons/items with fewer than min observed responses,
 // sort ids lexicographically, emit packed codes (0=missing, 1=incorrect,
 // 2=correct) ready for vibo_tpu.ops.pallas_elbo.pack_responses consumers —
-// at ~100x the throughput.
+// measured 4.4x the Python path end-to-end on the 13M-row DuoLingo-scale
+// file on this image's single core (RESULTS.md "At-scale raw ingestion").
 //
 // Binarization modes (so the datasets that motivated the native path —
 // DuoLingo, WordBank, Gradescope — actually take it; round-1 advisor

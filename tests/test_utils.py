@@ -58,6 +58,13 @@ def test_profiler_trace(tmp_path):
     assert found
 
 
+def test_peak_hbm_bytes_defensive():
+    """Returns an int byte count when the backend exposes memory_stats and
+    None when it doesn't (CPU) — never raises."""
+    out = prof.peak_hbm_bytes()
+    assert out is None or (isinstance(out, int) and out >= 0)
+
+
 def test_procrustes_aligned_correlation():
     """K>1 ability is identified only up to rotation: a randomly rotated
     copy of the truth must correlate ~1.0 after Procrustes alignment."""

@@ -126,6 +126,10 @@ def cmd_train(args):
                    res.get("warm_train_seconds", res["train_seconds"]), 3),
                "cells_per_sec": round(res["cells_per_sec"], 1),
                "best": res["best"]}
+    from vibo_tpu.utils.prof import peak_hbm_bytes
+    hbm = peak_hbm_bytes()
+    if hbm is not None:
+        summary["peak_hbm_mb"] = round(hbm / 2**20, 1)
     item_mean = evaluation.full_item_mean(model, res["params"], ds)
     ev = evaluation.imputation_accuracy(model, res["params"], ds,
                                         item_mean=item_mean)

@@ -47,6 +47,24 @@ def device_timer(result_box: dict, key: str = "seconds"):
         result_box["forced"] = bool(forced)
 
 
+def peak_hbm_bytes() -> int | None:
+    """Peak device-memory high-water mark in bytes, or None if the backend
+    doesn't expose `memory_stats` (CPU does not; TPU/axon does). Reported in
+    the CLI train summary so at-scale runs (RESULTS.md six-figure demo)
+    record their HBM footprint alongside throughput."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    for key in ("peak_bytes_in_use", "bytes_in_use"):
+        if key in stats:
+            return int(stats[key])
+    return None
+
+
 def throughput_report(num_cells: int, seconds: float) -> dict:
     return {"response_cells_per_sec": num_cells / max(seconds, 1e-12),
             "cells": num_cells, "seconds": seconds}
