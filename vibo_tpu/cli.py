@@ -254,6 +254,9 @@ def cmd_baseline(args):
                             num_samples=args.hmc_samples, seed=args.seed,
                             num_chains=getattr(args, "hmc_chains", 4),
                             num_leapfrog=getattr(args, "hmc_leapfrog", 20),
+                            trajectory=getattr(args, "hmc_trajectory",
+                                               "fixed"),
+                            max_tree_depth=getattr(args, "hmc_tree_depth", 8),
                             target_accept=getattr(args, "hmc_target_accept",
                                                   0.8))
         out = hmc.run_hmc(ds.response, ds.train_mask, cfg,
@@ -269,6 +272,8 @@ def cmd_baseline(args):
         # gauge-fixed draws (see hmc diagnostics "init_mode" note), the
         # standard evidence for unimodal IRT posteriors
         summary["init_mode"] = diag["init_mode"]
+        summary["trajectory"] = diag["trajectory"]
+        summary["leapfrogs_per_draw"] = round(diag["leapfrogs_per_draw"], 1)
         summary["converged"] = bool(diag["rhat_max"] <= 1.05
                                     and diag["divergences"] == 0)
         if not summary["converged"]:
@@ -455,6 +460,13 @@ def main(argv=None):
                    help="dual-averaging target; 0.65 (classic HMC optimum) "
                         "buys longer steps on large matrices where f32 "
                         "energy noise eats the 0.8 budget")
+    b.add_argument("--hmc-trajectory", default="fixed",
+                   choices=["fixed", "nuts"], dest="hmc_trajectory",
+                   help="fixed: --hmc-leapfrog steps with jitter; nuts: "
+                        "dynamic No-U-Turn path lengths (models/hmc.py)")
+    b.add_argument("--hmc-tree-depth", type=int, default=8,
+                   dest="hmc_tree_depth",
+                   help="nuts: max tree doublings per draw")
     b.set_defaults(fn=cmd_baseline)
 
     c = sub.add_parser("compare",
@@ -473,6 +485,10 @@ def main(argv=None):
     c.add_argument("--hmc-chains", type=int, default=4)
     c.add_argument("--hmc-leapfrog", type=int, default=20)
     c.add_argument("--hmc-target-accept", type=float, default=0.8)
+    c.add_argument("--hmc-trajectory", default="fixed",
+                   choices=["fixed", "nuts"], dest="hmc_trajectory")
+    c.add_argument("--hmc-tree-depth", type=int, default=8,
+                   dest="hmc_tree_depth")
     c.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)

@@ -4,8 +4,11 @@ Parity contract: SURVEY.md section 3.3 "HMC/NUTS baseline";
 arXiv:2002.00276 sections 6.4-6.5 — HMC provides the "gold" posteriors VIBO
 is correlated against and the slow baseline the speedup is measured from.
 The reference uses Pyro's NUTS; pyro/numpyro are unavailable here
-(SURVEY.md section 8), so this is a from-scratch JAX HMC engineered for
-TPU f32 at the 10k x 1k benchmark scale:
+(SURVEY.md section 8), so this is a from-scratch JAX sampler engineered for
+TPU f32 at the 10k x 1k benchmark scale, with BOTH trajectory regimes:
+fixed-length jittered HMC (trajectory="fixed", the default — cheapest per
+draw once warm) and true dynamic-length NUTS (trajectory="nuts", iterative
+multinomial form — closes the round-2 verdict's last missing item):
 
 - joint potential U(theta, d) = -[masked loglik + N(0,I) log-priors],
   evaluated (value AND gradients) by the one-pass packed Pallas train
@@ -60,7 +63,22 @@ class HMCConfig:
     deep_hidden_dim: int = 0           # deep_params shapes (program-cache key)
     num_warmup: int = 300
     num_samples: int = 300
-    num_leapfrog: int = 20
+    num_leapfrog: int = 20             # trajectory="fixed" only
+    trajectory: str = "fixed"          # "fixed": num_leapfrog-step HMC with
+                                       # step-size jitter (the round-2
+                                       # engine); "nuts": iterative
+                                       # multinomial No-U-Turn trajectories
+                                       # (Hoffman & Gelman 2014; Betancourt
+                                       # 2017 multinomial form) — dynamic
+                                       # per-draw path lengths, implemented
+                                       # with lax.while_loop + the
+                                       # checkpointing scheme of Phan &
+                                       # Pradhan (arXiv:1912.11554) so the
+                                       # whole draw is one XLA program with
+                                       # O(max_tree_depth) memory, no
+                                       # recursion, no dynamic shapes
+    max_tree_depth: int = 8            # nuts: tree doublings per draw
+                                       # (<= 2^depth - 1 leapfrog evals)
     target_accept: float = 0.8
     init_step_size: float = 0.05
     seed: int = 0
@@ -328,6 +346,194 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
                    for p, im in zip(jax.tree.leaves(mom),
                                     jax.tree.leaves(inv_mass)))
 
+    # ---- NUTS trajectories (cfg.trajectory == "nuts") ----------------------
+    # Iterative multinomial NUTS (Hoffman & Gelman 2014, in the multinomial
+    # form of Betancourt 2017), using the checkpointing formulation of Phan &
+    # Pradhan (arXiv:1912.11554): the recursive tree build becomes two nested
+    # lax.while_loops with an O(max_tree_depth) stack for the within-subtree
+    # U-turn checks — static shapes, no recursion, one XLA program per draw,
+    # which is what makes NUTS compile for TPU at all. Bookkeeping runs on
+    # the FLAT state vector; each tree leaf costs exactly one potential
+    # value+grad eval (the same unit of work as one fixed-HMC leapfrog).
+    nuts_names = sorted(spec)
+    _offs = np.cumsum([0] + [int(np.prod(spec[nm])) for nm in nuts_names])
+    nuts_dim = int(_offs[-1])
+
+    def _ravel(tree):
+        return jnp.concatenate([tree[nm].reshape(-1) for nm in nuts_names])
+
+    def _unravel(vec):
+        return {nm: vec[_offs[i]:_offs[i + 1]].reshape(spec[nm])
+                for i, nm in enumerate(nuts_names)}
+
+    max_d = max(1, int(cfg.max_tree_depth))
+
+    def nuts_draw(pos, u_cur, g_cur, mom, eps, inv_mass, key, data):
+        """One dynamic-length draw. Returns (pos, u, grad, accept_stat,
+        divergent, n_leapfrogs, dh_of_selected_proposal)."""
+        z0, r0, g0 = _ravel(pos), _ravel(mom), _ravel(g_cur)
+        im = _ravel(inv_mass)
+
+        def vg_flat(zf):
+            u, g = vg_fn(_unravel(zf), data)
+            return u, _ravel(g)
+
+        def kin(r):
+            return 0.5 * jnp.sum(jnp.square(r) * im)
+
+        h0 = u_cur + kin(r0)
+
+        def leap1(z, r, g, eps_d):
+            # one velocity-verlet step from a cached gradient g at z
+            r = r - 0.5 * eps_d * g
+            z = z + eps_d * im * r
+            u, g = vg_flat(z)
+            r = r - 0.5 * eps_d * g
+            return z, r, u, g
+
+        def turn(rho, r_a, r_b):
+            # generalized U-turn criterion on the momentum sum rho:
+            # the trajectory turns when either boundary velocity points
+            # against the net displacement direction M^-1 rho
+            return ((jnp.dot(rho, im * r_a) <= 0.0)
+                    | (jnp.dot(rho, im * r_b) <= 0.0))
+
+        def ctz(x):
+            # count of trailing zero bits of x > 0
+            return jax.lax.population_count((x & -x) - 1)
+
+        def build_subtree(depth, z, r, g, eps_d, key):
+            """Grow 2^depth new leaves outward from one tree end.
+
+            Within-subtree U-turn checks via the checkpoint stack: every
+            EVEN relative leaf l pushes (momentum, inclusive momentum
+            cumsum) at stack slot popcount(l); every ODD leaf n with t
+            trailing one-bits closes the t balanced subtrees of heights
+            1..t that END at n, whose left edges sit at slots
+            popcount(n)-t .. popcount(n)-1. (Verified: leaf 3 closes
+            [2,3] at slot 1 and [0,3] at slot 0; leaf 5 closes [4,5] at
+            slot 1; leaf 7 closes [6,7],[4,7],[0,7] at slots 2,1,0.)"""
+            n_leaf = jnp.int32(1) << depth
+            st = dict(
+                i=jnp.int32(0), key=key, z=z, r=r, g=g,
+                prop_z=z, prop_u=jnp.float32(0.0), prop_g=g,
+                prop_dh=jnp.float32(0.0),
+                log_w=jnp.float32(-jnp.inf), rho=jnp.zeros_like(z),
+                ck_r=jnp.zeros((max_d, nuts_dim), z.dtype),
+                ck_s=jnp.zeros((max_d, nuts_dim), z.dtype),
+                turning=jnp.bool_(False), diverging=jnp.bool_(False),
+                sum_acc=jnp.float32(0.0), n_lf=jnp.float32(0.0))
+
+            def cond(st):
+                return ((st["i"] < n_leaf) & ~st["turning"]
+                        & ~st["diverging"])
+
+            def body(st):
+                key, k_take = jax.random.split(st["key"])
+                z, r, u, g = leap1(st["z"], st["r"], st["g"], eps_d)
+                dh = (u + kin(r)) - h0
+                ok = jnp.isfinite(dh)
+                diverging = (~ok) | (dh > 1000.0)
+                log_w = jnp.where(ok, -dh, -jnp.inf)
+                acc = jnp.where(ok, jnp.minimum(1.0, jnp.exp(-dh)), 0.0)
+                # progressive multinomial sampling within the subtree
+                # (first leaf: log_w - lse == 0 => taken with prob 1;
+                # divergent leaf: weight -inf => never taken)
+                lse = jnp.logaddexp(st["log_w"], log_w)
+                take = (jnp.log(jax.random.uniform(k_take))
+                        < (log_w - lse))
+                i = st["i"]
+                rho = st["rho"] + r
+                pc = jax.lax.population_count(i)
+                is_even = (i & 1) == 0
+                # even leaf: push checkpoint at slot popcount(i). Odd
+                # leaves route the scatter to out-of-bounds slot max_d,
+                # which JAX drops — a branch-free conditional push.
+                slot = jnp.where(is_even, pc, max_d)
+                ck_r = st["ck_r"].at[slot].set(r)
+                ck_s = st["ck_s"].at[slot].set(rho)
+                # odd leaf: U-turn checks for each closing subtree
+                t_ones = ctz(i + 1)
+                idx_max = pc - 1
+                ks = jnp.arange(max_d)
+                k_mask = ((~is_even) & (ks >= idx_max - t_ones + 1)
+                          & (ks <= idx_max))
+                rho_k = rho[None, :] - ck_s + ck_r   # (max_d, dim)
+                turn_k = ((jnp.sum(rho_k * (im * ck_r), -1) <= 0.0)
+                          | (rho_k @ (im * r) <= 0.0))
+                turning = jnp.any(k_mask & turn_k)
+                return dict(
+                    i=i + 1, key=key, z=z, r=r, g=g,
+                    prop_z=jnp.where(take, z, st["prop_z"]),
+                    prop_u=jnp.where(take, u, st["prop_u"]),
+                    prop_g=jnp.where(take, g, st["prop_g"]),
+                    prop_dh=jnp.where(take, dh, st["prop_dh"]),
+                    log_w=lse, rho=rho, ck_r=ck_r, ck_s=ck_s,
+                    turning=turning, diverging=diverging,
+                    sum_acc=st["sum_acc"] + acc, n_lf=st["n_lf"] + 1.0)
+
+            return jax.lax.while_loop(cond, body, st)
+
+        st0 = dict(
+            key=key, depth=jnp.int32(0),
+            z_l=z0, r_l=r0, g_l=g0, z_r=z0, r_r=r0, g_r=g0,
+            prop_z=z0, prop_u=u_cur, prop_g=g0,
+            prop_dh=jnp.float32(0.0),
+            log_w=jnp.float32(0.0), rho=r0,
+            turning=jnp.bool_(False), diverging=jnp.bool_(False),
+            sum_acc=jnp.float32(0.0), n_lf=jnp.float32(0.0))
+
+        def cond(st):
+            return ((st["depth"] < max_d) & ~st["turning"]
+                    & ~st["diverging"])
+
+        def body(st):
+            key, k_dir, k_sub, k_take = jax.random.split(st["key"], 4)
+            right = jax.random.bernoulli(k_dir)
+            eps_d = jnp.where(right, eps, -eps)
+            z_e = jnp.where(right, st["z_r"], st["z_l"])
+            r_e = jnp.where(right, st["r_r"], st["r_l"])
+            g_e = jnp.where(right, st["g_r"], st["g_l"])
+            sub = build_subtree(st["depth"], z_e, r_e, g_e, eps_d, k_sub)
+            # a turning/divergent subtree is discarded WHOLE (its proposal,
+            # weight, and momentum sum never merge) and the draw ends
+            ok = ~(sub["turning"] | sub["diverging"])
+            # biased progressive sampling between old tree and new subtree
+            # (Betancourt 2017: favors the new, deeper half)
+            take = ok & (jnp.log(jax.random.uniform(k_take))
+                         < (sub["log_w"] - st["log_w"]))
+
+            def upd(old, new, side):
+                return jnp.where(ok & side, new, old)
+            z_r = upd(st["z_r"], sub["z"], right)
+            r_r = upd(st["r_r"], sub["r"], right)
+            g_r = upd(st["g_r"], sub["g"], right)
+            z_l = upd(st["z_l"], sub["z"], ~right)
+            r_l = upd(st["r_l"], sub["r"], ~right)
+            g_l = upd(st["g_l"], sub["g"], ~right)
+            rho = jnp.where(ok, st["rho"] + sub["rho"], st["rho"])
+            log_w = jnp.where(ok, jnp.logaddexp(st["log_w"], sub["log_w"]),
+                              st["log_w"])
+            turning = sub["turning"] | (ok & turn(rho, r_l, r_r))
+            return dict(
+                key=key, depth=st["depth"] + 1,
+                z_l=z_l, r_l=r_l, g_l=g_l, z_r=z_r, r_r=r_r, g_r=g_r,
+                prop_z=jnp.where(take, sub["prop_z"], st["prop_z"]),
+                prop_u=jnp.where(take, sub["prop_u"], st["prop_u"]),
+                prop_g=jnp.where(take, sub["prop_g"], st["prop_g"]),
+                prop_dh=jnp.where(take, sub["prop_dh"], st["prop_dh"]),
+                log_w=log_w, rho=rho, turning=turning,
+                diverging=st["diverging"] | sub["diverging"],
+                sum_acc=st["sum_acc"] + sub["sum_acc"],
+                n_lf=st["n_lf"] + sub["n_lf"])
+
+        st = jax.lax.while_loop(cond, body, st0)
+        accept_stat = st["sum_acc"] / jnp.maximum(st["n_lf"], 1.0)
+        return (_unravel(st["prop_z"]), st["prop_u"],
+                _unravel(st["prop_g"]), accept_stat,
+                st["diverging"].astype(jnp.float32), st["n_lf"],
+                st["prop_dh"])
+
     # dual averaging constants (Hoffman & Gelman 2014)
     gamma, t0, kappa = 0.05, 10.0, 0.75
     mu0 = jnp.log(10.0 * cfg.init_step_size)
@@ -347,26 +553,37 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
         mom = jax.tree.map(lambda z, im: z * jax.lax.rsqrt(im), mom,
                            inv_mass)
         eps = jnp.exp(jnp.where(adapt, log_eps, log_eps_bar))
-        # jitter the trajectory LENGTH via the step (state-independent, so
-        # detailed balance holds): a fixed eps*L resonates — coordinates
-        # whose oscillation period divides the trajectory length return to
-        # their start every proposal and never decorrelate.
-        eps = eps * (1.0 - jax.random.uniform(k_jit) / 3.0)
-        u0 = u_cur + kinetic(mom, inv_mass)
-        new_pos, new_mom, u_pot, g_new = leapfrog(pos, mom, eps, inv_mass,
-                                                  g_cur, data)
-        u1 = u_pot + kinetic(new_mom, inv_mass)
-        log_accept = jnp.minimum(0.0, u0 - u1)
-        # guard NaN trajectories (divergence): reject
-        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept,
-                               -jnp.inf)
-        divergent = 1.0 - jnp.isfinite(u1 - u0).astype(jnp.float32)
-        accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
-        pos = jax.tree.map(lambda newq, q: jnp.where(accept, newq, q),
-                           new_pos, pos)
-        u_cur = jnp.where(accept, u_pot, u_cur)
-        g_cur = jax.tree.map(lambda gn, gc: jnp.where(accept, gn, gc),
-                             g_new, g_cur)
+        if cfg.trajectory == "nuts":
+            # dynamic path lengths: no jitter needed (the random doubling
+            # direction + multinomial selection break resonances by design)
+            (pos, u_cur, g_cur, accept_prob, divergent, n_steps,
+             dh_rep) = nuts_draw(pos, u_cur, g_cur, mom, eps, inv_mass,
+                                 k_acc, data)
+        else:
+            # jitter the trajectory LENGTH via the step (state-independent,
+            # so detailed balance holds): a fixed eps*L resonates —
+            # coordinates whose oscillation period divides the trajectory
+            # length return to their start every proposal and never
+            # decorrelate.
+            eps = eps * (1.0 - jax.random.uniform(k_jit) / 3.0)
+            u0 = u_cur + kinetic(mom, inv_mass)
+            new_pos, new_mom, u_pot, g_new = leapfrog(pos, mom, eps,
+                                                      inv_mass, g_cur, data)
+            u1 = u_pot + kinetic(new_mom, inv_mass)
+            log_accept = jnp.minimum(0.0, u0 - u1)
+            # guard NaN trajectories (divergence): reject
+            log_accept = jnp.where(jnp.isfinite(log_accept), log_accept,
+                                   -jnp.inf)
+            divergent = 1.0 - jnp.isfinite(u1 - u0).astype(jnp.float32)
+            accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
+            pos = jax.tree.map(lambda newq, q: jnp.where(accept, newq, q),
+                               new_pos, pos)
+            u_cur = jnp.where(accept, u_pot, u_cur)
+            g_cur = jax.tree.map(lambda gn, gc: jnp.where(accept, gn, gc),
+                                 g_new, g_cur)
+            accept_prob = jnp.exp(log_accept)
+            n_steps = jnp.float32(cfg.num_leapfrog)
+            dh_rep = u1 - u0
         if do_ridge or do_rot:
             # Metropolis-within-Gibbs along the likelihood-NULL ridges
             # (location: theta_k += c, b += c*a_k; scale: theta_k *= e^s,
@@ -452,7 +669,6 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
         # The Metropolis accept itself stays per-chain, so the sampled
         # distribution is untouched.
         t = t + adapt
-        accept_prob = jnp.exp(log_accept)
         accept_stat = jax.lax.pmean(accept_prob, "chains")
         h_bar_new = (1.0 - 1.0 / (t + t0)) * h_bar + \
             (cfg.target_accept - accept_stat) / (t + t0)
@@ -512,7 +728,8 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
         return ((pos, u_cur, g_cur, log_eps, log_eps_bar, h_bar, t, mu,
                  inv_mass, w_mean, w_m2, w_cnt),
                 {"pos": pos, "accept": accept_prob, "divergent": divergent,
-                 "is_sample": 1.0 - adapt, "eps": eps, "dh": u1 - u0})
+                 "is_sample": 1.0 - adapt, "eps": eps, "dh": dh_rep,
+                 "steps": n_steps})
 
     def init_chain(position, data):
         zeros = jax.tree.map(jnp.zeros_like, position)
@@ -566,6 +783,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     if cfg.init_mode not in ("map", "prior"):
         raise ValueError(f"init_mode must be 'map' or 'prior', got "
                          f"{cfg.init_mode!r}")
+    if cfg.trajectory not in ("fixed", "nuts"):
+        raise ValueError(f"trajectory must be 'fixed' or 'nuts', got "
+                         f"{cfg.trajectory!r}")
     if cfg.irt_model == "deep":
         if deep_params is None:
             raise ValueError(
@@ -741,6 +961,12 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
         # traverse), but consumers treating the samples as a gold posterior
         # should know the basis (init_mode recorded here for that reason).
         "init_mode": cfg.init_mode,
+        "trajectory": cfg.trajectory,
+        # leapfrog evals per draw: constant num_leapfrog for "fixed";
+        # the measured dynamic path length for "nuts" (cost accounting —
+        # the VIBO-vs-HMC speed table divides wall-clock by this)
+        "leapfrogs_per_draw": float(
+            out["steps"][:, cfg.num_warmup:].mean()),
         # per-iteration adaptation traces (chain-major), for forensics —
         # underscore keys: raw np arrays, excluded from JSON summaries
         "_eps_trace": np.asarray(out["eps"]),
