@@ -196,7 +196,25 @@ def main():
                          "way; quality asserted via heldout_acc)")
     ap.add_argument("--skip-cpu", action="store_true",
                     help="skip the torch-CPU reference measurement")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="instead of the 10k x 1k north star, run the "
+                         "six-figure-student demonstration (raw 13M-row CSV "
+                         "-> native ingest -> 135,800 x 2,048 packed "
+                         "full-batch training -> blocked eval + amortized "
+                         "new-person scoring; scripts/run_at_scale.py, "
+                         "RESULTS.md 'Six-figure-student' section)")
     args = ap.parse_args()
+
+    if args.at_scale:
+        import os
+        import subprocess
+        import sys
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "run_at_scale.py")],
+            check=True)
+        return
 
     import jax
     on_tpu = jax.default_backend() == "tpu"
