@@ -12,7 +12,18 @@ import os
 # is ineffective. Override via jax.config BEFORE any backend is instantiated.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-CPU-compile-bound (tiny shapes, hundreds of distinct
+# programs): dialing back backend optimization cuts total wall-clock ~30%
+# with every correctness tolerance unchanged (kernel-vs-reference and
+# sharded-vs-replicated tests compare two programs compiled the same way).
+# Opt out (e.g. to reproduce production-compile numerics) with
+# VIBO_TEST_FULL_OPT=1.
+if ("xla_backend_optimization_level" not in flags
+        and not os.environ.get("VIBO_TEST_FULL_OPT")):
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402

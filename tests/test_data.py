@@ -40,6 +40,27 @@ def test_holdout_split_invariants():
     assert 0.07 < frac < 0.13
 
 
+def test_holdout_split_blocked_matches_one_shot():
+    """The streamed row-block implementation must reproduce the historical
+    one-shot draw BIT-FOR-BIT (Generator.random is sequential in the bit
+    stream), so recorded RESULTS.md numbers stay reproducible."""
+    s = simulate_irt("2pl", 300, 40, seed=9, missing_rate=0.15)
+    ds = holdout_split(s.response, s.mask, holdout_frac=0.1, seed=9)
+    rng = np.random.default_rng(9 + 101)
+    observed = s.mask > 0
+    hide = (rng.random(s.mask.shape) < 0.1) & observed
+    np.testing.assert_array_equal(ds.heldout_mask, hide.astype(np.float32))
+    np.testing.assert_array_equal(ds.train_mask,
+                                  (observed & ~hide).astype(np.float32))
+    # the property the blocked path relies on: sequential block draws from
+    # one generator equal a single (N, M) draw
+    n, m = s.mask.shape
+    rng2 = np.random.default_rng(9 + 101)
+    parts = [rng2.random((min(n, st + 7) - st, m)) for st in range(0, n, 7)]
+    np.testing.assert_array_equal(
+        np.concatenate(parts), np.random.default_rng(9 + 101).random((n, m)))
+
+
 def test_split_persons():
     s = simulate_irt("1pl", 100, 10, seed=4)
     ds = holdout_split(s.response, s.mask, 0.1, seed=4)

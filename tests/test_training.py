@@ -133,6 +133,47 @@ def test_iwae_loglik_block_size_consistent():
     assert abs(one["loglik"] - four["loglik"]) < 0.02 * abs(one["loglik"])
 
 
+def test_blocked_evals_ragged_n_matches_single_block():
+    """When N isn't a block multiple the evaluators pad the bit-code so every
+    block shares one compiled shape (evaluation._blocked_code); the padded
+    rows decode to all-zero masks and must leave every number unchanged."""
+    import jax
+    from vibo_tpu import evaluation
+    sim = simulate_irt("2pl", 130, 24, ability_dim=2, seed=6)
+    ds = holdout_split(sim.response, sim.mask, 0.12, seed=6)
+    model = VIBO(VIBOConfig(num_items=24, irt_model="2pl", ability_dim=2,
+                            hidden_dim=16))
+    params = model.init_params(jax.random.key(1))
+
+    one = evaluation.imputation_accuracy(model, params, ds, block_size=1024)
+    rag = evaluation.imputation_accuracy(model, params, ds, block_size=64)
+    assert one == rag
+
+    c1 = evaluation.calibration(model, params, ds, block_size=1024)
+    cr = evaluation.calibration(model, params, ds, block_size=64)
+    assert c1["num_heldout"] == cr["num_heldout"]
+    np.testing.assert_allclose(cr["ece"], c1["ece"], atol=1e-6)
+    np.testing.assert_allclose(cr["brier"], c1["brier"], atol=1e-6)
+
+    t1, _ = evaluation.infer_posterior_means(model, params, ds,
+                                             block_size=1024)
+    tr, _ = evaluation.infer_posterior_means(model, params, ds, block_size=64)
+    assert t1.shape == tr.shape == (130, 2)
+    np.testing.assert_allclose(tr, t1, atol=1e-5)
+
+    iw1 = evaluation.iwae_loglik(model, params, jax.random.key(3), ds,
+                                 num_samples=200, block_size=1024)
+    iwr = evaluation.iwae_loglik(model, params, jax.random.key(3), ds,
+                                 num_samples=200, block_size=64)
+    assert iw1["num_cells"] == iwr["num_cells"]
+    # blocks draw different keys and share item samples across fewer persons,
+    # so the bound shifts by MC/tightness noise (measured ~3% here with
+    # untrained params; an unpadded 2-block split drifts comparably). A
+    # padding bug is two orders larger: counting item terms by PADDED rows
+    # drifts the bound by O(item ratio) ~ hundreds of nats.
+    assert abs(iw1["loglik"] - iwr["loglik"]) < 0.05 * abs(iw1["loglik"])
+
+
 def test_iwae_loglik_padding_invariant():
     """All-missing padding rows (pad_to_multiple) must not shift the reported
     test log-lik: their theta prior/posterior factor marginalizes to exactly 1

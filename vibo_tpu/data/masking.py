@@ -51,14 +51,28 @@ class Dataset:
 def holdout_split(response: np.ndarray, mask: np.ndarray,
                   holdout_frac: float = 0.1, seed: int = 0,
                   name: str = "dataset") -> Dataset:
-    """Hide `holdout_frac` of the observed cells uniformly at random."""
+    """Hide `holdout_frac` of the observed cells uniformly at random.
+
+    Streams in row blocks: `Generator.random` fills its output sequentially
+    from the bit stream, so drawing block-by-block from one generator yields
+    the EXACT same hide pattern as one (N, M) draw (asserted in
+    tests/test_data.py) while keeping peak temporaries at ~3 row-blocks
+    instead of ~5 full matrices — at 131k x 2k the one-shot form allocated
+    ~6 GB of f64/bool scratch and took 44 s on this page-fault-bound host."""
     rng = np.random.default_rng(seed + 101)
-    observed = mask > 0
-    hide = (rng.random(mask.shape) < holdout_frac) & observed
-    heldout_mask = hide.astype(np.float32)
-    train_mask = (observed & ~hide).astype(np.float32)
-    return Dataset(response=response.astype(np.float32), train_mask=train_mask,
-                   heldout_mask=heldout_mask, name=name)
+    n, m = mask.shape
+    heldout_mask = np.empty((n, m), np.float32)
+    train_mask = np.empty((n, m), np.float32)
+    block = max(1, min(n, (1 << 24) // max(1, m)))   # ~16M cells per block
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        observed = mask[s:e] > 0
+        hide = (rng.random((e - s, m)) < holdout_frac) & observed
+        np.copyto(heldout_mask[s:e], hide, casting="unsafe")
+        observed &= ~hide
+        np.copyto(train_mask[s:e], observed, casting="unsafe")
+    return Dataset(response=np.asarray(response, np.float32),
+                   train_mask=train_mask, heldout_mask=heldout_mask, name=name)
 
 
 def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
