@@ -59,6 +59,31 @@
 #include <unordered_map>
 #include <vector>
 
+#ifdef __linux__
+#include <sys/mman.h>
+#include <sys/stat.h>
+#endif
+
+namespace {
+
+// Advise transparent huge pages for a buffer about to be written for the
+// first time. This image runs THP in `madvise` mode inside a Firecracker
+// VM where 4k-page first-touch faults are hypervisor-bound (~20-30 MB/s
+// measured); 2M faults are ~100x faster. Best effort, correctness-neutral.
+void advise_hugepages(void* p, size_t n) {
+#ifdef __linux__
+    const uintptr_t huge = 2u << 20;
+    uintptr_t a = (reinterpret_cast<uintptr_t>(p) + huge - 1) & ~(huge - 1);
+    size_t skip = a - reinterpret_cast<uintptr_t>(p);
+    if (n > skip + huge)
+        madvise(reinterpret_cast<void*>(a), n - skip, MADV_HUGEPAGE);
+#else
+    (void)p; (void)n;
+#endif
+}
+
+}  // namespace
+
 namespace {
 
 struct Cell {
@@ -202,8 +227,18 @@ void* rl_parse_ex(const char* path, const char* person_col,
     std::unordered_map<std::string, uint32_t> pid, iid;
     std::vector<std::string> pnames, inames;
     std::string scratch, match_scratch;
-    // observed cells in file order; deduped keep-LAST after one sort
+    // observed cells in file order; deduped keep-LAST after one sort.
+    // Reserve from the file size (rows are >= ~12 bytes) so the vector
+    // never regrows through GB-scale copies, and take huge-page faults on
+    // the one up-front extent instead of 4k faults on every doubling.
     std::vector<Rec> recs;
+#ifdef __linux__
+    struct stat st;
+    if (::stat(path, &st) == 0 && st.st_size > 0) {
+        recs.reserve(static_cast<size_t>(st.st_size) / 12 + 1024);
+        advise_hugepages(recs.data(), recs.capacity() * sizeof(Rec));
+    }
+#endif
     const int need = std::max({pcol, icol, ccol, dcol});
 
     while (getline(&buf, &cap, f) >= 0) {
@@ -291,6 +326,7 @@ void* rl_parse_ex(const char* path, const char* person_col,
     // into caller-ZEROED buffers instead (cells stay grouped per person —
     // recs is key-sorted — so each scatter row's pages are visited once).
     L->cells.reserve(recs.size());
+    advise_hugepages(L->cells.data(), L->cells.capacity() * sizeof(Cell));
     for (const auto& rec : recs) {
         int32_t r = prow[rec.key >> 32];
         int32_t c = icolv[rec.key & 0xffffffffu];

@@ -59,18 +59,29 @@ def holdout_split(response: np.ndarray, mask: np.ndarray,
     tests/test_data.py) while keeping peak temporaries at ~3 row-blocks
     instead of ~5 full matrices — at 131k x 2k the one-shot form allocated
     ~6 GB of f64/bool scratch and took 44 s on this page-fault-bound host."""
+    from vibo_tpu.utils.hostmem import empty_hugepages
     rng = np.random.default_rng(seed + 101)
     n, m = mask.shape
-    heldout_mask = np.empty((n, m), np.float32)
-    train_mask = np.empty((n, m), np.float32)
+    heldout_mask = empty_hugepages((n, m), np.float32)
+    train_mask = empty_hugepages((n, m), np.float32)
     block = max(1, min(n, (1 << 24) // max(1, m)))   # ~16M cells per block
+    # scratch allocated once (in-place RNG fill draws the identical stream):
+    # per-iteration fresh temporaries re-pay the first-touch penalty every
+    # loop on this image because freed pages are returned to the hypervisor
+    rbuf = empty_hugepages((block, m), np.float64)
+    observed = np.empty((block, m), bool)
+    hide = np.empty((block, m), bool)
     for s in range(0, n, block):
         e = min(n, s + block)
-        observed = mask[s:e] > 0
-        hide = (rng.random((e - s, m)) < holdout_frac) & observed
-        np.copyto(heldout_mask[s:e], hide, casting="unsafe")
-        observed &= ~hide
-        np.copyto(train_mask[s:e], observed, casting="unsafe")
+        b = e - s
+        rng.random(out=rbuf[:b])
+        np.greater(mask[s:e], 0, out=observed[:b])
+        np.less(rbuf[:b], holdout_frac, out=hide[:b])
+        hide[:b] &= observed[:b]
+        np.copyto(heldout_mask[s:e], hide[:b], casting="unsafe")
+        np.logical_not(hide[:b], out=hide[:b])
+        observed[:b] &= hide[:b]
+        np.copyto(train_mask[s:e], observed[:b], casting="unsafe")
     return Dataset(response=np.asarray(response, np.float32),
                    train_mask=train_mask, heldout_mask=heldout_mask, name=name)
 

@@ -122,9 +122,12 @@ def parse_long_csv(path: str, person_col: str, item_col: str, correct_col: str,
         # np.zeros allocates lazily (copy-on-write zero pages), and the C
         # scatter touches ONLY observed cells — at DuoLingo scale (~5%
         # density) this replaces two full 1 GB page-fault write passes with
-        # one sparse pass (measured 17 s -> ~3 s for the decode step)
-        response = np.zeros((n, m), dtype=np.float32)
-        mask = np.zeros((n, m), dtype=np.float32)
+        # one sparse pass (measured 17 s -> ~3 s for the decode step).
+        # THP advice cuts the remaining fault cost ~100x on this image
+        # (utils/hostmem.py): observed cells land on ~every 4k page anyway.
+        from vibo_tpu.utils.hostmem import zeros_hugepages
+        response = zeros_hugepages((n, m), dtype=np.float32)
+        mask = zeros_hugepages((n, m), dtype=np.float32)
         lib.rl_fill_f32(h,
                         response.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

@@ -80,13 +80,20 @@ def dataset_code_on_device(ds: Dataset, pad_rows_to: int = 1) -> jax.Array:
         return cache[pad_rows_to]
     except KeyError:
         pass
-    code = ((ds.response > 0).astype(np.uint8)
-            | ((ds.train_mask > 0).astype(np.uint8) << 1)
-            | ((ds.heldout_mask > 0).astype(np.uint8) << 2))
-    pad = (-code.shape[0]) % pad_rows_to
-    if pad:
-        code = np.concatenate(
-            [code, np.zeros((pad, code.shape[1]), np.uint8)])
+    from vibo_tpu.utils.hostmem import zeros_hugepages
+    n, m = ds.response.shape
+    pad = (-n) % pad_rows_to
+    # blocked build into a THP-backed buffer: the one-shot expression made
+    # ~5 matrix-sized temporaries, each paying this image's ~100x 4k-page
+    # first-touch penalty (utils/hostmem.py)
+    code = zeros_hugepages((n + pad, m), np.uint8)
+    block = max(1, (1 << 24) // max(1, m))
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        blk = (ds.response[s:e] > 0).astype(np.uint8)
+        blk |= (ds.train_mask[s:e] > 0).astype(np.uint8) << 1
+        blk |= (ds.heldout_mask[s:e] > 0).astype(np.uint8) << 2
+        code[s:e] = blk
     out = jax.block_until_ready(jnp.asarray(code))
     cache[pad_rows_to] = out
     return out

@@ -196,10 +196,24 @@ def pack_responses(resp, mask):
     8x less HBM traffic than two f32 matrices — the loglik reduction is
     memory/VPU bound, so this is the single biggest lever on the [B]
     cells/sec metric. Works for both the Pallas and the XLA path.
+
+    The numpy path streams row blocks into a THP-backed output: one-shot
+    `(mask * (1 + resp)).astype(int8)` materializes two fresh matrix-sized
+    f32 temporaries, and first-touch faults on this image run ~100x slower
+    on 4k pages (utils/hostmem.py) — at 131k x 2k that was tens of seconds
+    for a byte-identical result.
     """
     import numpy as np
     if isinstance(resp, np.ndarray):
-        return (mask * (1.0 + resp)).astype(np.int8)
+        from vibo_tpu.utils.hostmem import empty_hugepages
+        n, m = resp.shape
+        out = empty_hugepages((n, m), np.int8)
+        block = max(1, (1 << 24) // max(1, m))
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            np.copyto(out[s:e], mask[s:e] * (1.0 + resp[s:e]),
+                      casting="unsafe")
+        return out
     return (mask * (1.0 + resp)).astype(jnp.int8)
 
 
