@@ -31,6 +31,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)
 
+# Persistent compilation cache: the suite compiles hundreds of programs and
+# many tests rebuild byte-identical HLO through fresh Python closures (the
+# in-memory jit cache keys on callable identity, the persistent cache on the
+# HLO fingerprint), so this dedupes within one cold run AND makes re-runs
+# start warm. Keyed under /tmp per optimization profile; harmless if evicted.
+# Opt out with VIBO_TEST_NO_COMPCACHE=1 (e.g. to time true cold compiles).
+if not os.environ.get("VIBO_TEST_NO_COMPCACHE"):
+    _prof = "fullopt" if os.environ.get("VIBO_TEST_FULL_OPT") else "opt0"
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/vibo-test-jaxcache-{_prof}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -54,6 +54,8 @@ def test_missing_column_error(tmp_path):
         native.parse_long_csv(str(path), "student_id", "item_id", "correct")
 
 
+@pytest.mark.slow  # perf assertion; correctness stays fast via the
+# matches_python/mode tests above, scale via test_native_parse_at_scale
 def test_throughput_vs_python(tmp_path, rng):
     """Native should beat the Python csv path by a wide margin."""
     rows = [(f"u{p%2000}", f"lex{i%500}", int((p + i) % 2))

@@ -4,6 +4,7 @@ mode; SURVEY.md section 5's Pallas test strategy)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vibo_tpu.models import networks
 from vibo_tpu.ops import likelihood as lik
@@ -83,6 +84,7 @@ def test_deep_gradients_match_reference(rng):
                                    rtol=3e-2)
 
 
+@pytest.mark.slow  # full profile; fast deep-kernel coverage: forward/grads
 def test_deep_vibo_elbo_packed_uses_kernel(rng):
     """elbo_packed on a deep model with use_pallas: close to the XLA elbo."""
     from vibo_tpu.models import VIBO, VIBOConfig

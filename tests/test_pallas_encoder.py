@@ -71,6 +71,7 @@ def test_rejects_non_int8():
                                           jnp.zeros((8, 16)))
 
 
+@pytest.mark.slow  # full-profile e2e; fast coverage: first-layer grads etc.
 def test_vibo_fused_encoder_matches_dense_elbo(rng):
     """elbo_packed with use_pallas=True (fused encoder + fused kernels,
     interpret mode on CPU) == elbo on the decoded data."""

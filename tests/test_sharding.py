@@ -159,7 +159,13 @@ def test_dp_step_device_count_invariant(eight_devices):
                                rtol=5e-4, atol=5e-6)
 
 
-@pytest.mark.parametrize("irt_model", ["2pl", "deep"])
+@pytest.mark.parametrize("irt_model", [
+    "2pl",
+    # deep stays in the full profile (pytest -m slow); the fast profile
+    # keeps deep-on-mesh coverage via test_2d_packed_step_matches_unsharded
+    # [deep] and __graft_entry__.dryrun_multichip's deep step
+    pytest.param("deep", marks=pytest.mark.slow),
+])
 def test_dp_grads_match_unsharded(eight_devices, irt_model):
     """One DP step's update == jax.grad of the identical unsharded loss
     (parametrized over the deep link, which shares this shard_map path)."""
@@ -419,7 +425,11 @@ def test_2d_iwae_fit_matches_students_only(eight_devices):
                                rtol=5e-5)
 
 
-@pytest.mark.parametrize("objective", ["elbo", "iwae"])
+@pytest.mark.parametrize("objective", [
+    "elbo",
+    # iwae-on-2D-mesh equality is compile-heavy; full profile only
+    pytest.param("iwae", marks=pytest.mark.slow),
+])
 def test_2d_item_encoder_step_matches_unsharded(eight_devices, objective):
     """2D packed step with the AMORTIZED item posterior == jax.grad of
     the identical unsharded loss: tile column statistics (psum'd over

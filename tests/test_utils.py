@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from vibo_tpu.utils.metrics import AverageMeter, MetricsLogger, Timer
 from vibo_tpu.utils import prof
@@ -48,6 +49,7 @@ def test_device_timer_forces():
     assert box["forced"] and box["seconds"] > 0
 
 
+@pytest.mark.slow  # the user-facing --profile path stays fast (test_cli)
 def test_profiler_trace(tmp_path):
     import jax.numpy as jnp
     with prof.trace(str(tmp_path)):
