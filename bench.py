@@ -205,6 +205,9 @@ def main():
                          "RESULTS.md 'Six-figure-student' section)")
     args = ap.parse_args()
 
+    from vibo_tpu.utils.prof import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.at_scale:
         import os
         import subprocess

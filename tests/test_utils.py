@@ -49,6 +49,30 @@ def test_device_timer_forces():
     assert box["forced"] and box["seconds"] > 0
 
 
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Sets the persistent-cache config; env kill-switch disables it.
+
+    Saves/restores the suite's own cache settings (conftest points the whole
+    run at /tmp/vibo-test-jaxcache-*) so this test can't redirect later
+    tests' compiles."""
+    import jax
+    keys = ("jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes")
+    saved = {k: getattr(jax.config, k) for k in keys}
+    try:
+        monkeypatch.delenv("VIBO_NO_COMPCACHE", raising=False)
+        d = prof.enable_compilation_cache(str(tmp_path / "cc"))
+        assert d == str(tmp_path / "cc")
+        assert jax.config.jax_compilation_cache_dir == d
+        assert (tmp_path / "cc").is_dir()
+        monkeypatch.setenv("VIBO_NO_COMPCACHE", "1")
+        assert prof.enable_compilation_cache(str(tmp_path / "cc2")) is None
+    finally:
+        for k, v in saved.items():
+            jax.config.update(k, v)
+
+
 @pytest.mark.slow  # the user-facing --profile path stays fast (test_cli)
 def test_profiler_trace(tmp_path):
     import jax.numpy as jnp

@@ -51,6 +51,11 @@ def _add_common(p):
                    help="capture a jax.profiler trace of the whole command "
                         "into DIR (inspect with TensorBoard or Perfetto; "
                         "SURVEY.md section 6 'tracing')")
+    p.add_argument("--no-compilation-cache", action="store_true",
+                   help="skip the persistent XLA compilation cache "
+                        "(~/.cache/vibo_tpu; makes repeat invocations of the "
+                        "same-shape program start warm instead of paying the "
+                        "20-40 s TPU first-compile)")
 
 
 def _load(args):
@@ -501,6 +506,9 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if not getattr(args, "no_compilation_cache", False):
+        from vibo_tpu.utils.prof import enable_compilation_cache
+        enable_compilation_cache()
     if getattr(args, "profile", None):
         from vibo_tpu.utils.prof import trace
         with trace(args.profile):

@@ -47,6 +47,38 @@ def device_timer(result_box: dict, key: str = "seconds"):
         result_box["forced"] = bool(forced)
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on jax's persistent compilation cache for this process.
+
+    TPU first-compiles on this image run 20-40 s per program; the cache makes
+    every later invocation of the same program (CLI re-runs, bench re-runs,
+    serving restarts) start warm. Off by default upstream, so the CLI and
+    bench.py call this at startup (opt out: VIBO_NO_COMPCACHE=1 or the CLI's
+    --no-compilation-cache). Safe to call before or after backend init; keyed
+    by HLO fingerprint + compile options, so sharding/mesh changes miss
+    cleanly rather than colliding.
+
+    Returns the cache dir in effect, or None if disabled via env.
+    """
+    import os
+
+    if os.environ.get("VIBO_NO_COMPCACHE"):
+        return None
+    import jax
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "VIBO_COMPCACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "vibo_tpu",
+                         "xla_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything: the default 1-second floor skips exactly the tiny
+    # eval/scoring programs a serving process re-creates most often.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
+
+
 def peak_hbm_bytes() -> int | None:
     """Peak device-memory high-water mark in bytes, or None if the backend
     doesn't expose `memory_stats` (CPU does not; TPU/axon does). Reported in
