@@ -404,6 +404,125 @@ def cmd_compare(args):
     return table
 
 
+def _read_score_input(args, num_items, vocab):
+    """-> (person_ids, response (B,M) f32, mask (B,M) f32, n_unknown_items).
+
+    .npz input: keys `response` (B, M) and optional `mask` (default: every
+    cell observed). .csv input: long format (one row per observed response);
+    item ids map through the checkpoint's trained vocabulary when present,
+    else must be integer column indices 0..M-1.
+    """
+    import csv as _csv
+
+    if args.input.endswith(".npz"):
+        with np.load(args.input) as data:
+            response = np.asarray(data["response"], np.float32)
+            mask = (np.asarray(data["mask"], np.float32) if "mask" in data
+                    else np.ones_like(response))
+        if response.ndim != 2 or response.shape[1] != num_items:
+            raise ValueError(
+                f"{args.input}: response must be (B, {num_items}), "
+                f"got {response.shape}")
+        pids = [str(k) for k in range(response.shape[0])]
+        return pids, response, mask, 0
+
+    by_person: dict[str, dict[int, float]] = {}
+    unknown = 0
+    with open(args.input, newline="") as f:
+        for row in _csv.DictReader(f):
+            iid = row[args.item_col]
+            if vocab is not None:
+                j = vocab.get(iid)
+                if j is None:
+                    unknown += 1
+                    continue
+            else:
+                try:
+                    j = int(iid)
+                except ValueError:
+                    raise ValueError(
+                        f"item id {iid!r} is not an integer column index and "
+                        f"the checkpoint embeds no item vocabulary (train "
+                        "via cli train on a real CSV to embed one)")
+                if not 0 <= j < num_items:
+                    unknown += 1
+                    continue
+            by_person.setdefault(row[args.person_col], {})[j] = \
+                float(row[args.correct_col])
+    if not by_person:
+        raise ValueError(f"{args.input}: no scorable responses")
+    pids = sorted(by_person)
+    response = np.zeros((len(pids), num_items), np.float32)
+    mask = np.zeros_like(response)
+    for b, p in enumerate(pids):
+        for j, c in by_person[p].items():
+            response[b, j] = 1.0 if c > 0.5 else 0.0
+            mask[b, j] = 1.0
+    return pids, response, mask, unknown
+
+
+def cmd_score(args):
+    """Serving surface: batched amortized scoring from a trained checkpoint
+    (arXiv:2002.00276 section 6.5's amortization headline as a CLI; the
+    library form is serve.AbilityScorer)."""
+    import time
+
+    from vibo_tpu.serve import AbilityScorer
+    from vibo_tpu.train import checkpoint as ckpt_mod
+
+    scorer = AbilityScorer.from_checkpoint(args.checkpoint)
+    num_items = scorer.model.cfg.num_items
+    extra = ckpt_mod.peek_extra(args.checkpoint)
+    vocab = None
+    if "item_ids" in extra:
+        vocab = {iid: j for j, iid in
+                 enumerate(json.loads(str(extra["item_ids"])))}
+
+    if args.items:
+        # NEW-item cold start: input columns are the unseen items
+        with np.load(args.input) as data:
+            response = np.asarray(data["response"], np.float32)
+            mask = (np.asarray(data["mask"], np.float32) if "mask" in data
+                    else np.ones_like(response))
+        t0 = time.perf_counter()
+        out = scorer.score_items(response, mask)
+        seconds = time.perf_counter() - t0
+        summary = {"checkpoint": args.checkpoint, "mode": "items",
+                   "num_new_items": int(response.shape[1]),
+                   "seconds": round(seconds, 3),
+                   "params": sorted(out)}
+        if args.output:
+            np.savez(args.output, **out)
+            summary["output"] = args.output
+        print(json.dumps(summary))
+        return summary
+
+    pids, response, mask, unknown = _read_score_input(args, num_items, vocab)
+    if unknown:
+        print(f"note: dropped {unknown} response(s) to items outside the "
+              "trained vocabulary", file=sys.stderr)
+    t0 = time.perf_counter()
+    bs = max(1, args.batch_size)
+    outs = [scorer.score(response[s:s + bs], mask[s:s + bs])
+            for s in range(0, response.shape[0], bs)]
+    out = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    seconds = time.perf_counter() - t0
+    summary = {"checkpoint": args.checkpoint, "mode": "persons",
+               "num_persons": len(pids),
+               "num_unknown_item_responses": unknown,
+               "seconds": round(seconds, 3),
+               "persons_per_sec": round(len(pids) / max(seconds, 1e-9), 1),
+               "theta_mu_mean": [round(v, 4) for v in
+                                 np.mean(out["theta_mu"], 0).tolist()],
+               "theta_sigma_mean": [round(v, 4) for v in
+                                    np.mean(out["theta_sigma"], 0).tolist()]}
+    if args.output:
+        np.savez(args.output, person_ids=np.asarray(pids), **out)
+        summary["output"] = args.output
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vibo_tpu",
                                  description="TPU-native VIBO IRT framework")
@@ -501,6 +620,32 @@ def main(argv=None):
     c.add_argument("--hmc-tree-depth", type=int, default=8,
                    dest="hmc_tree_depth")
     c.set_defaults(fn=cmd_compare)
+
+    s = sub.add_parser(
+        "score",
+        help="serving: amortized scoring of NEW students (or new items) "
+             "from a trained checkpoint — one encoder pass, no retraining")
+    s.add_argument("--checkpoint", required=True,
+                   help="best.npz written by `train --out-dir` (self-"
+                        "describing: embeds the model config and, for real "
+                        "CSV datasets, the item-id vocabulary)")
+    s.add_argument("--input", required=True,
+                   help=".npz with `response` (B, M) [+ `mask`], or a "
+                        "long-format .csv of (person, item, correct) rows")
+    s.add_argument("--person-col", default="student_id")
+    s.add_argument("--item-col", default="item_id")
+    s.add_argument("--correct-col", default="correct")
+    s.add_argument("--output", default=None,
+                   help="write person_ids + theta_mu/theta_sigma/prob (or "
+                        "per-item posteriors with --items) to this .npz")
+    s.add_argument("--items", action="store_true",
+                   help="new-ITEM cold start: input columns are unseen "
+                        "items; needs a model trained with --item-encoder")
+    s.add_argument("--batch-size", type=int, default=4096)
+    s.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    s.add_argument("--no-compilation-cache", action="store_true",
+                   help=argparse.SUPPRESS)
+    s.set_defaults(fn=cmd_score)
 
     args = ap.parse_args(argv)
     if args.cpu:

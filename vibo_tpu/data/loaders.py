@@ -60,13 +60,15 @@ _COLUMN_MAPS = {
 }
 
 
-def long_to_matrix(rows, min_per_person: int = 5, min_per_item: int = 5
-                   ) -> tuple[np.ndarray, np.ndarray]:
+def long_to_matrix(rows, min_per_person: int = 5, min_per_item: int = 5,
+                   return_ids: bool = False):
     """(person, item, correct) triples -> dense response + observation mask.
 
     Filtering mirrors the reference protocol: drop persons/items with fewer
     than the minimum observed responses (iterated once, as in standard IRT
     preprocessing). Duplicate (person, item) pairs keep the last response.
+    With return_ids=True also returns the sorted person/item id vocabularies
+    (row/column order of the matrices).
     """
     by_pair: dict[tuple[str, str], float] = {}
     for p, i, c in rows:
@@ -88,6 +90,8 @@ def long_to_matrix(rows, min_per_person: int = 5, min_per_item: int = 5
         if p in pidx and i in iidx:
             resp[pidx[p], iidx[i]] = 1.0 if c > 0.5 else 0.0
             mask[pidx[p], iidx[i]] = 1.0
+    if return_ids:
+        return resp * mask, mask, persons, items
     return resp * mask, mask
 
 
@@ -108,17 +112,16 @@ def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
     # back to Python if the toolchain/.so is unavailable.
     from vibo_tpu.data import native
     if native.available() and (binarize is None or native_spec is not None):
-        resp, mask, _, _ = native.parse_long_csv(
+        return native.parse_long_csv(
             path, person_col, item_col, correct_col,
             min_per_person=min_per_person, min_per_item=min_per_item,
             **(native_spec or {}))
-        return resp, mask
     rows = []
     for row in _read_csv(path):
         c = binarize(row) if binarize else float(row[correct_col])
         rows.append((row[person_col], row[item_col], c))
     return long_to_matrix(rows, min_per_person=min_per_person,
-                          min_per_item=min_per_item)
+                          min_per_item=min_per_item, return_ids=True)
 
 
 def _surrogate(name: str, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -149,6 +152,7 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
             if os.path.exists(cand):
                 path = cand
                 break
+    person_ids = item_ids = None
     if path is None:
         resp, mask = _surrogate(name, seed)
         tag = f"{name}-surrogate"
@@ -156,10 +160,11 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
         kw = dict(min_per_person=min_per_person, min_per_item=min_per_item)
         if name in _COLUMN_MAPS:
             pcol, icol, ccol = _COLUMN_MAPS[name]
-            resp, mask = _load_generic_csv(path, pcol, icol, ccol, **kw)
+            resp, mask, person_ids, item_ids = _load_generic_csv(
+                path, pcol, icol, ccol, **kw)
         elif name == "duolingo":
             from vibo_tpu.data import native as _nat
-            resp, mask = _load_generic_csv(
+            resp, mask, person_ids, item_ids = _load_generic_csv(
                 path, "user_id", "lexeme_id", "session_correct",
                 binarize=lambda r: 1.0 if float(r["session_correct"]) >=
                 float(r.get("session_seen", 1)) else 0.0,
@@ -167,17 +172,18 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
                                  mode=_nat.BINARIZE_GE_DENOM_OPT), **kw)
         elif name == "wordbank":
             from vibo_tpu.data import native as _nat
-            resp, mask = _load_generic_csv(
+            resp, mask, person_ids, item_ids = _load_generic_csv(
                 path, "child_id", "item_definition", "value",
                 binarize=lambda r: 1.0 if r["value"].strip().lower() == "produces" else 0.0,
                 native_spec=dict(match="produces",
                                  mode=_nat.BINARIZE_STR_MATCH), **kw)
         elif name == "gradescope":
             from vibo_tpu.data import native as _nat
-            resp, mask = _load_generic_csv(
+            resp, mask, person_ids, item_ids = _load_generic_csv(
                 path, "student_id", "question_id", "score",
                 binarize=lambda r: 1.0 if float(r["score"]) >= float(r["max_score"]) else 0.0,
                 native_spec=dict(denom_col="max_score",
                                  mode=_nat.BINARIZE_GE_DENOM), **kw)
         tag = name
-    return holdout_split(resp, mask, holdout_frac=holdout_frac, seed=seed, name=tag)
+    return holdout_split(resp, mask, holdout_frac=holdout_frac, seed=seed,
+                         name=tag, person_ids=person_ids, item_ids=item_ids)

@@ -29,6 +29,10 @@ class Dataset:
     heldout_mask:(N, M) float32; observed cells hidden for imputation eval.
                  Disjoint from train_mask; train+heldout = observed.
     num_persons / num_items may be smaller than the padded array shape.
+    person_ids / item_ids: optional raw-id vocabularies (row/column order)
+                 carried from real-dataset ingestion; item_ids is embedded in
+                 training checkpoints so `cli score` can align new students'
+                 long-format CSVs to the trained column order.
     """
     response: np.ndarray
     train_mask: np.ndarray
@@ -36,6 +40,8 @@ class Dataset:
     name: str = "dataset"
     num_persons: int | None = None
     num_items: int | None = None
+    person_ids: list | None = None
+    item_ids: list | None = None
 
     def __post_init__(self):
         if self.num_persons is None:
@@ -50,7 +56,8 @@ class Dataset:
 
 def holdout_split(response: np.ndarray, mask: np.ndarray,
                   holdout_frac: float = 0.1, seed: int = 0,
-                  name: str = "dataset") -> Dataset:
+                  name: str = "dataset", person_ids: list | None = None,
+                  item_ids: list | None = None) -> Dataset:
     """Hide `holdout_frac` of the observed cells uniformly at random.
 
     Streams in row blocks: `Generator.random` fills its output sequentially
@@ -83,7 +90,8 @@ def holdout_split(response: np.ndarray, mask: np.ndarray,
         observed[:b] &= hide[:b]
         np.copyto(train_mask[s:e], observed[:b], casting="unsafe")
     return Dataset(response=np.asarray(response, np.float32),
-                   train_mask=train_mask, heldout_mask=heldout_mask, name=name)
+                   train_mask=train_mask, heldout_mask=heldout_mask, name=name,
+                   person_ids=person_ids, item_ids=item_ids)
 
 
 def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
@@ -97,8 +105,11 @@ def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
     test_idx, train_idx = np.sort(perm[:n_test]), np.sort(perm[n_test:])
 
     def take(idx, tag):
+        pids = ([ds.person_ids[k] for k in idx]
+                if ds.person_ids is not None else None)
         return Dataset(response=ds.response[idx], train_mask=ds.train_mask[idx],
-                       heldout_mask=ds.heldout_mask[idx], name=f"{ds.name}/{tag}")
+                       heldout_mask=ds.heldout_mask[idx], name=f"{ds.name}/{tag}",
+                       person_ids=pids, item_ids=ds.item_ids)
     return take(train_idx, "train"), take(test_idx, "test")
 
 
@@ -115,10 +126,13 @@ def split_items(ds: Dataset, test_frac: float = 0.1, seed: int = 0
     test_idx, train_idx = np.sort(perm[:m_test]), np.sort(perm[m_test:])
 
     def take(idx, tag):
+        iids = ([ds.item_ids[k] for k in idx]
+                if ds.item_ids is not None else None)
         return Dataset(response=ds.response[:, idx],
                        train_mask=ds.train_mask[:, idx],
                        heldout_mask=ds.heldout_mask[:, idx],
-                       name=f"{ds.name}/{tag}")
+                       name=f"{ds.name}/{tag}",
+                       person_ids=ds.person_ids, item_ids=iids)
     return take(train_idx, "train-items"), take(test_idx, "test-items")
 
 
@@ -135,7 +149,8 @@ def pad_to_multiple(ds: Dataset, person_multiple: int = 8,
     return Dataset(
         response=np.pad(ds.response, pad), train_mask=np.pad(ds.train_mask, pad),
         heldout_mask=np.pad(ds.heldout_mask, pad), name=ds.name,
-        num_persons=n, num_items=m)
+        num_persons=n, num_items=m,
+        person_ids=ds.person_ids, item_ids=ds.item_ids)
 
 
 def batch_iterator(ds: Dataset, batch_size: int, seed: int, epoch: int):

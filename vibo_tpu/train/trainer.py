@@ -90,6 +90,16 @@ class Trainer:
         return json.dumps({"lr": self.cfg.lr,
                            "max_grad_norm": self.cfg.max_grad_norm})
 
+    @staticmethod
+    def _vocab_extra(ds) -> dict:
+        """Item-id vocabulary for the checkpoint (when the dataset carries
+        one — real CSV ingestion does): `cli score` uses it to align new
+        students' long-format CSVs to the trained column order."""
+        import json
+        if getattr(ds, "item_ids", None) is None:
+            return {}
+        return {"item_ids": json.dumps(list(map(str, ds.item_ids)))}
+
     # ------------------------------------------------------------- setup
 
     def init_state(self, key: jax.Array):
@@ -610,7 +620,8 @@ class Trainer:
                             (params, opt_state), key, global_step,
                             extra={"epoch": epoch, "heldout_acc": ev["acc"],
                                    "model_cfg": self._cfg_json(),
-                                   "opt_cfg": self._opt_cfg_json()})
+                                   "opt_cfg": self._opt_cfg_json(),
+                                   **self._vocab_extra(ds)})
 
         logger.close()
         return {"params": params, "opt_state": opt_state, "key": key,
@@ -705,7 +716,8 @@ class Trainer:
                             extra={"epoch": epoch - 1,
                                    "heldout_acc": ev["acc"],
                                    "model_cfg": self._cfg_json(),
-                                   "opt_cfg": self._opt_cfg_json()})
+                                   "opt_cfg": self._opt_cfg_json(),
+                                   **self._vocab_extra(ds)})
 
         logger.close()
         # first chunk pays the XLA/remote compile; report warm time too

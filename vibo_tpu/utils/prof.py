@@ -59,6 +59,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     cleanly rather than colliding.
 
     Returns the cache dir in effect, or None if disabled via env.
+
+    Known cosmetic issue: on the CPU backend this jaxlib logs a benign
+    "machine feature ... not supported" error per cached-executable load
+    (its compile-time feature string and host-detection string are formatted
+    differently, so the comparison false-positives even on the same
+    machine). Loads succeed and numerics are unchanged (the whole test
+    suite runs through these loads); stdout (the CLI's JSON) is unaffected.
     """
     import os
 
