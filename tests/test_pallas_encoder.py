@@ -56,6 +56,34 @@ def test_first_layer_gradients(rng):
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_tiles_shrink_for_wide_hidden():
+    """The tile picker must keep both (tm, h) weight tiles plus the (tb, h)
+    activation tile inside the VMEM byte budgets at ANY hidden size —
+    hidden=1024 OOM'd the old fixed (512, 1024) tiling on v5e."""
+    for h in (16, 128, 512, 1024, 2048, 4096):
+        tb, tm = pallas_encoder._tiles(10240, 1024, h)
+        hp = max(-(-h // 128) * 128, 128)
+        assert 8 * tm * hp <= pallas_encoder._W_TILE_BUDGET or tm == 128
+        assert 4 * tb * hp <= pallas_encoder._H_TILE_BUDGET or tb == 8
+        assert tb % 8 == 0 and tm % 128 == 0
+    # the measured-fastest hidden=512 tiling is unchanged
+    assert pallas_encoder._tiles(10240, 1024, 512) == (512, 1024)
+
+
+def test_first_layer_wide_hidden_matches_reference(rng):
+    """hidden=1024 (the size that OOM'd VMEM) through the shrunk tiling."""
+    b, m, h = 72, 257, 1024
+    resp = (rng.random((b, m)) < 0.5).astype(np.float32)
+    mask = (rng.random((b, m)) < 0.8).astype(np.float32)
+    packed = jnp.asarray(pack_responses(resp, mask))
+    wr = jnp.asarray(rng.standard_normal((m, h)), jnp.float32)
+    wm = jnp.asarray(rng.standard_normal((m, h)), jnp.float32)
+    got = pallas_encoder.packed_first_layer(packed, wr, wm, "float32")
+    ref = _ref_first_layer(packed, wr, wm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_packed_row_valid():
     packed = jnp.asarray([[0, 0, 0], [1, 0, 0], [2, 2, 1], [0, 0, 2]],
                          jnp.int8)

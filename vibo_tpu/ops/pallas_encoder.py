@@ -36,6 +36,12 @@ ITEM_BLOCK = 1024
 # tile fits VMEM there (no weight tiles resident) and measured 70 -> 60 us
 # at 10k x 1k on v5e, while the forward OOMs VMEM above (512, 1024)
 BWD_STUDENT_BLOCK = 1024
+# Per-buffer VMEM byte budgets the tile picker solves against (double
+# buffering doubles what the compiler actually allocates).  The defaults
+# reproduce the measured-fastest (512, 1024) tiling at hidden=512 and shrink
+# tm/tb as hidden grows so hidden=1024/2048 compile instead of OOMing VMEM.
+_W_TILE_BUDGET = 4 << 20   # both (tm, h) f32 weight tiles together
+_H_TILE_BUDGET = 2 << 20   # one (tb, h) f32 activation tile
 
 
 def _is_tpu() -> bool:
@@ -93,9 +99,17 @@ def _bwd_kernel(cd, pk_ref, dh_ref, dwr_ref, dwm_ref):
         dwm_ref[:] = dwm_ref[:] + dwm
 
 
-def _tiles(bsz, m):
-    tb = min(STUDENT_BLOCK, _cdiv(bsz, 8) * 8)
-    tm = min(ITEM_BLOCK, _cdiv(m, 128) * 128)
+def _tiles(bsz, m, h):
+    """(tb, tm) student/item tile sizes, shrunk for wide hidden layers.
+
+    The forward keeps both (tm, h) weight tiles and one (tb, h) output tile
+    resident; solving tm and tb against fixed byte budgets keeps the kernel
+    compiling at any hidden size (hidden=1024 OOM'd the fixed tiling)."""
+    hp = max(_cdiv(h, 128) * 128, 128)
+    tm_cap = max((_W_TILE_BUDGET // (8 * hp)) // 128 * 128, 128)
+    tb_cap = max((_H_TILE_BUDGET // (4 * hp)) // 8 * 8, 8)
+    tb = min(STUDENT_BLOCK, tb_cap, _cdiv(bsz, 8) * 8)
+    tm = min(ITEM_BLOCK, tm_cap, _cdiv(m, 128) * 128)
     return tb, tm
 
 
@@ -113,7 +127,7 @@ def _pad(packed, wr, wm, tb, tm):
 
 def _fwd_pallas(packed, wr, wm, cd, interpret):
     bsz0, h0 = packed.shape[0], wr.shape[1]
-    tb, tm = _tiles(*packed.shape)
+    tb, tm = _tiles(*packed.shape, h0)
     packed, wr, wm = _pad(packed, wr, wm, tb, tm)
     (bsz, m), h = packed.shape, wr.shape[1]
     out = pl.pallas_call(
@@ -138,8 +152,12 @@ def _fwd_pallas(packed, wr, wm, cd, interpret):
 
 def _bwd_pallas(packed, dh, h_shape, cd, interpret):
     m0, h0 = packed.shape[1], h_shape
-    tb, tm = _tiles(*packed.shape)
-    tb = min(BWD_STUDENT_BLOCK, _cdiv(packed.shape[0], 8) * 8)
+    tb, tm = _tiles(*packed.shape, h_shape)
+    # no weight tiles resident in the backward: the student tile can grow to
+    # BWD_STUDENT_BLOCK as long as the (tb, h) dh tile stays in budget
+    hp = max(_cdiv(h_shape, 128) * 128, 128)
+    bwd_cap = max(((2 * _H_TILE_BUDGET) // (4 * hp)) // 8 * 8, 8)
+    tb = min(BWD_STUDENT_BLOCK, bwd_cap, _cdiv(packed.shape[0], 8) * 8)
     wr_dummy = jnp.zeros((packed.shape[1], h0), jnp.float32)
     packed, wr_dummy, _ = _pad(packed, wr_dummy, wr_dummy, tb, tm)
     (bsz, m), h = packed.shape, wr_dummy.shape[1]
