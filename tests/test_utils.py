@@ -106,6 +106,20 @@ def test_procrustes_aligned_correlation():
     assert aligned > raw
 
 
+def test_correlation_collapsed_dim_is_zero_not_nan():
+    """A constant (collapsed) posterior dim must contribute 0 correlation,
+    not a NaN that poisons the across-dim mean (seen with a collapsed K=4
+    IWAE posterior at the flagship config)."""
+    from vibo_tpu import evaluation
+    rng = np.random.default_rng(1)
+    truth = rng.standard_normal((200, 2))
+    inferred = truth.copy()
+    inferred[:, 1] = 3.14  # collapsed dim
+    out = evaluation.correlation(inferred, truth)
+    assert np.isfinite(out["pearson"]) and np.isfinite(out["spearman"])
+    assert abs(out["pearson"] - 0.5) < 0.05  # dim0 ~1.0, dim1 == 0
+
+
 def test_correlation_spearman_sign_alignment():
     """A dim with near-zero Pearson but strongly negative Spearman must not
     report a misleading negative Spearman under align_sign (round-1 advisor

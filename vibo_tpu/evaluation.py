@@ -379,6 +379,13 @@ def correlation(inferred: np.ndarray, truth: np.ndarray,
     pearsons, spearmans = [], []
     for d in range(truth.shape[1]):
         x, y = inferred[:, d], truth[:, d]
+        if np.std(x) == 0.0 or np.std(y) == 0.0:
+            # a collapsed (constant) posterior dim carries zero signal about
+            # the truth: count it as 0 correlation instead of letting
+            # pearsonr's NaN poison the across-dim mean
+            pearsons.append(0.0)
+            spearmans.append(0.0)
+            continue
         p = scipy.stats.pearsonr(x, y).statistic
         s = scipy.stats.spearmanr(x, y).statistic
         # One sign flip per dim (negating x negates BOTH statistics exactly);
