@@ -228,3 +228,45 @@ def test_bad_objective_rejected():
     model = VIBO(VIBOConfig(num_items=8, hidden_dim=16))
     with pytest.raises(ValueError, match="objective"):
         Trainer(model, TrainConfig(objective="elbow"))
+
+
+def test_restarts_selects_best_final_bound(tmp_path):
+    """cfg.restarts runs independent fits and returns the best FINAL training
+    bound, promotes the winner's checkpoints to out_dir's root, and reports a
+    per-restart summary (TrainConfig.restarts: K>1 basin selection)."""
+    import os
+    sim = simulate_irt("2pl", 200, 32, ability_dim=2, seed=0)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    model = VIBO(VIBOConfig(num_items=32, irt_model="2pl", ability_dim=2,
+                            hidden_dim=32))
+    out = str(tmp_path / "run")
+    cfg = TrainConfig(lr=8e-3, epochs=40, eval_every=20, log_every=40,
+                      restarts=3, out_dir=out)
+    res = Trainer(model, cfg).fit(ds)
+    assert len(res["restarts"]) == 3
+    elbos = [r["final_elbo"] for r in res["restarts"]]
+    assert res["final_elbo"] == max(elbos)
+    assert res["selected_restart"] == int(np.argmax(elbos))
+    # seeds differ per restart -> the fits genuinely differ
+    assert len({round(e, 3) for e in elbos}) > 1
+    # winner's checkpoints promoted next to the per-restart dirs
+    assert os.path.exists(os.path.join(out, "best.npz"))
+    assert os.path.exists(
+        os.path.join(out, f"restart{res['selected_restart']}", "best.npz"))
+    # the promoted checkpoint IS the winner's (bitwise)
+    with open(os.path.join(out, "best.npz"), "rb") as a, open(
+            os.path.join(out, f"restart{res['selected_restart']}",
+                         "best.npz"), "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_restarts_rejects_resume_and_bad_count():
+    model = VIBO(VIBOConfig(num_items=8, irt_model="1pl", ability_dim=1,
+                            hidden_dim=16))
+    with pytest.raises(ValueError, match="restarts"):
+        Trainer(model, TrainConfig(restarts=0))
+    sim = simulate_irt("1pl", 40, 8, ability_dim=1, seed=0)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
+    with pytest.raises(ValueError, match="resume"):
+        Trainer(model, TrainConfig(epochs=1, restarts=2)).fit(
+            ds, resume="/nonexistent.npz")

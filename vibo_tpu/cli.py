@@ -119,7 +119,8 @@ def cmd_train(args):
         lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         num_mc_samples=args.num_posterior_samples, seed=args.seed,
         eval_every=args.eval_every, out_dir=args.out_dir,
-        objective=getattr(args, "objective", "elbo")), mesh=mesh)
+        objective=getattr(args, "objective", "elbo"),
+        restarts=getattr(args, "restarts", 1)), mesh=mesh)
     res = trainer.fit(
         ds, truth=sim if (test_ds is None and test_items_ds is None) else None,
         resume=getattr(args, "resume", None))
@@ -127,6 +128,8 @@ def cmd_train(args):
     summary = {"dataset": ds.name, "shape": list(ds.shape),
                "irt_model": args.irt_model,
                "final_elbo": res["final_elbo"],
+               **({"selected_restart": res["selected_restart"],
+                   "restarts": res["restarts"]} if "restarts" in res else {}),
                "train_seconds": round(res["train_seconds"], 3),
                "warm_train_seconds": round(
                    res.get("warm_train_seconds", res["train_seconds"]), 3),
@@ -539,6 +542,10 @@ def main(argv=None):
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--num-posterior-samples", type=int, default=1,
                    help="MC samples for the training objective")
+    t.add_argument("--restarts", type=int, default=1,
+                   help="independent random restarts; keeps the best final "
+                        "training bound (K>1 IRT has optimization basins — "
+                        "see TrainConfig.restarts)")
     t.add_argument("--objective", default="elbo", choices=["elbo", "iwae"],
                    help="training bound: ELBO or the multi-sample IWAE "
                         "(arXiv:2108.11579)")
