@@ -322,11 +322,12 @@ def cmd_compare(args):
 
     vibo_args = argparse.Namespace(**vars(args))
     vibo_args.iwae_samples = getattr(args, "iwae_samples", 0)
-    vibo_args.mean_field = False
+    vibo_args.mean_field = getattr(args, "mean_field", False)
     vibo_args.eval_new_persons = 0.0
     vibo_args.data_parallel = False
     vibo_args.batch_size = None
-    vibo_args.num_posterior_samples = 1
+    vibo_args.num_posterior_samples = getattr(args, "num_posterior_samples", 1)
+    vibo_args.restarts = getattr(args, "restarts", 1)
     vibo_args.hidden_dim = args.hidden_dim
     vibo_args.item_latent_dim = 16
     vibo_args.lr = 5e-3
@@ -616,6 +617,14 @@ def main(argv=None):
                    help="comma-separated baselines to include")
     c.add_argument("--hidden-dim", type=int, default=256)
     c.add_argument("--epochs", type=int, default=200)
+    c.add_argument("--mean-field", action="store_true",
+                   help="VIBO leg: q(theta|r) without item conditioning "
+                        "(the measured-best family at K>1)")
+    c.add_argument("--num-posterior-samples", type=int, default=1,
+                   help="VIBO leg: MC samples for the training objective")
+    c.add_argument("--restarts", type=int, default=1,
+                   help="VIBO leg: independent random restarts, best final "
+                        "bound kept (TrainConfig.restarts)")
     c.add_argument("--steps", type=int, default=500)
     c.add_argument("--hmc-warmup", type=int, default=300)
     c.add_argument("--hmc-samples", type=int, default=300)
