@@ -125,15 +125,18 @@ def measure_time_to_train(trainer, model, params, opt_state, data, packed, ds,
 
 def measure_converged_config(args, use_pallas, packed, ds, sim,
                              num_samples=5, hidden_dim=512, epochs=1500,
-                             chunk=100):
-    """Train the repo's own CONVERGED operating point (S=5, hidden-512,
-    1500 full-batch epochs — the config RESULTS.md's parity tables use) on
-    the same matrix and report its held-out accuracy, so the driver-facing
+                             chunk=100, restarts=4):
+    """Train the repo's own CONVERGED operating point (mean-field q(theta|r),
+    S=5, hidden-512, 1500 full-batch epochs, best-of-`restarts` by final
+    training ELBO — the recipe RESULTS.md's K=4 flagship parity table uses)
+    on the same matrix and report its held-out accuracy, so the driver-facing
     JSON carries the parity-grade number, not just the untuned default
-    (round-2 VERDICT weak item 3). Also reports the generative Bayes
-    ceiling acc = E[max(p, 1-p)] over held-out cells: on K>1 matrices the
-    attainable accuracy differs from the K=1 tables, and the ceiling makes
-    the reported number self-calibrating."""
+    (round-2 VERDICT weak item 3). K>1 training has optimization basins
+    (TrainConfig.restarts); all restarts reuse ONE compiled scan program, so
+    the wall-clock is restarts x warm-train. Also reports the generative
+    Bayes ceiling acc = E[max(p, 1-p)] over held-out cells: on K>1 matrices
+    the attainable accuracy differs from the K=1 tables, and the ceiling
+    makes the reported number self-calibrating."""
     import jax
     import jax.numpy as jnp
     from vibo_tpu import evaluation
@@ -143,9 +146,9 @@ def measure_converged_config(args, use_pallas, packed, ds, sim,
     model = VIBO(VIBOConfig(num_items=args.items, irt_model="2pl",
                             ability_dim=args.ability_dim,
                             hidden_dim=hidden_dim, use_pallas=use_pallas,
+                            conditional_posterior=False,
                             compute_dtype=args.compute_dtype))
     trainer = Trainer(model, TrainConfig(lr=5e-3))
-    params, opt_state = trainer.init_state(jax.random.key(0))
     if packed:
         from vibo_tpu.ops.pallas_elbo import pack_responses
         data = (jnp.asarray(pack_responses(ds.response, ds.train_mask)),
@@ -155,16 +158,22 @@ def measure_converged_config(args, use_pallas, packed, ds, sim,
 
     run = trainer.make_scan(1.0, num_samples, chunk, packed=packed,
                             donate=False)
-    p, o, _, auxs = run(params, opt_state, jax.random.key(11), *data)
+    params0, opt0 = trainer.init_state(jax.random.key(0))
+    p, o, _, auxs = run(params0, opt0, jax.random.key(11), *data)
     float(auxs["elbo"][-1])  # compile once, forced
-    p, o = params, opt_state
-    key = jax.random.key(12)
+    best = None
     t0 = time.perf_counter()
-    for _ in range(epochs // chunk):
-        key, sub = jax.random.split(key)
-        p, o, _, auxs = run(p, o, sub, *data)
-    elbo = float(auxs["elbo"][-1])
+    for r in range(restarts):
+        p, o = trainer.init_state(jax.random.key(r))
+        key = jax.random.key(12 + r)
+        for _ in range(epochs // chunk):
+            key, sub = jax.random.split(key)
+            p, o, _, auxs = run(p, o, sub, *data)
+        elbo = float(auxs["elbo"][-1])
+        if best is None or elbo > best[0]:
+            best = (elbo, p)
     seconds = time.perf_counter() - t0
+    elbo, p = best
     acc = evaluation.imputation_accuracy(model, p, ds)
     cal = evaluation.calibration(model, p, ds)
     hm = ds.heldout_mask > 0
@@ -175,8 +184,8 @@ def measure_converged_config(args, use_pallas, packed, ds, sim,
         "converged_ece": round(cal["ece"], 4),
         "converged_train_seconds": round(seconds, 3),
         "converged_final_elbo": round(elbo, 1),
-        "converged_config": f"S={num_samples},hidden={hidden_dim},"
-                            f"epochs={epochs}",
+        "converged_config": f"mean-field,S={num_samples},hidden={hidden_dim},"
+                            f"epochs={epochs},restarts={restarts}",
     }
 
 
