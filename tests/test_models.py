@@ -196,3 +196,70 @@ def test_elbo_invariant_to_padding_rows():
     b3, _ = model.elbo_packed(params, key, pk1, 1.0, 1)
     b4, _ = model.elbo_packed(params, key, pk2, 1.0, 1)
     np.testing.assert_allclose(float(b4), float(b3), rtol=1e-6)
+
+
+def test_condition_on_mean_runs_and_matches_packed():
+    """condition_on="mean": the encoder conditions on item-posterior MEANS
+    (noise-free, serving-consistent). Packed and dense paths must agree, and
+    the config must reject unknown modes."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, condition_on="mean")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b1, _ = model.elbo(params, key, resp, mask, 0.5, 2)
+    b2, _ = model.elbo_packed(params, key, pack_responses(resp, mask), 0.5, 2)
+    np.testing.assert_allclose(float(b2), float(b1), rtol=1e-5)
+    iw = model.iwae(params, key, resp, mask, 3)
+    assert np.isfinite(float(iw))
+    with pytest.raises(ValueError, match="condition_on"):
+        VIBOConfig(num_items=M, condition_on="bogus")
+
+
+def test_condition_on_mean_limits_to_sample_at_tight_item_posterior():
+    """As the item posterior collapses to a point mass, the sampled draw
+    equals the mean, so condition_on="sample" and "mean" must give the SAME
+    bound (same PRNG stream: both draw the item sample for the likelihood)."""
+    resp, mask = _data()
+    params = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                             hidden_dim=32)).init_params(jax.random.key(0))
+    tight = {name: {"mu": p["mu"], "logvar": jnp.full_like(p["logvar"], -30.0)}
+             for name, p in params["item_post"].items()}
+    params = dict(params, item_post=tight)
+    key = jax.random.key(2)
+    b_s, _ = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                             hidden_dim=32, condition_on="sample")).elbo(
+        params, key, resp, mask, 1.0, 2)
+    b_m, _ = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                             hidden_dim=32, condition_on="mean")).elbo(
+        params, key, resp, mask, 1.0, 2)
+    np.testing.assert_allclose(float(b_s), float(b_m), rtol=1e-5)
+
+
+def test_condition_on_mean_exogenous_noise_path():
+    """elbo_packed_sums (the exogenous-noise trainer path) under
+    condition_on="mean" matches elbo_packed with the same noise semantics:
+    finite, and gradients flow to the encoder's item-feature block."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, condition_on="mean")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    packed = jnp.asarray(pack_responses(resp, mask))
+    item_eps, theta_eps = model.sample_noise(params, jax.random.key(3),
+                                             N, 2)
+
+    def loss(p):
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_eps)
+        return -(ll - klt - kli)
+
+    val, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    # the item-feature rows of the first encoder layer get gradient from the
+    # mean-conditioning path
+    w1 = g["encoder"][0]["w"]
+    feat_rows = np.asarray(w1[2 * M:])
+    assert feat_rows.size > 0 and np.abs(feat_rows).max() > 0

@@ -17,12 +17,12 @@ from vibo_tpu.train import Trainer, TrainConfig
 N, M, K = 64, 32, 2
 
 
-def _setup(irt_model="2pl"):
+def _setup(irt_model="2pl", condition_on="sample"):
     sim = simulate_irt("2pl", N, M, ability_dim=K, seed=0, missing_rate=0.1)
     ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
     model = VIBO(VIBOConfig(num_items=M, irt_model=irt_model, ability_dim=K,
                             hidden_dim=32, item_latent_dim=8,
-                            deep_hidden_dim=32))
+                            deep_hidden_dim=32, condition_on=condition_on))
     return ds, model
 
 
@@ -229,17 +229,21 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     np.testing.assert_allclose(res["final_elbo"], res1["final_elbo"], rtol=5e-5)
 
 
-@pytest.mark.parametrize("irt_model", ["2pl", "deep"])
-def test_2d_packed_step_matches_unsharded(eight_devices, irt_model):
+@pytest.mark.parametrize("irt_model,condition_on", [
+    ("2pl", "sample"), ("deep", "sample"), ("2pl", "mean")])
+def test_2d_packed_step_matches_unsharded(eight_devices, irt_model,
+                                          condition_on):
     """One packed step on the 4x2 ('students','items') mesh == jax.grad of
     the identical unsharded packed loss (SGD; exact tile/slice/psum check
     for the 2D path — round-1 VERDICT item 3). Parametrized over the deep
-    link: the trainer auto-routes full-batch deep models onto this path
-    (round-2 VERDICT weak item 2)."""
+    link (the trainer auto-routes full-batch deep models onto this path —
+    round-2 VERDICT weak item 2) and over condition_on="mean" (the tile
+    posterior means must condition the sharded encoder identically to the
+    global means)."""
     import optax
     from vibo_tpu.ops import objectives
     from vibo_tpu.ops.pallas_elbo import pack_responses
-    ds, model = _setup(irt_model)
+    ds, model = _setup(irt_model, condition_on)
     packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
     rowv = jnp.ones(N, jnp.float32)
     key0, key1 = jax.random.key(0), jax.random.key(7)

@@ -107,6 +107,7 @@ def cmd_train(args):
         num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
         hidden_dim=args.hidden_dim,
         conditional_posterior=not args.mean_field,
+        condition_on=getattr(args, "condition_on", "sample"),
         item_encoder=getattr(args, "item_encoder", False),
         item_latent_dim=args.item_latent_dim,
         use_pallas=(jax.default_backend() == "tpu"
@@ -559,6 +560,12 @@ def main(argv=None):
     t.add_argument("--eval-every", type=int, default=50)
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")
+    t.add_argument("--condition-on", default="sample",
+                   choices=["sample", "mean"], dest="condition_on",
+                   help="conditional posterior input: per-MC-sample item "
+                        "draw (classic VIBO) or the noise-free item-"
+                        "posterior means (serving-consistent; see "
+                        "VIBOConfig.condition_on)")
     t.add_argument("--item-encoder", action="store_true",
                    help="amortize q(d_j|r_col) from column statistics "
                         "(enables new-item cold-start) instead of free "
@@ -620,6 +627,9 @@ def main(argv=None):
     c.add_argument("--mean-field", action="store_true",
                    help="VIBO leg: q(theta|r) without item conditioning "
                         "(the measured-best family at K>1)")
+    c.add_argument("--condition-on", default="sample",
+                   choices=["sample", "mean"], dest="condition_on",
+                   help="VIBO leg: see train --condition-on")
     c.add_argument("--num-posterior-samples", type=int, default=1,
                    help="VIBO leg: MC samples for the training objective")
     c.add_argument("--restarts", type=int, default=1,

@@ -74,6 +74,16 @@ class VIBOConfig:
     ability_dim: int = 1
     hidden_dim: int = 256               # ability-encoder width
     conditional_posterior: bool = True  # q(theta | d, r) vs mean-field q(theta | r)
+    condition_on: str = "sample"        # conditional-posterior input:
+                                        # "sample" = the per-MC-sample item
+                                        # draw (classic VIBO, arXiv:2002.00276
+                                        # section 4); "mean" = the item-
+                                        # posterior means — deterministic
+                                        # given data, so the encoder input
+                                        # carries no item-sampling noise AND
+                                        # training matches the eval/serving
+                                        # path (which always conditioned on
+                                        # means). Ignored under mean-field.
     item_latent_dim: int = 16           # deep link only
     deep_hidden_dim: int = 128          # deep link MLP width
     item_encoder: bool = False          # amortize q(d_j | r_:,j) from column
@@ -94,6 +104,10 @@ class VIBOConfig:
     def __post_init__(self):
         if self.irt_model not in links.IRT_MODELS:
             raise ValueError(f"irt_model must be one of {links.IRT_MODELS}")
+        if self.condition_on not in ("sample", "mean"):
+            raise ValueError(
+                f"condition_on must be 'sample' or 'mean', "
+                f"got {self.condition_on!r}")
 
 
 class VIBO:
@@ -205,6 +219,19 @@ class VIBO:
         post = self.item_dist(params, response, mask)
         return {name: p["mu"] for name, p in post.items()}
 
+    def _encoder_conditioning(self, post: dict, item_sample: dict | None):
+        """What q(theta | r, .) conditions on: the per-MC-sample item draw
+        (condition_on="sample", classic VIBO), the item-posterior MEANS
+        (condition_on="mean" — deterministic given data, so the encoder
+        input carries no item-sampling noise; measured decisive at K=4,
+        RESULTS.md), or None (mean-field). The generative side (likelihood,
+        KLs, IWAE ratios) always uses the item SAMPLE regardless."""
+        if not self.cfg.conditional_posterior:
+            return None
+        if self.cfg.condition_on == "mean":
+            return {name: p["mu"] for name, p in post.items()}
+        return item_sample
+
     # ---------------------------------------------------- ability encoder
 
     def encode(self, params: dict, response: jax.Array, mask: jax.Array,
@@ -288,7 +315,9 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self.encode(params, response, mask,
+                                         self._encoder_conditioning(
+                                             post, item_sample))
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response, mask)
             # all-missing rows (zero-padded batches, pad_to_multiple) are
@@ -321,7 +350,9 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self.encode(params, response, mask,
+                                         self._encoder_conditioning(
+                                             post, item_sample))
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response,
                                         mask).sum()
@@ -408,6 +439,8 @@ class VIBO:
                 params["encoder"], packed, feats,
                 compute_dtype=jnp.dtype(self.cfg.compute_dtype),
                 transposed_head=transposed)
+        # item_sample here is ALREADY what the caller wants conditioned on
+        # (callers route through _encoder_conditioning) — pass it through
         if transposed:
             mu, logvar = self.encode(params, response, mask, item_sample)
             return mu.T, logvar.T
@@ -468,8 +501,9 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self._encode_packed(params, packed, response, mask,
-                                             item_sample)
+            mu, logvar = self._encode_packed(
+                params, packed, response, mask,
+                self._encoder_conditioning(post, item_sample))
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
                 # one-pass fused kernel: ll.sum() below => uniform cotangent,
@@ -512,8 +546,9 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self._encode_packed(params, packed, response, mask,
-                                             item_sample)
+            mu, logvar = self._encode_packed(
+                params, packed, response, mask,
+                self._encoder_conditioning(post, item_sample))
             theta = dist.reparameterize(k_theta, mu, logvar)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -624,9 +659,10 @@ class VIBO:
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
-            mu, logvar = self._encode_packed(params, packed, response, mask,
-                                             item_sample,
-                                             transposed=transposed)
+            mu, logvar = self._encode_packed(
+                params, packed, response, mask,
+                self._encoder_conditioning(post, item_sample),
+                transposed=transposed)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if transposed:
                 ll_sum = self._packed_train_loglik_t(params, theta,
@@ -717,7 +753,7 @@ class VIBO:
                     eps_loc, post[name]["mu"], post[name]["logvar"])
             mu, logvar = networks.apply_ability_encoder_item_sharded(
                 params["encoder"], response, mask,
-                item_sample if cfg.conditional_posterior else None,
+                self._encoder_conditioning(post, item_sample),
                 cfg.num_items, item_index, items_axis, compute_dtype=cd)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if use_packed_kernel:
@@ -776,7 +812,7 @@ class VIBO:
                     eps_loc, post[name]["mu"], post[name]["logvar"])
             mu, logvar = networks.apply_ability_encoder_item_sharded(
                 params["encoder"], response, mask,
-                item_sample if cfg.conditional_posterior else None,
+                self._encoder_conditioning(post, item_sample),
                 cfg.num_items, item_index, items_axis, compute_dtype=cd)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if use_packed_kernel:
@@ -839,9 +875,10 @@ class VIBO:
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
-            mu, logvar = self._encode_packed(params, packed, response, mask,
-                                             item_sample,
-                                             transposed=transposed)
+            mu, logvar = self._encode_packed(
+                params, packed, response, mask,
+                self._encoder_conditioning(post, item_sample),
+                transposed=transposed)
             theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if transposed:
                 ll = self._packed_train_loglik_t(params, theta, item_sample,
@@ -876,7 +913,9 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask, item_sample)
+            mu, logvar = self.encode(params, response, mask,
+                                         self._encoder_conditioning(
+                                             post, item_sample))
             theta = dist.reparameterize(k_theta, mu, logvar)
             ll = self.loglik_per_person(params, theta, item_sample, response,
                                         mask)                      # (B,)
