@@ -125,3 +125,17 @@ def test_compare_deep_uses_deep_hmc(capsys):
     assert "rhat_max" in hmc_row
     vibo_row = next(r for r in rep["compare"] if r["method"] == "vibo")
     assert "theta_vs_hmc" in vibo_row
+
+
+def test_restarts_and_condition_on_flags(tmp_path):
+    """--restarts reports the per-restart table + promotes the winner's
+    checkpoint; --condition-on mean trains the serving-consistent
+    conditional family (VIBOConfig.condition_on)."""
+    s = run(["train", "synthetic-2pl", "--num-persons", "96", "--num-items",
+             "16", "--epochs", "12", "--eval-every", "12", "--hidden-dim",
+             "32", "--restarts", "2", "--condition-on", "mean",
+             "--out-dir", str(tmp_path)])
+    assert len(s["restarts"]) == 2
+    assert s["final_elbo"] == max(r["final_elbo"] for r in s["restarts"])
+    assert (tmp_path / "best.npz").exists()
+    assert (tmp_path / f"restart{s['selected_restart']}" / "best.npz").exists()
