@@ -26,6 +26,11 @@ python -m vibo_tpu.cli train wordbank --irt-model 2pl --ability-dim 2 \
 python -m vibo_tpu.cli train duolingo --irt-model 2pl --ability-dim 4 \
     --epochs 100 --eval-every 50 --eval-new-persons 0.1
 
+echo "### flagship: K=4 north-star, mean-field + restart selection"
+python -m vibo_tpu.cli train synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --ability-dim 4 --hidden-dim 512 --mean-field \
+    --num-posterior-samples 5 --epochs 1500 --restarts 4
+
 echo "### cfg5: deep link + parity sweep"
 python -m vibo_tpu.cli train wordbank --irt-model deep --epochs 200 \
     --eval-every 100
