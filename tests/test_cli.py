@@ -139,3 +139,30 @@ def test_restarts_and_condition_on_flags(tmp_path):
     assert s["final_elbo"] == max(r["final_elbo"] for r in s["restarts"])
     assert (tmp_path / "best.npz").exists()
     assert (tmp_path / f"restart{s['selected_restart']}" / "best.npz").exists()
+
+
+@pytest.mark.slow
+def test_compare_hmc_cache_roundtrip(tmp_path, capsys):
+    """--hmc-cache: first compare samples HMC and writes baseline_hmc.npz
+    (write-through); the second reloads it (seconds==0, cached flag) with
+    byte-identical agreement numbers; a seed mismatch refuses reuse."""
+    argv = ["compare", "synthetic-2pl", "--num-persons", "120", "--num-items",
+            "24", "--ability-dim", "2", "--hidden-dim", "32", "--epochs",
+            "15", "--methods", "hmc", "--hmc-warmup", "15", "--hmc-samples",
+            "15", "--hmc-leapfrog", "4", "--hmc-chains", "2",
+            "--hmc-cache", str(tmp_path)]
+    main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (tmp_path / "baseline_hmc.npz").exists()
+    main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hmc1 = next(r for r in first["compare"] if r["method"] == "hmc")
+    hmc2 = next(r for r in second["compare"] if r["method"] == "hmc")
+    assert hmc2["cached"] is True and hmc2["seconds"] == 0.0
+    assert hmc2["heldout_acc"] == hmc1["heldout_acc"]
+    vibo1 = next(r for r in first["compare"] if r["method"] == "vibo")
+    vibo2 = next(r for r in second["compare"] if r["method"] == "vibo")
+    assert vibo2["theta_vs_hmc"] == vibo1["theta_vs_hmc"]
+    assert vibo2["sigma_vs_hmc"] == vibo1["sigma_vs_hmc"]
+    with pytest.raises(SystemExit, match="invalid"):
+        main(argv[:-2] + ["--seed", "9", "--hmc-cache", str(tmp_path)])

@@ -200,3 +200,25 @@ def test_multiple_correlation():
     # independent y: R near zero
     z = rng.standard_normal(500)
     assert evaluation.multiple_correlation(z, X) < 0.15
+
+
+def test_rotate_diag_sigma_recovers_frame():
+    """Posterior sds are frame-dependent at K>1: build a 'method B' whose
+    latents are a rotated copy of method A's, and check that transporting
+    A's diagonal sds through the Procrustes rotation of the MEANS recovers
+    B's per-dim sds (raw per-dim correlation is near-meaningless)."""
+    from vibo_tpu import evaluation
+    rng = np.random.default_rng(3)
+    n, k = 400, 4
+    mu_a = rng.standard_normal((n, k))
+    sd_a = 0.1 + rng.random((n, k))
+    q, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    mu_b = mu_a @ q
+    # B's diagonal sds: diag of q^T diag(sd_a^2) q per person
+    sd_b = np.sqrt((sd_a ** 2) @ (q ** 2))
+    w = evaluation.procrustes_rotation(mu_a, mu_b)
+    sd_rot = evaluation.rotate_diag_sigma(sd_a, w)
+    raw = evaluation.correlation(sd_a, sd_b)["pearson"]
+    rot = evaluation.correlation(sd_rot, sd_b)["pearson"]
+    assert rot > 0.999
+    assert rot > raw + 0.05

@@ -302,6 +302,18 @@ def cmd_baseline(args):
                 align_rotation=True)["pearson"], 4)
     else:
         raise SystemExit(f"unknown method {args.method}")
+    if getattr(args, "out_dir", None):
+        # persist the posterior summary as a reusable artifact: a converged
+        # HMC gold posterior at north-star scale costs ~75 min to sample —
+        # `compare --hmc-cache` reloads it instead of re-sampling
+        import os
+        os.makedirs(args.out_dir, exist_ok=True)
+        arrays = {k[1:]: np.asarray(v) for k, v in summary.items()
+                  if k.startswith("_") and isinstance(v, np.ndarray)}
+        np.savez(os.path.join(args.out_dir, f"baseline_{args.method}.npz"),
+                 summary_json=json.dumps(_public(summary)),
+                 dataset=ds.name, shape=np.asarray(ds.shape),
+                 seed=args.seed, **arrays)
     print(json.dumps(_public(summary)))
     return summary
 
@@ -335,12 +347,54 @@ def cmd_compare(args):
     vibo_args.eval_every = max(args.epochs // 4, 1)
     timed("vibo", lambda: cmd_train(vibo_args))
 
+    def _cached_hmc_row():
+        """Load a baseline_hmc.npz saved by `baseline --out-dir` (or an
+        earlier cached compare) instead of re-sampling ~hours of HMC.
+        Validated against this run's dataset/shape/seed; None on miss."""
+        import os
+        if not getattr(args, "hmc_cache", None):
+            return None
+        path = os.path.join(args.hmc_cache, "baseline_hmc.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path, allow_pickle=False) as z:
+            row = json.loads(str(z["summary_json"]))
+            shape = [int(x) for x in z["shape"]]
+            if (row.get("dataset") != rows[0]["dataset"]
+                    or shape != [int(x) for x in rows[0]["shape"]]
+                    or int(z["seed"]) != args.seed):
+                raise SystemExit(
+                    f"--hmc-cache {path} was sampled on "
+                    f"{row.get('dataset')}{shape} seed "
+                    f"{int(z['seed'])}, not this run's "
+                    f"{rows[0]['dataset']}{rows[0]['shape']} seed "
+                    f"{args.seed} — posterior reuse would be invalid")
+            for k in ("theta_hat", "theta_sd"):
+                if k in z.files:
+                    row["_" + k] = z[k]
+        row["method"] = "hmc"
+        row["seconds"] = 0.0
+        row["cached"] = True
+        return row
+
     for method in args.methods.split(","):
         method = method.strip()
         if method in ("", "vibo"):
             continue
+        if method == "hmc":
+            cached = _cached_hmc_row()
+            if cached is not None:
+                print(f"note: hmc row loaded from --hmc-cache "
+                      f"{args.hmc_cache} (no re-sampling)", file=sys.stderr)
+                rows.append(cached)
+                continue
         b_args = argparse.Namespace(**vars(args))
         b_args.method = method
+        # write-through: a cache miss populates the cache for next time
+        b_args.out_dir = (args.hmc_cache
+                          if method == "hmc" and getattr(args, "hmc_cache",
+                                                         None)
+                          else None)
         if args.irt_model in ("1pl", "2pl", "3pl"):
             b_args.irt_model = args.irt_model
         elif method == "hmc":
@@ -397,13 +451,25 @@ def cmd_compare(args):
                 r["theta_vs_hmc"] = round(evaluation.correlation(
                     r_hat, ref, align_rotation=True)["pearson"], 4)
             if "_theta_sigma" in r and "_theta_sd" in hmc_row:
+                sig = np.asarray(r["_theta_sigma"])
+                if sig.ndim == 2 and sig.shape[1] == ref.shape[1] > 1:
+                    # K>1: per-dim sds are frame-dependent (each method's
+                    # latent space differs by a rotation on the
+                    # likelihood-null O(K) orbit); transport this method's
+                    # diagonal covariance into the HMC frame via the
+                    # Procrustes rotation of the MEANS before correlating —
+                    # the raw per-dim comparison is meaningless (measured
+                    # 0.058 at K=4 where the rotated one gives the real
+                    # uncertainty agreement)
+                    w = evaluation.procrustes_rotation(r_hat, ref)
+                    sig = evaluation.rotate_diag_sigma(sig, w)
                 r["sigma_vs_hmc"] = round(evaluation.correlation(
-                    r["_theta_sigma"], hmc_row["_theta_sd"])["pearson"], 4)
+                    sig, hmc_row["_theta_sd"])["pearson"], 4)
         hmc_row["theta_vs_hmc"] = 1.0
 
     cols = ("method", "seconds", "heldout_acc", "ece", "theta_pearson",
             "theta_vs_hmc", "sigma_vs_hmc", "rhat_max", "converged",
-            "dim_note")
+            "cached", "dim_note")
     table = [{c: r[c] for c in cols if c in r} for r in rows]
     print(json.dumps({"dataset": rows[0]["dataset"], "compare": table}))
     return table
@@ -645,6 +711,12 @@ def main(argv=None):
                    choices=["fixed", "nuts"], dest="hmc_trajectory")
     c.add_argument("--hmc-tree-depth", type=int, default=8,
                    dest="hmc_tree_depth")
+    c.add_argument("--hmc-cache", default=None, metavar="DIR",
+                   dest="hmc_cache",
+                   help="reuse a gold posterior: load DIR/baseline_hmc.npz "
+                        "(saved by `baseline --out-dir` or a previous cache "
+                        "miss here) instead of re-sampling; validated "
+                        "against this run's dataset/shape/seed")
     c.set_defaults(fn=cmd_compare)
 
     s = sub.add_parser(

@@ -347,18 +347,38 @@ def amortized_new_person_eval(model: VIBO, params, test_ds: Dataset,
     return out
 
 
+def procrustes_rotation(inferred: np.ndarray, truth: np.ndarray) -> np.ndarray:
+    """(K, K) orthogonal W = UV^T minimizing ||inferred @ W - truth||_F,
+    SVD(inferred^T truth) = U S V^T."""
+    inferred = np.asarray(inferred, np.float64)
+    truth = np.asarray(truth, np.float64)
+    u, _, vt = np.linalg.svd(inferred.T @ truth)
+    return u @ vt
+
+
 def procrustes_align(inferred: np.ndarray, truth: np.ndarray) -> np.ndarray:
     """Rotate inferred (N, K) onto truth with the orthogonal Procrustes
-    solution W = UV^T, SVD(inferred^T truth) = U S V^T.
+    solution (procrustes_rotation).
 
     Multidimensional IRT latents are identified only up to an orthogonal
     transform of (theta, a) jointly — raw per-dim correlations against
     ground truth are meaningless for K > 1 without this (standard factor-
     analysis practice; the reference's K>1 recovery eval needs the same)."""
     inferred = np.asarray(inferred, np.float64)
-    truth = np.asarray(truth, np.float64)
-    u, _, vt = np.linalg.svd(inferred.T @ truth)
-    return inferred @ (u @ vt)
+    return inferred @ procrustes_rotation(inferred, truth)
+
+
+def rotate_diag_sigma(sigma: np.ndarray, rotation: np.ndarray) -> np.ndarray:
+    """Per-person posterior sds (N, K) transported through an orthogonal
+    rotation W of the latent space: diag(W^T diag(sigma_i^2) W)[d]
+    = sum_k W[k, d]^2 sigma_i,k^2 -> sqrt.
+
+    Needed to compare posterior UNCERTAINTY across methods at K > 1: each
+    method's latent frame differs by a rotation (the likelihood-null O(K)
+    orbit), so per-dim sds are frame-dependent; rotate one method's diagonal
+    covariance into the other's frame before correlating."""
+    sigma = np.asarray(sigma, np.float64)
+    return np.sqrt((sigma ** 2) @ (np.asarray(rotation, np.float64) ** 2))
 
 
 def correlation(inferred: np.ndarray, truth: np.ndarray,
