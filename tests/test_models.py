@@ -263,3 +263,121 @@ def test_condition_on_mean_exogenous_noise_path():
     w1 = g["encoder"][0]["w"]
     feat_rows = np.asarray(w1[2 * M:])
     assert feat_rows.size > 0 and np.abs(feat_rows).max() > 0
+
+
+# ---------------------------------------- full-covariance (chol) q(theta)
+
+def test_chol_head_width_and_k1_noop():
+    """theta_posterior='chol' widens the encoder head by K(K-1)/2; at K=1
+    there is nothing to correlate, so the family is a no-op (diag head)."""
+    from vibo_tpu.models import networks
+    cfg4 = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=4,
+                      hidden_dim=32, theta_posterior="chol")
+    p4 = VIBO(cfg4).init_params(jax.random.key(0))
+    assert p4["encoder"][-1]["w"].shape[-1] == 2 * 4 + 6
+    cfg1 = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=1,
+                      hidden_dim=32, theta_posterior="chol")
+    p1 = VIBO(cfg1).init_params(jax.random.key(0))
+    assert p1["encoder"][-1]["w"].shape[-1] == 2
+    assert networks.ability_head_dim(4, chol=True) == 14
+    with pytest.raises(ValueError, match="theta_posterior"):
+        VIBOConfig(num_items=M, theta_posterior="full")
+
+
+def test_chol_zero_off_head_matches_diag_bitwise():
+    """Embedding a trained DIAG model into the chol family with zero
+    off-head rows must reproduce the diagonal ELBO exactly (same PRNG
+    stream: eps shapes are identical, the strict-lower mixing adds 0)."""
+    resp, mask = _data()
+    kw = dict(num_items=M, irt_model="2pl", ability_dim=K, hidden_dim=32)
+    m_diag = VIBO(VIBOConfig(**kw))
+    m_chol = VIBO(VIBOConfig(**kw, theta_posterior="chol"))
+    p = m_diag.init_params(jax.random.key(0))
+    # widen the head: [mu(K), logvar(K)] -> [mu, logvar, off=0]
+    from vibo_tpu.ops import distributions as dist
+    extra = dist.tril_dim(K)
+    last = p["encoder"][-1]
+    p_chol = dict(p)
+    p_chol["encoder"] = list(p["encoder"])
+    p_chol["encoder"][-1] = {
+        "w": jnp.concatenate([last["w"],
+                              jnp.zeros((last["w"].shape[0], extra))], -1),
+        "b": jnp.concatenate([last["b"], jnp.zeros((extra,))], -1)}
+    key = jax.random.key(5)
+    b_diag, _ = m_diag.elbo(p, key, resp, mask, 1.0, 2)
+    b_chol, _ = m_chol.elbo(p_chol, key, resp, mask, 1.0, 2)
+    np.testing.assert_allclose(float(b_chol), float(b_diag), rtol=1e-6)
+    iw_d = m_diag.iwae(p, key, resp, mask, 3)
+    iw_c = m_chol.iwae(p_chol, key, resp, mask, 3)
+    np.testing.assert_allclose(float(iw_c), float(iw_d), rtol=1e-6)
+
+
+def test_chol_elbo_packed_matches_dense_and_grads_flow():
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="chol")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b1, _ = model.elbo(params, key, resp, mask, 0.5, 2)
+    b2, _ = model.elbo_packed(params, key, pack_responses(resp, mask), 0.5, 2)
+    np.testing.assert_allclose(float(b2), float(b1), rtol=1e-5)
+    # gradients reach the off-diagonal head columns (the last tril_dim(K)
+    # output columns of the final encoder layer)
+    g = jax.grad(lambda p: -model.elbo(p, key, resp, mask, 1.0, 1)[0])(params)
+    from vibo_tpu.ops import distributions as dist
+    off_cols = np.asarray(g["encoder"][-1]["w"])[:, -dist.tril_dim(K):]
+    assert np.isfinite(off_cols).all() and np.abs(off_cols).max() > 0
+
+
+def test_chol_exogenous_noise_path_matches_keyed():
+    """elbo_packed_sums (trainer path, exogenous eps) must carry the chol
+    mixing too: with the SAME eps it matches a hand-assembled bound."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    from vibo_tpu.ops import objectives
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="chol")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    packed = jnp.asarray(pack_responses(resp, mask))
+    item_eps, theta_eps = model.sample_noise(params, jax.random.key(3), N, 2)
+    ll, klt, kli = model.elbo_packed_sums(params, packed, item_eps, theta_eps)
+    assert np.isfinite(float(ll)) and float(klt) >= 0
+    # the off head contributes: zeroing the off columns changes the bound
+    from vibo_tpu.ops import distributions as dist
+    extra = dist.tril_dim(K)
+    p0 = dict(params)
+    p0["encoder"] = list(params["encoder"])
+    last = params["encoder"][-1]
+    p0["encoder"][-1] = {
+        "w": last["w"].at[:, -extra:].set(0.0),
+        "b": last["b"].at[-extra:].set(0.0)}
+    ll0, klt0, _ = model.elbo_packed_sums(p0, packed, item_eps, theta_eps)
+    assert not np.allclose(float(ll), float(ll0))
+
+
+def test_chol_training_improves_and_serves():
+    """Short chol-family fit trains (finite, improving) and the serving /
+    posterior-mean path emits marginal sigmas + the Cholesky factor."""
+    from vibo_tpu.data import holdout_split, simulate_irt
+    from vibo_tpu.train import Trainer, TrainConfig
+    from vibo_tpu import evaluation
+    sim = simulate_irt("2pl", N, M, ability_dim=K, seed=2)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=2)
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="chol")
+    model = VIBO(cfg)
+    res = Trainer(model, TrainConfig(lr=1e-2, epochs=30, eval_every=15,
+                                     log_every=15)).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+    theta, items, sigma, tril = evaluation.infer_posterior_means(
+        model, res["params"], ds, return_scale_tril=True)
+    assert theta.shape == (N, K) and sigma.shape == (N, K)
+    assert tril.shape == (N, K, K)
+    # marginal sigma must equal the row norms of the factor
+    np.testing.assert_allclose(sigma, np.sqrt((tril ** 2).sum(-1)),
+                               rtol=1e-4, atol=1e-5)
+    # strictly-upper entries are zero by construction
+    assert np.abs(np.triu(tril, 1)).max() == 0.0

@@ -136,3 +136,123 @@ def test_jit_determinism(rng):
     f = jax.jit(links.logits_2pl)
     np.testing.assert_array_equal(np.asarray(f(theta, a, b)),
                                   np.asarray(f(theta, a, b)))
+
+
+# -------------------------------------------- full-covariance (Cholesky) q
+
+def _tril_oracle(logvar, off):
+    """Numpy oracle for ops.distributions.tril_matrix: row-major strict
+    lower entries (1,0),(2,0),(2,1),... below diag exp(0.5 * logvar)."""
+    k = logvar.shape[-1]
+    L = np.zeros(logvar.shape[:-1] + (k, k), np.float64)
+    idx = 0
+    for i in range(k):
+        L[..., i, i] = np.exp(0.5 * logvar[..., i])
+        for j in range(i):
+            L[..., i, j] = off[..., idx]
+            idx += 1
+    return L
+
+
+def test_tril_matrix_layout(rng):
+    k = 4
+    logvar = rng.standard_normal((6, k)).astype(np.float32)
+    off = rng.standard_normal((6, dist.tril_dim(k))).astype(np.float32)
+    got = np.asarray(dist.tril_matrix(jnp.array(logvar), jnp.array(off)))
+    np.testing.assert_allclose(got, _tril_oracle(logvar, off),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tril_reparameterize_matches_matmul(rng):
+    k = 4
+    mu = rng.standard_normal((5, k)).astype(np.float32)
+    logvar = rng.standard_normal((5, k)).astype(np.float32)
+    off = rng.standard_normal((5, dist.tril_dim(k))).astype(np.float32)
+    eps = rng.standard_normal((5, k)).astype(np.float32)
+    got = np.asarray(dist.tril_reparameterize_eps(
+        jnp.array(eps), jnp.array(mu), jnp.array(logvar), jnp.array(off)))
+    L = _tril_oracle(logvar, off)
+    want = mu + np.einsum("nij,nj->ni", L, eps)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tril_kl_closed_form_vs_full_covariance(rng):
+    """KL(N(mu, L L^T) || N(0,I)) via the closed form must equal the direct
+    full-covariance formula 0.5 (tr(S) + mu.mu - K - log|S|), S = L L^T."""
+    k = 3
+    mu = rng.standard_normal((8, k)).astype(np.float32)
+    logvar = (0.5 * rng.standard_normal((8, k))).astype(np.float32)
+    off = rng.standard_normal((8, dist.tril_dim(k))).astype(np.float32)
+    got = np.asarray(dist.kl_standard_normal_tril(
+        jnp.array(mu), jnp.array(logvar), jnp.array(off)))
+    L = _tril_oracle(logvar, off)
+    S = L @ np.swapaxes(L, -1, -2)
+    want = 0.5 * (np.trace(S, axis1=-2, axis2=-1) + (mu ** 2).sum(-1)
+                  - k - np.log(np.linalg.det(S)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # off=None degrades to the diagonal KL exactly
+    got_d = np.asarray(dist.kl_standard_normal_tril(jnp.array(mu),
+                                                    jnp.array(logvar)))
+    want_d = np.asarray(dist.kl_standard_normal(jnp.array(mu),
+                                                jnp.array(logvar)).sum(-1))
+    np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_tril_log_prob_vs_scipy_multivariate(rng):
+    """log q(z) at z = mu + L eps equals scipy's multivariate-normal logpdf
+    with covariance L L^T (the eps form sidesteps the triangular solve)."""
+    k = 3
+    mu = rng.standard_normal(k).astype(np.float32)
+    logvar = (0.5 * rng.standard_normal(k)).astype(np.float32)
+    off = rng.standard_normal(dist.tril_dim(k)).astype(np.float32)
+    eps = rng.standard_normal((10, k)).astype(np.float32)
+    L = _tril_oracle(logvar, off)
+    z = mu + eps @ L.T
+    got = np.asarray(dist.tril_log_prob_from_eps(jnp.array(eps),
+                                                 jnp.array(logvar)))
+    want = scipy.stats.multivariate_normal.logpdf(z, mean=mu, cov=L @ L.T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tril_marginal_sigma_vs_row_norms(rng):
+    k = 4
+    logvar = rng.standard_normal((7, k)).astype(np.float32)
+    off = rng.standard_normal((7, dist.tril_dim(k))).astype(np.float32)
+    got = np.asarray(dist.tril_marginal_sigma(jnp.array(logvar),
+                                              jnp.array(off)))
+    L = _tril_oracle(logvar, off)
+    want = np.sqrt(np.einsum("nij,nij->ni", L, L))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    got_d = np.asarray(dist.tril_marginal_sigma(jnp.array(logvar)))
+    np.testing.assert_allclose(got_d, np.exp(0.5 * logvar), rtol=1e-5)
+
+
+def test_tril_zero_off_matches_diag_family(rng):
+    """off = zeros must reproduce the diagonal family bitwise — training
+    starts in the diagonal basin (zero-init head bias) by construction."""
+    k = 3
+    mu = jnp.array(rng.standard_normal((4, k)).astype(np.float32))
+    logvar = jnp.array(rng.standard_normal((4, k)).astype(np.float32))
+    eps = jnp.array(rng.standard_normal((4, k)).astype(np.float32))
+    zero = jnp.zeros((4, dist.tril_dim(k)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(dist.tril_reparameterize_eps(eps, mu, logvar, zero)),
+        np.asarray(dist.reparameterize_eps(eps, mu, logvar)))
+    np.testing.assert_array_equal(
+        np.asarray(dist.kl_standard_normal_tril(mu, logvar, zero)),
+        np.asarray(dist.kl_standard_normal(mu, logvar).sum(-1)))
+
+
+def test_tril_reparameterize_sample_covariance():
+    """Empirical covariance of z = mu + L eps converges to L L^T."""
+    k = 2
+    mu = jnp.array([0.5, -1.0])
+    logvar = jnp.array([0.2, -0.4])
+    off = jnp.array([0.7])
+    zs, _ = jax.vmap(lambda kk: dist.tril_reparameterize(kk, mu, logvar, off)
+                     )(jax.random.split(jax.random.key(0), 40000))
+    zs = np.asarray(zs)
+    L = _tril_oracle(np.asarray(logvar), np.asarray(off))
+    want = L @ L.T
+    np.testing.assert_allclose(np.cov(zs.T), want, rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(zs.mean(0), np.asarray(mu), atol=0.02)

@@ -17,12 +17,13 @@ from vibo_tpu.train import Trainer, TrainConfig
 N, M, K = 64, 32, 2
 
 
-def _setup(irt_model="2pl", condition_on="sample"):
+def _setup(irt_model="2pl", condition_on="sample", theta_posterior="diag"):
     sim = simulate_irt("2pl", N, M, ability_dim=K, seed=0, missing_rate=0.1)
     ds = holdout_split(sim.response, sim.mask, 0.1, seed=0)
     model = VIBO(VIBOConfig(num_items=M, irt_model=irt_model, ability_dim=K,
                             hidden_dim=32, item_latent_dim=8,
-                            deep_hidden_dim=32, condition_on=condition_on))
+                            deep_hidden_dim=32, condition_on=condition_on,
+                            theta_posterior=theta_posterior))
     return ds, model
 
 
@@ -229,10 +230,14 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     np.testing.assert_allclose(res["final_elbo"], res1["final_elbo"], rtol=5e-5)
 
 
-@pytest.mark.parametrize("irt_model,condition_on", [
-    ("2pl", "sample"), ("deep", "sample"), ("2pl", "mean")])
+@pytest.mark.parametrize("irt_model,condition_on,theta_posterior", [
+    ("2pl", "sample", "diag"), ("deep", "sample", "diag"),
+    ("2pl", "mean", "diag"),
+    # chol: the full-covariance q(theta) family's strict-lower mixing is
+    # per-person-local, so the 2D tile/psum algebra must be unchanged
+    ("2pl", "sample", "chol")])
 def test_2d_packed_step_matches_unsharded(eight_devices, irt_model,
-                                          condition_on):
+                                          condition_on, theta_posterior):
     """One packed step on the 4x2 ('students','items') mesh == jax.grad of
     the identical unsharded packed loss (SGD; exact tile/slice/psum check
     for the 2D path — round-1 VERDICT item 3). Parametrized over the deep
@@ -243,7 +248,7 @@ def test_2d_packed_step_matches_unsharded(eight_devices, irt_model,
     import optax
     from vibo_tpu.ops import objectives
     from vibo_tpu.ops.pallas_elbo import pack_responses
-    ds, model = _setup(irt_model, condition_on)
+    ds, model = _setup(irt_model, condition_on, theta_posterior)
     packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
     rowv = jnp.ones(N, jnp.float32)
     key0, key1 = jax.random.key(0), jax.random.key(7)

@@ -222,3 +222,32 @@ def test_rotate_diag_sigma_recovers_frame():
     rot = evaluation.correlation(sd_rot, sd_b)["pearson"]
     assert rot > 0.999
     assert rot > raw + 0.05
+
+
+def test_rotate_tril_sigma_recovers_frame():
+    """Full-covariance counterpart of test_rotate_diag_sigma_recovers_frame:
+    transporting the Cholesky FACTOR through the Procrustes rotation of the
+    means recovers the rotated frame's marginal sds EXACTLY (the diagonal
+    transport is only exact when the covariance is diagonal)."""
+    from vibo_tpu import evaluation
+    from vibo_tpu.ops import distributions as dist
+    rng = np.random.default_rng(7)
+    n, k = 300, 3
+    mu_a = rng.standard_normal((n, k))
+    logvar = 0.3 * rng.standard_normal((n, k))
+    off = rng.standard_normal((n, dist.tril_dim(k)))
+    L = np.asarray(dist.tril_matrix(np.asarray(logvar, np.float32),
+                                    np.asarray(off, np.float32)))
+    q, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    mu_b = mu_a @ q
+    # B's marginal sds: sqrt(diag(q^T L L^T q)) per person
+    a = np.einsum("kd,nkj->ndj", q, L.astype(np.float64))
+    sd_b = np.sqrt((a ** 2).sum(-1))
+    w = evaluation.procrustes_rotation(mu_a, mu_b)
+    got = evaluation.rotate_tril_sigma(L, w)
+    assert evaluation.correlation(got, sd_b)["pearson"] > 0.9999
+    # the diagonal-only transport of the SAME posterior is strictly worse
+    sd_diag = np.sqrt(np.einsum("nij,nij->ni", L, L))
+    partial = evaluation.correlation(
+        evaluation.rotate_diag_sigma(sd_diag, w), sd_b)["pearson"]
+    assert evaluation.correlation(got, sd_b)["pearson"] > partial

@@ -108,6 +108,7 @@ def cmd_train(args):
         hidden_dim=args.hidden_dim,
         conditional_posterior=not args.mean_field,
         condition_on=getattr(args, "condition_on", "sample"),
+        theta_posterior=getattr(args, "theta_posterior", "diag"),
         item_encoder=getattr(args, "item_encoder", False),
         item_latent_dim=args.item_latent_dim,
         use_pallas=(jax.default_backend() == "tpu"
@@ -176,12 +177,19 @@ def cmd_train(args):
     if test_ds is None and test_items_ds is None:
         # person split reorders rows; item split subsets columns —
         # sim-truth correlations are only valid on the unsplit matrix
-        theta_hat, items, theta_sigma = evaluation.infer_posterior_means(
-            model, res["params"], ds, return_sigma=True)
+        chol = model.cfg.theta_posterior == "chol" and args.ability_dim > 1
+        out_means = evaluation.infer_posterior_means(
+            model, res["params"], ds, return_sigma=True,
+            return_scale_tril=chol)
+        theta_hat, items, theta_sigma = out_means[:3]
         # underscore keys: per-person estimates for cross-method agreement
         # (cmd_compare) — stripped from the printed summary
         summary["_theta_hat"] = theta_hat
         summary["_theta_sigma"] = theta_sigma
+        if chol:
+            # full covariance factor: sigma_vs_hmc frame transport must
+            # rotate the whole covariance, not just its diagonal
+            summary["_theta_scale_tril"] = out_means[3]
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 theta_hat[:sim.theta.shape[0]], sim.theta,
@@ -456,13 +464,19 @@ def cmd_compare(args):
                     # K>1: per-dim sds are frame-dependent (each method's
                     # latent space differs by a rotation on the
                     # likelihood-null O(K) orbit); transport this method's
-                    # diagonal covariance into the HMC frame via the
-                    # Procrustes rotation of the MEANS before correlating —
-                    # the raw per-dim comparison is meaningless (measured
-                    # 0.058 at K=4 where the rotated one gives the real
-                    # uncertainty agreement)
+                    # covariance into the HMC frame via the Procrustes
+                    # rotation of the MEANS before correlating — the raw
+                    # per-dim comparison is meaningless (measured 0.058 at
+                    # K=4 where the rotated one gives the real uncertainty
+                    # agreement). A chol-family posterior transports its
+                    # FULL covariance factor; diagonal families transport
+                    # the diagonal (all the covariance they have).
                     w = evaluation.procrustes_rotation(r_hat, ref)
-                    sig = evaluation.rotate_diag_sigma(sig, w)
+                    if "_theta_scale_tril" in r:
+                        sig = evaluation.rotate_tril_sigma(
+                            np.asarray(r["_theta_scale_tril"]), w)
+                    else:
+                        sig = evaluation.rotate_diag_sigma(sig, w)
                 r["sigma_vs_hmc"] = round(evaluation.correlation(
                     sig, hmc_row["_theta_sd"])["pearson"], 4)
         hmc_row["theta_vs_hmc"] = 1.0
@@ -626,6 +640,13 @@ def main(argv=None):
     t.add_argument("--eval-every", type=int, default=50)
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")
+    t.add_argument("--theta-posterior", default="diag",
+                   choices=["diag", "chol"], dest="theta_posterior",
+                   help="ability-posterior covariance family: independent "
+                        "per-dim Gaussians (reference family) or full "
+                        "covariance via a Cholesky factor — closes the K>1 "
+                        "posterior-width gap vs HMC (VIBOConfig."
+                        "theta_posterior)")
     t.add_argument("--condition-on", default="sample",
                    choices=["sample", "mean"], dest="condition_on",
                    help="conditional posterior input: per-MC-sample item "
@@ -696,6 +717,9 @@ def main(argv=None):
     c.add_argument("--condition-on", default="sample",
                    choices=["sample", "mean"], dest="condition_on",
                    help="VIBO leg: see train --condition-on")
+    c.add_argument("--theta-posterior", default="diag",
+                   choices=["diag", "chol"], dest="theta_posterior",
+                   help="VIBO leg: see train --theta-posterior")
     c.add_argument("--num-posterior-samples", type=int, default=1,
                    help="VIBO leg: MC samples for the training objective")
     c.add_argument("--restarts", type=int, default=1,

@@ -237,11 +237,11 @@ def _iwae_block_fn(cfg, num_samples: int, on: str):
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = model.sample_items_from(item_post, k_item)
-            mu, logvar = model.encode(params, resp, tmask, item_sample)
-            theta = dist.reparameterize(k_theta, mu, logvar)
+            mu, logvar, off = model.encode(params, resp, tmask, item_sample)
+            theta, eps = dist.tril_reparameterize(k_theta, mu, logvar, off)
             ll = model.loglik_per_person(params, theta, item_sample, resp, emask).sum()
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
-            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid).sum()
+            lq = (model.theta_logq(theta, eps, mu, logvar, off) * valid).sum()
             ratio = model.item_log_ratio_from(item_post, item_sample)
             return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
                                                      item_scale)
@@ -297,28 +297,43 @@ def iwae_loglik(model: VIBO, params, key: jax.Array, ds: Dataset,
 
 
 def infer_posterior_means(model: VIBO, params, ds: Dataset,
-                          block_size: int = 4096, return_sigma: bool = False):
+                          block_size: int = 4096, return_sigma: bool = False,
+                          return_scale_tril: bool = False):
     """Posterior-mean abilities (N, K) and item-parameter means (dict).
 
-    return_sigma=True additionally returns the (N, K) posterior standard
-    deviations (VIBO's uncertainty — compared against HMC's posterior sd in
-    the calibration eval)."""
+    return_sigma=True additionally returns the (N, K) MARGINAL posterior
+    standard deviations (VIBO's uncertainty — compared against HMC's
+    posterior sd in the calibration eval; for the chol family these are the
+    row norms of the Cholesky factor, ops.distributions.tril_marginal_sigma).
+    return_scale_tril=True (implies return_sigma) appends the per-person
+    (N, K, K) Cholesky factor L of the posterior covariance — needed to
+    transport the FULL covariance through a Procrustes rotation when
+    comparing uncertainty across methods at K > 1 (rotate_tril_sigma); for
+    the diagonal family L is diag(sigma)."""
+    from vibo_tpu.ops import distributions as dist
+
     item_mean = full_item_mean(model, params, ds)
     encode = _encode_code_fn(model.cfg)
     n = ds.response.shape[0]
     code_d, blocks = _blocked_code(ds, block_size)
-    thetas, sigmas = [], []
+    return_sigma = return_sigma or return_scale_tril
+    thetas, sigmas, trils = [], [], []
     for s, e in blocks:
-        mu, logvar = encode(params, item_mean, code_d[s:e])
+        mu, logvar, off = encode(params, item_mean, code_d[s:e])
         thetas.append(np.asarray(mu))
         if return_sigma:
-            sigmas.append(np.asarray(jnp.exp(0.5 * logvar)))
+            sigmas.append(np.asarray(dist.tril_marginal_sigma(logvar, off)))
+        if return_scale_tril:
+            trils.append(np.asarray(dist.tril_matrix(logvar, off)))
     # per-person outputs: drop the zero-padded rows of the last block
     theta = np.concatenate(thetas, 0)[:n]
     items = {k: np.asarray(v) for k, v in item_mean.items()}
+    out = (theta, items)
     if return_sigma:
-        return theta, items, np.concatenate(sigmas, 0)[:n]
-    return theta, items
+        out = out + (np.concatenate(sigmas, 0)[:n],)
+    if return_scale_tril:
+        out = out + (np.concatenate(trils, 0)[:n],)
+    return out
 
 
 def amortized_new_person_eval(model: VIBO, params, test_ds: Dataset,
@@ -379,6 +394,22 @@ def rotate_diag_sigma(sigma: np.ndarray, rotation: np.ndarray) -> np.ndarray:
     covariance into the other's frame before correlating."""
     sigma = np.asarray(sigma, np.float64)
     return np.sqrt((sigma ** 2) @ (np.asarray(rotation, np.float64) ** 2))
+
+
+def rotate_tril_sigma(scale_tril: np.ndarray, rotation: np.ndarray
+                      ) -> np.ndarray:
+    """Per-person marginal sds (N, K) of a FULL covariance transported
+    through an orthogonal rotation W: sqrt(diag(W^T L L^T W))
+    = row norms of W^T L.
+
+    The chol-family counterpart of rotate_diag_sigma: the diagonal transport
+    discards the off-diagonal covariance the chol posterior exists to carry,
+    so cross-method uncertainty agreement at K > 1 must rotate the full
+    factor (infer_posterior_means(..., return_scale_tril=True))."""
+    scale_tril = np.asarray(scale_tril, np.float64)
+    w = np.asarray(rotation, np.float64)
+    a = np.einsum("kd,nkj->ndj", w, scale_tril)
+    return np.sqrt((a ** 2).sum(-1))
 
 
 def correlation(inferred: np.ndarray, truth: np.ndarray,

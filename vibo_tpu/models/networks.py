@@ -51,22 +51,59 @@ def ability_encoder_input_dim(num_items: int, item_feat_dim: int) -> int:
     return 2 * num_items + item_feat_dim
 
 
+def ability_head_dim(ability_dim: int, chol: bool = False) -> int:
+    """Encoder-head width: (mu, logvar) plus, for the full-covariance
+    family, the K(K-1)/2 strict-lower Cholesky entries (ops.distributions
+    `tril_*`; closes the K>1 posterior-width gap vs the HMC gold)."""
+    extra = (ability_dim * (ability_dim - 1)) // 2 if chol else 0
+    return 2 * ability_dim + extra
+
+
 def init_ability_encoder(key, num_items: int, item_feat_dim: int,
-                         ability_dim: int, hidden_dim: int):
-    """q(theta_i | r_i, d): MLP([r_i * m_i, m_i, flat(d)]) -> (mu, logvar).
+                         ability_dim: int, hidden_dim: int,
+                         chol: bool = False):
+    """q(theta_i | r_i, d): MLP([r_i * m_i, m_i, flat(d)]) -> (mu, logvar
+    [, off]).
 
     item_feat_dim = 0 gives the mean-field ablation q(theta_i | r_i)
     (arXiv:2002.00276 section 6.4 compares VIBO against exactly this).
+    chol=True widens the head by K(K-1)/2 Cholesky off-diagonal outputs
+    (ability_head_dim); with zero bias init they start near 0, so training
+    begins in the diagonal family and learns correlations only where the
+    bound wants them.
     """
     in_dim = ability_encoder_input_dim(num_items, item_feat_dim)
-    return init_mlp(key, [in_dim, hidden_dim, hidden_dim, 2 * ability_dim])
+    return init_mlp(key, [in_dim, hidden_dim, hidden_dim,
+                          ability_head_dim(ability_dim, chol)])
+
+
+def split_ability_head(out, ability_dim: int | None = None, axis: int = -1):
+    """Head output -> (mu, clipped logvar, off | None).
+
+    ability_dim=None: the head is (mu, logvar) halves (diagonal family,
+    off=None — the historical contract). Otherwise the layout is
+    [mu(K), logvar(K), off(K(K-1)/2)] along `axis` (axis=0 for the
+    transposed (K, B) head)."""
+    if ability_dim is None:
+        mu, logvar = jnp.split(out, 2, axis=axis)
+        return mu, jnp.clip(logvar, -8.0, 8.0), None
+    k = ability_dim
+    mu = jax.lax.slice_in_dim(out, 0, k, axis=axis)
+    logvar = jax.lax.slice_in_dim(out, k, 2 * k, axis=axis)
+    off = jax.lax.slice_in_dim(out, 2 * k, out.shape[axis], axis=axis)
+    if off.shape[axis] == 0:
+        off = None
+    return mu, jnp.clip(logvar, -8.0, 8.0), off
 
 
 def apply_ability_encoder(params, response, mask, item_feats=None,
-                          compute_dtype=jnp.float32):
+                          compute_dtype=jnp.float32,
+                          ability_dim: int | None = None):
     """response/mask (..., B, M); item_feats (..., F) shared across persons.
 
-    Returns (mu, logvar), each (..., B, K).
+    Returns (mu, logvar, off), each (..., B, K) (off None for the diagonal
+    family, (..., B, K(K-1)/2) when ability_dim is passed and the head
+    carries Cholesky outputs — split_ability_head).
 
     TPU notes: the item-feature block of the first layer is factored out —
     item_feats is identical for every person in the batch, so its projection
@@ -105,14 +142,14 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
                                 dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) + layer["b"])
     out = linear(rest[-1], x)
-    mu, logvar = jnp.split(out, 2, axis=-1)
-    # Clamp logvar for optimization stability (VAE-standard).
-    return mu, jnp.clip(logvar, -8.0, 8.0)
+    # logvar clamped for optimization stability (VAE-standard).
+    return split_ability_head(out, ability_dim)
 
 
 def apply_ability_encoder_packed(params, packed, item_feats=None,
                                  compute_dtype=jnp.float32,
-                                 transposed_head: bool = False):
+                                 transposed_head: bool = False,
+                                 ability_dim: int | None = None):
     """apply_ability_encoder consuming the int8 packed response code
     directly: the first layer runs the fused Pallas decode+dual-matmul
     kernel (ops/pallas_encoder), so the decoded response/mask matrices never
@@ -147,17 +184,16 @@ def apply_ability_encoder_packed(params, packed, item_feats=None,
         outT = jax.lax.dot_general(   # (H, 2K) x (B, H) -> (2K, B)
             rest[-1]["w"], x, dimension_numbers=(((0,), (x.ndim - 1,)), ((), ())),
             preferred_element_type=jnp.float32) + rest[-1]["b"][:, None]
-        muT, logvarT = jnp.split(outT, 2, axis=0)
-        return muT, jnp.clip(logvarT, -8.0, 8.0)
+        return split_ability_head(outT, ability_dim, axis=0)
     out = linear(rest[-1], x)
-    mu, logvar = jnp.split(out, 2, axis=-1)
-    return mu, jnp.clip(logvar, -8.0, 8.0)
+    return split_ability_head(out, ability_dim)
 
 
 def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
                                        num_items_total: int, item_index,
                                        axis_name: str,
-                                       compute_dtype=jnp.float32):
+                                       compute_dtype=jnp.float32,
+                                       ability_dim: int | None = None):
     """Ability encoder under ITEM-AXIS sharding (2D ('students','items')
     mesh): each shard holds the (B_local, M_local) column block
     [item_index*M_local, (item_index+1)*M_local) of the response matrix and
@@ -204,8 +240,7 @@ def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
     for layer in rest[:-1]:
         x = jax.nn.relu(mm(x, layer["w"]) + layer["b"])
     out = linear(rest[-1], x)
-    mu, logvar = jnp.split(out, 2, axis=-1)
-    return mu, jnp.clip(logvar, -8.0, 8.0)
+    return split_ability_head(out, ability_dim)
 
 
 # ------------------------------------------------------ item posteriors

@@ -84,6 +84,21 @@ class VIBOConfig:
                                         # training matches the eval/serving
                                         # path (which always conditioned on
                                         # means). Ignored under mean-field.
+    theta_posterior: str = "diag"       # ability-posterior covariance family:
+                                        # "diag" = independent per-dim
+                                        # Gaussians (the reference family);
+                                        # "chol" = full covariance via a
+                                        # Cholesky factor — the encoder head
+                                        # grows K(K-1)/2 strict-lower outputs
+                                        # (ops.distributions tril_*). Built
+                                        # because the mean-field family's
+                                        # per-person posterior WIDTHS
+                                        # correlate only 0.26 with the
+                                        # converged K=4 HMC gold (RESULTS.md)
+                                        # while its means hit 0.99; K>1 IRT
+                                        # posteriors are correlated across
+                                        # ability dims and a diagonal q
+                                        # cannot express that. No-op at K=1.
     item_latent_dim: int = 16           # deep link only
     deep_hidden_dim: int = 128          # deep link MLP width
     item_encoder: bool = False          # amortize q(d_j | r_:,j) from column
@@ -108,6 +123,10 @@ class VIBOConfig:
             raise ValueError(
                 f"condition_on must be 'sample' or 'mean', "
                 f"got {self.condition_on!r}")
+        if self.theta_posterior not in ("diag", "chol"):
+            raise ValueError(
+                f"theta_posterior must be 'diag' or 'chol', "
+                f"got {self.theta_posterior!r}")
 
 
 class VIBO:
@@ -121,6 +140,11 @@ class VIBO:
             if cfg.conditional_posterior else 0)
         self._head_spec = networks.item_head_spec(
             cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim)
+        # ability_dim passed to the encoder-head split iff the head carries
+        # Cholesky outputs; None keeps the diagonal family's historical
+        # halve-in-two contract (networks.split_ability_head)
+        self._chol = cfg.theta_posterior == "chol" and cfg.ability_dim > 1
+        self._enc_k = cfg.ability_dim if self._chol else None
 
     # ------------------------------------------------------------- params
 
@@ -130,7 +154,7 @@ class VIBO:
         params = {
             "encoder": networks.init_ability_encoder(
                 k_enc, cfg.num_items, self._item_feat_dim, cfg.ability_dim,
-                cfg.hidden_dim),
+                cfg.hidden_dim, chol=self._chol),
         }
         if cfg.item_encoder:
             k_mlp, k_res = jax.random.split(k_item)
@@ -236,6 +260,9 @@ class VIBO:
 
     def encode(self, params: dict, response: jax.Array, mask: jax.Array,
                item_sample: dict | None):
+        """-> (mu, logvar, off): the ability posterior q(theta_i | ...).
+        off is None for the diagonal family, else the (B, K(K-1)/2)
+        strict-lower Cholesky entries (theta_posterior='chol')."""
         if response.shape[-1] != self.cfg.num_items:
             raise ValueError(
                 f"response has {response.shape[-1]} items but the model was "
@@ -246,7 +273,24 @@ class VIBO:
             feats = networks.flatten_item_sample(item_sample)
         return networks.apply_ability_encoder(
             params["encoder"], response, mask, feats,
-            compute_dtype=jnp.dtype(self.cfg.compute_dtype))
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            ability_dim=self._enc_k)
+
+    # ---------------------------------------------- theta-posterior family
+
+    def theta_kl(self, mu, logvar, off) -> jax.Array:
+        """Per-person KL(q(theta_i) || N(0, I)) — (B,), last axis reduced;
+        family-dispatched (diag == the historical formula bitwise)."""
+        return dist.kl_standard_normal_tril(mu, logvar, off)
+
+    def theta_logq(self, theta, eps, mu, logvar, off) -> jax.Array:
+        """Per-person log q(theta_i) at theta = mu + L eps (IWAE weights).
+        Diagonal family keeps the historical theta-based formula (bitwise
+        compatibility with every recorded bound); chol uses the solve-free
+        eps form (ops.distributions.tril_log_prob_from_eps)."""
+        if off is None:
+            return dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+        return dist.tril_log_prob_from_eps(eps, logvar)
 
     # ------------------------------------------------------------ decoder
 
@@ -315,17 +359,17 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask,
-                                         self._encoder_conditioning(
-                                             post, item_sample))
-            theta = dist.reparameterize(k_theta, mu, logvar)
+            mu, logvar, off = self.encode(params, response, mask,
+                                          self._encoder_conditioning(
+                                              post, item_sample))
+            theta, _ = dist.tril_reparameterize(k_theta, mu, logvar, off)
             ll = self.loglik_per_person(params, theta, item_sample, response, mask)
             # all-missing rows (zero-padded batches, pad_to_multiple) are
             # inert: their loglik is 0 by masking and their KL is excluded,
             # so objectives are EXACTLY invariant to padding (tested) and
             # match the shard_map dp path's row_weight convention.
             valid = (mask.sum(-1) > 0).astype(mu.dtype)
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
+            kl_theta = self.theta_kl(mu, logvar, off) * valid
             return ll.sum(), kl_theta.sum()
 
         loglik, kl_theta = _mc_mean(one_sample, key, num_samples)
@@ -350,15 +394,15 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask,
-                                         self._encoder_conditioning(
-                                             post, item_sample))
-            theta = dist.reparameterize(k_theta, mu, logvar)
+            mu, logvar, off = self.encode(params, response, mask,
+                                          self._encoder_conditioning(
+                                              post, item_sample))
+            theta, eps = dist.tril_reparameterize(k_theta, mu, logvar, off)
             ll = self.loglik_per_person(params, theta, item_sample, response,
                                         mask).sum()
             valid = (mask.sum(-1) > 0).astype(mu.dtype)
             lp_theta = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
-            lq_theta = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+            lq_theta = (self.theta_logq(theta, eps, mu, logvar, off)
                         * valid).sum()
             item_ratio = self.item_log_ratio_from(post, item_sample)
             return objectives.importance_log_weights(
@@ -402,9 +446,15 @@ class VIBO:
         T(4,128) layout vs Mosaic's required row-major inserted 8 relayout
         copies (~28 us) per step at 10k x 1k (K=4) on v5e, plus padded
         (B, 1)/(B, K) tile traffic. Callers must pass the SAME flag to
-        sample_noise and elbo_packed_sums/iwae_packed_terms."""
-        return self.cfg.use_pallas and self.cfg.irt_model in ("1pl", "2pl",
-                                                              "3pl")
+        sample_noise and elbo_packed_sums/iwae_packed_terms.
+
+        The chol family stays on the standard (B, K) layout: its strict-
+        lower mixing is a per-person K-vector recurrence whose transposed
+        form would be written against (K, B) slabs — implementable, but the
+        layout win it protects (~28 us/step) is small next to the family's
+        purpose (posterior quality), so it is not built yet."""
+        return (self.cfg.use_pallas and not self._chol
+                and self.cfg.irt_model in ("1pl", "2pl", "3pl"))
 
     def _packed_train_loglik_t(self, params: dict, thetaT: jax.Array,
                                item_sample: dict, packed: jax.Array
@@ -426,8 +476,13 @@ class VIBO:
     def _encode_packed(self, params: dict, packed: jax.Array, response, mask,
                        item_sample: dict | None, transposed: bool = False):
         """Ability encoder for the packed pipeline: fused int8 path when
-        available, otherwise the decoded-data encoder. transposed=True
-        returns (muT, logvarT) as (K, B) — fused path only."""
+        available, otherwise the decoded-data encoder. Returns
+        (mu, logvar, off) like encode(); transposed=True returns
+        (muT, logvarT, None) as (K, B) — fused diag path only (the chol
+        family never requests it, see wants_transposed_theta)."""
+        if transposed and self._chol:
+            raise ValueError("the transposed (K, B) theta pipeline does not "
+                             "carry the chol family (wants_transposed_theta)")
         if self._use_fused_encoder(packed):
             if packed.shape[-1] != self.cfg.num_items:
                 raise ValueError(
@@ -438,12 +493,12 @@ class VIBO:
             return networks.apply_ability_encoder_packed(
                 params["encoder"], packed, feats,
                 compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-                transposed_head=transposed)
+                transposed_head=transposed, ability_dim=self._enc_k)
         # item_sample here is ALREADY what the caller wants conditioned on
         # (callers route through _encoder_conditioning) — pass it through
         if transposed:
-            mu, logvar = self.encode(params, response, mask, item_sample)
-            return mu.T, logvar.T
+            mu, logvar, _ = self.encode(params, response, mask, item_sample)
+            return mu.T, logvar.T, None
         return self.encode(params, response, mask, item_sample)
 
     def _decode_if_needed(self, params: dict, packed: jax.Array):
@@ -501,10 +556,10 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self._encode_packed(
+            mu, logvar, off = self._encode_packed(
                 params, packed, response, mask,
                 self._encoder_conditioning(post, item_sample))
-            theta = dist.reparameterize(k_theta, mu, logvar)
+            theta, _ = dist.tril_reparameterize(k_theta, mu, logvar, off)
             if use_packed_kernel:
                 # one-pass fused kernel: ll.sum() below => uniform cotangent,
                 # the train variant's contract
@@ -514,7 +569,7 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
+            kl_theta = self.theta_kl(mu, logvar, off) * valid
             return ll.sum(), kl_theta.sum()
 
         loglik, kl_theta = _mc_mean(one_sample, key, num_samples)
@@ -546,10 +601,10 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self._encode_packed(
+            mu, logvar, off = self._encode_packed(
                 params, packed, response, mask,
                 self._encoder_conditioning(post, item_sample))
-            theta = dist.reparameterize(k_theta, mu, logvar)
+            theta, eps = dist.tril_reparameterize(k_theta, mu, logvar, off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
                                                packed).sum()
@@ -559,8 +614,7 @@ class VIBO:
                     response.astype(jnp.float32),
                     mask.astype(jnp.float32)).sum()
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
-            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
-                  * valid).sum()
+            lq = (self.theta_logq(theta, eps, mu, logvar, off) * valid).sum()
             ratio = self.item_log_ratio_from(post, item_sample)
             return objectives.importance_log_weights(ll, lp, lq, ratio, 0.0,
                                                      item_scale)
@@ -659,16 +713,17 @@ class VIBO:
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
-            mu, logvar = self._encode_packed(
+            mu, logvar, off = self._encode_packed(
                 params, packed, response, mask,
                 self._encoder_conditioning(post, item_sample),
                 transposed=transposed)
-            theta = dist.reparameterize_eps(t_eps, mu, logvar)
             if transposed:
+                theta = dist.reparameterize_eps(t_eps, mu, logvar)
                 ll_sum = self._packed_train_loglik_t(params, theta,
                                                      item_sample, packed)
                 kl_theta = dist.kl_standard_normal(mu, logvar).sum(0) * valid
                 return ll_sum, kl_theta.sum()
+            theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
                                                packed)
@@ -676,7 +731,7 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
+            kl_theta = self.theta_kl(mu, logvar, off) * valid
             return ll.sum(), kl_theta.sum()
 
         lls, kl_thetas = _mc_eps(one_sample, item_eps, theta_eps)
@@ -751,11 +806,12 @@ class VIBO:
                 eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
                 item_sample[name] = dist.reparameterize_eps(
                     eps_loc, post[name]["mu"], post[name]["logvar"])
-            mu, logvar = networks.apply_ability_encoder_item_sharded(
+            mu, logvar, c_off = networks.apply_ability_encoder_item_sharded(
                 params["encoder"], response, mask,
                 self._encoder_conditioning(post, item_sample),
-                cfg.num_items, item_index, items_axis, compute_dtype=cd)
-            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+                cfg.num_items, item_index, items_axis, compute_dtype=cd,
+                ability_dim=self._enc_k)
+            theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
                                                packed)
@@ -763,7 +819,7 @@ class VIBO:
                 ll = self.loglik_per_person(params, theta, item_sample,
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32))
-            kl_theta = dist.kl_standard_normal(mu, logvar).sum(-1) * valid
+            kl_theta = self.theta_kl(mu, logvar, c_off) * valid
             return ll.sum(), kl_theta.sum()
 
         lls, kl_thetas = _mc_eps(one_sample, item_eps, theta_eps)
@@ -810,11 +866,12 @@ class VIBO:
                 eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
                 item_sample[name] = dist.reparameterize_eps(
                     eps_loc, post[name]["mu"], post[name]["logvar"])
-            mu, logvar = networks.apply_ability_encoder_item_sharded(
+            mu, logvar, c_off = networks.apply_ability_encoder_item_sharded(
                 params["encoder"], response, mask,
                 self._encoder_conditioning(post, item_sample),
-                cfg.num_items, item_index, items_axis, compute_dtype=cd)
-            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+                cfg.num_items, item_index, items_axis, compute_dtype=cd,
+                ability_dim=self._enc_k)
+            theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
                                                packed).sum()
@@ -823,7 +880,7 @@ class VIBO:
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32)).sum()
             lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
-            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(-1)
+            lq = (self.theta_logq(theta, t_eps, mu, logvar, c_off)
                   * valid).sum()
             ratio = self.item_log_ratio_from(post, item_sample)
             return ll + (lp - lq) / n_i + item_scale * ratio / n_s
@@ -875,11 +932,12 @@ class VIBO:
                 name: dist.reparameterize_eps(i_eps[name], post[name]["mu"],
                                               post[name]["logvar"])
                 for name in i_eps}
-            mu, logvar = self._encode_packed(
+            mu, logvar, off = self._encode_packed(
                 params, packed, response, mask,
                 self._encoder_conditioning(post, item_sample),
                 transposed=transposed)
-            theta = dist.reparameterize_eps(t_eps, mu, logvar)
+            theta = (dist.reparameterize_eps(t_eps, mu, logvar) if transposed
+                     else dist.tril_reparameterize_eps(t_eps, mu, logvar, off))
             if transposed:
                 ll = self._packed_train_loglik_t(params, theta, item_sample,
                                                  packed)
@@ -891,7 +949,9 @@ class VIBO:
                                             response.astype(jnp.float32),
                                             mask.astype(jnp.float32)).sum()
             lp = (dist.standard_normal_log_prob(theta).sum(kdim) * valid).sum()
-            lq = (dist.gaussian_log_prob(theta, mu, logvar).sum(kdim)
+            lq = ((dist.gaussian_log_prob(theta, mu, logvar).sum(kdim)
+                   if transposed
+                   else self.theta_logq(theta, t_eps, mu, logvar, off))
                   * valid).sum()
             ratio = self.item_log_ratio_from(post, item_sample)
             return ll + lp - lq, ratio
@@ -913,15 +973,15 @@ class VIBO:
         def one_sample(k):
             k_item, k_theta = jax.random.split(k)
             item_sample = self.sample_items_from(post, k_item)
-            mu, logvar = self.encode(params, response, mask,
-                                         self._encoder_conditioning(
-                                             post, item_sample))
-            theta = dist.reparameterize(k_theta, mu, logvar)
+            mu, logvar, off = self.encode(params, response, mask,
+                                          self._encoder_conditioning(
+                                              post, item_sample))
+            theta, eps = dist.tril_reparameterize(k_theta, mu, logvar, off)
             ll = self.loglik_per_person(params, theta, item_sample, response,
                                         mask)                      # (B,)
             valid = (mask.sum(-1) > 0).astype(mu.dtype)
             lp = dist.standard_normal_log_prob(theta).sum(-1) * valid  # (B,)
-            lq = dist.gaussian_log_prob(theta, mu, logvar).sum(-1) * valid
+            lq = self.theta_logq(theta, eps, mu, logvar, off) * valid
             item_ratio = self.item_log_ratio_from(post, item_sample) / n_total
             return ll + lp - lq + item_ratio
 
@@ -949,5 +1009,5 @@ class VIBO:
         """impute_prob with explicit item-parameter means — lets evaluation
         compute the (amortized) item posterior once from the full training
         matrix and reuse it across person blocks."""
-        mu, _ = self.encode(params, response, mask, item_mean)
+        mu, _, _ = self.encode(params, response, mask, item_mean)
         return self.response_prob(params, mu, item_mean)

@@ -96,9 +96,10 @@ class AbilityScorer:
                 item_mean = fixed_item_mean
             else:
                 item_mean = model.item_posterior_mean(params, response, mask)
-            mu, logvar = model.encode(params, response, mask, item_mean)
+            mu, logvar, off = model.encode(params, response, mask, item_mean)
             prob = model.response_prob(params, mu, item_mean)
-            return mu, jnp.exp(0.5 * logvar), prob
+            from vibo_tpu.ops import distributions as dist
+            return mu, dist.tril_marginal_sigma(logvar, off), prob
 
         return score
 
