@@ -163,3 +163,28 @@ def test_load_dataset_forwards_min_filters(tmp_path):
                              min_per_person=7, min_per_item=5)
     # every person has only 6 responses -> all filtered
     assert ds_strict.shape[0] == 0 or ds_strict.shape[0] < 10
+
+
+def test_simulator_nonlinear_family():
+    """'nonlinear' (the deep link's generative regime, arXiv:2002.00276
+    section 5.3): reproducible, valid probabilities, and the true logit
+    matrix carries substantial energy OUTSIDE the rank-(K+1) subspace a
+    bilinear 2PL link (theta @ a^T - b) can express — so a linear-link model
+    is genuinely misspecified on it."""
+    from vibo_tpu.data.synthetic import simulate_irt
+    k = 2
+    s1 = simulate_irt("nonlinear", 300, 60, ability_dim=k, seed=4)
+    s2 = simulate_irt("nonlinear", 300, 60, ability_dim=k, seed=4)
+    np.testing.assert_array_equal(s1.response, s2.response)
+    assert s1.theta.shape == (300, k) and s1.a.shape == (60, k)
+    assert np.all((s1.prob > 0) & (s1.prob < 1))
+    assert set(np.unique(s1.response)) <= {0.0, 1.0}
+    logits = np.log(s1.prob / (1 - s1.prob))
+    sv = np.linalg.svd(logits - logits.mean(), compute_uv=False)
+    tail = (sv[k + 1:] ** 2).sum() / (sv ** 2).sum()
+    assert tail > 0.05, f"logits ~rank-{k+1}: tail energy {tail:.4f}"
+    # the linear families stay exactly bilinear by the same measure
+    lin = simulate_irt("2pl", 300, 60, ability_dim=k, seed=4)
+    llog = np.log(lin.prob / (1 - lin.prob))
+    sv_l = np.linalg.svd(llog - llog.mean(), compute_uv=False)
+    assert (sv_l[k + 1:] ** 2).sum() / (sv_l ** 2).sum() < 1e-9

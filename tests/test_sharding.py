@@ -235,7 +235,10 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     ("2pl", "mean", "diag"),
     # chol: the full-covariance q(theta) family's strict-lower mixing is
     # per-person-local, so the 2D tile/psum algebra must be unchanged
-    ("2pl", "sample", "chol")])
+    ("2pl", "sample", "chol"),
+    # stats: the compressed conditioning's per-shard statistic blocks must
+    # psum to the exact global sufficient statistics
+    ("2pl", "stats", "diag"), ("3pl", "stats", "chol")])
 def test_2d_packed_step_matches_unsharded(eight_devices, irt_model,
                                           condition_on, theta_posterior):
     """One packed step on the 4x2 ('students','items') mesh == jax.grad of

@@ -34,7 +34,8 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("dataset",
-                   help="synthetic-{1pl,2pl,3pl} | pisa | duolingo | wordbank "
+                   help="synthetic-{1pl,2pl,3pl,nonlinear} | pisa | duolingo "
+                        "| wordbank "
                         "| critlangacq | gradescope")
     p.add_argument("--num-persons", type=int, default=1000)
     p.add_argument("--num-items", type=int, default=100)
@@ -648,11 +649,13 @@ def main(argv=None):
                         "posterior-width gap vs HMC (VIBOConfig."
                         "theta_posterior)")
     t.add_argument("--condition-on", default="sample",
-                   choices=["sample", "mean"], dest="condition_on",
+                   choices=["sample", "mean", "stats"], dest="condition_on",
                    help="conditional posterior input: per-MC-sample item "
-                        "draw (classic VIBO) or the noise-free item-"
-                        "posterior means (serving-consistent; see "
-                        "VIBOConfig.condition_on)")
+                        "draw (classic VIBO), the noise-free item-"
+                        "posterior means (serving-consistent), or the "
+                        "draw's compressed sufficient statistics (~25 "
+                        "inputs instead of M*(K+1) — the K>1-capable "
+                        "structured family; see VIBOConfig.condition_on)")
     t.add_argument("--item-encoder", action="store_true",
                    help="amortize q(d_j|r_col) from column statistics "
                         "(enables new-item cold-start) instead of free "
@@ -715,7 +718,7 @@ def main(argv=None):
                    help="VIBO leg: q(theta|r) without item conditioning "
                         "(the measured-best family at K>1)")
     c.add_argument("--condition-on", default="sample",
-                   choices=["sample", "mean"], dest="condition_on",
+                   choices=["sample", "mean", "stats"], dest="condition_on",
                    help="VIBO leg: see train --condition-on")
     c.add_argument("--theta-posterior", default="diag",
                    choices=["diag", "chol"], dest="theta_posterior",

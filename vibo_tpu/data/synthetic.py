@@ -25,7 +25,8 @@ class SyntheticIRT:
     response: np.ndarray        # (N, M) float32 in {0,1}
     mask: np.ndarray            # (N, M) float32, 1 = observed (MAR missingness)
     theta: np.ndarray           # (N, K) true abilities
-    a: np.ndarray               # (M, K) true discriminations (ones for 1PL)
+    a: np.ndarray               # (M, K) true discriminations (ones for 1PL;
+                                # the item EMBEDDINGS d_j for "nonlinear")
     b: np.ndarray               # (M,)  true difficulties
     g_hat: np.ndarray | None    # (M,)  true guess logits (3PL only)
     prob: np.ndarray            # (N, M) true response probabilities
@@ -37,12 +38,50 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _nonlinear_logits(rng, theta, d, b):
+    """Fixed random tanh-MLP link over [theta_i, d_j] pairs — the nonlinear
+    generative family of arXiv:2002.00276 section 5.3 ("deep generative
+    IRT"): response curves that are NOT of the form sigmoid(theta.a - b), so
+    a bilinear 2PL is misspecified while VIBO's deep link (an MLP over
+    (theta, d), models/networks.apply_deep_link) is correctly specified.
+
+    Construction: h = tanh(W1 [theta; d] + c1); logits = scale * (w2 h)
+    + quad * (theta . d)^2-ish interaction - b. The explicit multiplicative
+    term guarantees curvature a bilinear form cannot absorb even if the
+    random MLP happens to be near-linear at the sampled weights; weights are
+    drawn from the SAME seeded rng stream so the dataset is reproducible."""
+    k, kd = theta.shape[1], d.shape[1]
+    hidden = 32
+    w1 = rng.standard_normal((k + kd, hidden)) / np.sqrt(k + kd)
+    c1 = rng.standard_normal(hidden) * 0.3
+    w2 = rng.standard_normal(hidden) / np.sqrt(hidden)
+    # pairwise interactions without a (N, M, k+kd) concat: split W1 into its
+    # theta rows and d rows; the tanh couples the two projections nonlinearly
+    t_proj = theta @ w1[:k]                      # (N, H)
+    d_proj = d @ w1[k:] + c1                     # (M, H)
+    h = np.tanh(t_proj[:, None, :] + d_proj[None, :, :])     # (N, M, H)
+    mlp = h @ w2                                              # (N, M)
+    inter = np.square(theta @ d.T) / np.sqrt(max(k, kd))      # (N, M)
+    raw = 2.2 * mlp + 0.8 * inter
+    # standardize to logit sd ~1.6 (the 2PL family's typical spread) so
+    # held-out accuracy differences reflect link SHAPE, not logit scale;
+    # clip the (heavy-tailed, via the squared interaction) extremes so no
+    # probability saturates to exactly 0/1 in f32
+    raw = (raw - raw.mean()) / (raw.std() + 1e-8) * 1.6
+    return np.clip(raw - b[None, :], -10.0, 10.0)
+
+
 def simulate_irt(irt_model: str, num_persons: int, num_items: int,
                  ability_dim: int = 1, seed: int = 0,
                  missing_rate: float = 0.0) -> SyntheticIRT:
-    """Simulate a dense binary response matrix under a 1PL/2PL/3PL model."""
-    if irt_model not in ("1pl", "2pl", "3pl"):
-        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl, got {irt_model!r}")
+    """Simulate a dense binary response matrix under a 1PL/2PL/3PL model, or
+    under the NONLINEAR deep generative family ("nonlinear": fixed random
+    tanh-MLP + multiplicative interaction link over (theta_i, d_j) — the
+    data regime where the deep link earns its existence; see
+    _nonlinear_logits)."""
+    if irt_model not in ("1pl", "2pl", "3pl", "nonlinear"):
+        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl/nonlinear, "
+                         f"got {irt_model!r}")
     rng = np.random.default_rng(seed)
     k = ability_dim
     theta = rng.standard_normal((num_persons, k)).astype(np.float32)
@@ -50,6 +89,10 @@ def simulate_irt(irt_model: str, num_persons: int, num_items: int,
     if irt_model == "1pl":
         a = np.ones((num_items, k), dtype=np.float32)
         logits = theta.sum(-1, keepdims=True) - b[None, :]
+    elif irt_model == "nonlinear":
+        # item embeddings play the role of discriminations in the dataclass
+        a = (rng.standard_normal((num_items, k)) / np.sqrt(k)).astype(np.float32)
+        logits = _nonlinear_logits(rng, theta, a, 0.7 * b).astype(np.float32)
     else:
         # Discriminations scaled so the K-dim dot product keeps unit-ish scale
         # (a_jk ~ N(0,1)/sqrt(K)); keeps 2PL/3PL probabilities well-spread for

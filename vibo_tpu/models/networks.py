@@ -98,12 +98,18 @@ def split_ability_head(out, ability_dim: int | None = None, axis: int = -1):
 
 def apply_ability_encoder(params, response, mask, item_feats=None,
                           compute_dtype=jnp.float32,
-                          ability_dim: int | None = None):
+                          ability_dim: int | None = None,
+                          cond_mats=None):
     """response/mask (..., B, M); item_feats (..., F) shared across persons.
 
     Returns (mu, logvar, off), each (..., B, K) (off None for the diagonal
     family, (..., B, K(K-1)/2) when ability_dim is passed and the head
     carries Cholesky outputs — split_ability_head).
+
+    cond_mats: (A_r, A_m) from condition_stat_mats — the compressed
+    (sufficient-statistic) conditioning pathway: the first-layer weight
+    blocks are modulated W + A @ Wf instead of consuming a flat item_feats
+    vector (condition_on='stats'; mutually exclusive with item_feats).
 
     TPU notes: the item-feature block of the first layer is factored out —
     item_feats is identical for every person in the batch, so its projection
@@ -116,17 +122,18 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
     m = response.shape[-1]
     two_m = 2 * m
     cd = compute_dtype
+    w_r, w_m = modulated_first_layer(w1, cond_mats, m)
     # Split first layer: [r*m, m] @ W == (r*m) @ W[:M] + m @ W[M:2M].
     # Concat-free, so the (B, 2M) input never materializes in HBM — XLA
     # fuses the (packed-int8) decode straight into each matmul's operand
     # read. Algebraically identical to the concat form.
     rm = (response * mask).astype(cd)
     h = jax.lax.dot_general(
-        rm, w1["w"][:m].astype(cd),
+        rm, w_r.astype(cd),
         dimension_numbers=(((rm.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h = h + jax.lax.dot_general(
-        mask.astype(cd), w1["w"][m:two_m].astype(cd),
+        mask.astype(cd), w_m.astype(cd),
         dimension_numbers=(((mask.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     if item_feats is not None:
@@ -149,7 +156,8 @@ def apply_ability_encoder(params, response, mask, item_feats=None,
 def apply_ability_encoder_packed(params, packed, item_feats=None,
                                  compute_dtype=jnp.float32,
                                  transposed_head: bool = False,
-                                 ability_dim: int | None = None):
+                                 ability_dim: int | None = None,
+                                 cond_mats=None):
     """apply_ability_encoder consuming the int8 packed response code
     directly: the first layer runs the fused Pallas decode+dual-matmul
     kernel (ops/pallas_encoder), so the decoded response/mask matrices never
@@ -166,8 +174,10 @@ def apply_ability_encoder_packed(params, packed, item_feats=None,
     w1, rest = params[0], params[1:]
     m = packed.shape[-1]
     cd = compute_dtype
-    h = pallas_encoder.packed_first_layer(packed, w1["w"][:m],
-                                          w1["w"][m:2 * m], cd)
+    # condition_on='stats' composes the conditioning into the weight blocks
+    # (modulated_first_layer), so the fused int8 kernel runs unchanged
+    w_r, w_m = modulated_first_layer(w1, cond_mats, m)
+    h = pallas_encoder.packed_first_layer(packed, w_r, w_m, cd)
     if item_feats is not None:
         feat_proj = jax.lax.dot_general(
             item_feats.astype(cd), w1["w"][2 * m:].astype(cd),
@@ -193,7 +203,8 @@ def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
                                        num_items_total: int, item_index,
                                        axis_name: str,
                                        compute_dtype=jnp.float32,
-                                       ability_dim: int | None = None):
+                                       ability_dim: int | None = None,
+                                       cond_mats=None):
     """Ability encoder under ITEM-AXIS sharding (2D ('students','items')
     mesh): each shard holds the (B_local, M_local) column block
     [item_index*M_local, (item_index+1)*M_local) of the response matrix and
@@ -208,6 +219,12 @@ def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
 
     item_sample: {name: (M_local, D)} local block, or None for the
     mean-field ablation (no item conditioning).
+    cond_mats: condition_on='stats' — (A_r, A_m) LOCAL blocks from
+    condition_stat_mats(local item sample, num_items=GLOBAL M). The shared
+    Wf rows (at 2*M_total) modulate this shard's weight blocks; the psum
+    below then sums the per-shard statistics into the exact global
+    conditioning, since sum_shards (rm_loc @ (W_loc + A_loc Wf)) ==
+    rm @ W + (rm @ A) @ Wf. Mutually exclusive with item_sample.
     """
     w1, rest = params[0], params[1:]
     m_l = response.shape[-1]
@@ -223,6 +240,13 @@ def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
     rm = response * mask
     w_r = jax.lax.dynamic_slice_in_dim(w1["w"], off, m_l, 0)
     w_m = jax.lax.dynamic_slice_in_dim(w1["w"], num_items_total + off, m_l, 0)
+    if cond_mats is not None:
+        assert item_sample is None, "cond_mats and item_sample are exclusive"
+        a_r, a_m = cond_mats
+        fr = a_r.shape[-1]
+        wf = w1["w"][2 * num_items_total:]
+        w_r = w_r + a_r @ wf[:fr]
+        w_m = w_m + a_m @ wf[fr:]
     h = mm(rm, w_r) + mm(mask, w_m)
     if item_sample is not None:
         # feats layout matches flatten_item_sample: sorted keys, each an
@@ -300,6 +324,85 @@ def flatten_item_sample(sample: dict) -> jax.Array:
     """Deterministically flatten an item-sample dict to a feature vector."""
     parts = [sample[k].reshape(sample[k].shape[:-2] + (-1,)) for k in sorted(sample)]
     return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------- compressed (sufficient-statistic) conditioning
+
+def condition_stat_dim(irt_model: str, ability_dim: int,
+                       item_latent_dim: int = 0) -> tuple[int, int]:
+    """(Fr, Fm): widths of the r-path and m-path interaction statistics of
+    condition_stat_mats. Encoder input width under condition_on='stats' is
+    2*num_items + Fr + Fm — e.g. 25 at K=4 2PL vs the raw flatten's
+    num_items*(K+1) = 5,120 at M=1,024 (the pathway RESULTS.md measured
+    entraining the collapsed K=4 basin)."""
+    k = ability_dim
+    if irt_model == "deep":
+        return item_latent_dim, item_latent_dim
+    if irt_model == "1pl":
+        return 1, 2                            # [b] | [b, b^2]
+    fr = k + 1 + (1 if irt_model == "3pl" else 0)
+    fm = (k + 1) + k + 1 + (k * (k + 1)) // 2 \
+        + (1 if irt_model == "3pl" else 0)
+    return fr, fm
+
+
+def condition_stat_mats(item_sample: dict, num_items: int,
+                        irt_model: str) -> tuple[jax.Array, jax.Array]:
+    """Per-item matrices (A_r (M, Fr), A_m (M, Fm)) such that
+    [(r*m) @ A_r, m @ A_m] are the SUFFICIENT interaction statistics of the
+    structured posterior q(theta | r, d).
+
+    For a 2PL likelihood the exact Gaussian pseudo-posterior over theta_i
+    depends on (r_i, m_i, d) ONLY through sum_j m_ij r_ij a_j, sum_j m_ij a_j,
+    sum_j m_ij a_j b_j and the Fisher matrix sum_j m_ij a_j a_j^T — O(K^2)
+    numbers, not O(M*K). Conditioning on these instead of flat(d)
+    (condition_on='stats' vs 'sample'/'mean') keeps the paper's
+    q(theta|d,r) q(d|r) factorization while collapsing the encoder's
+    item-feature pathway from M*(K+1) inputs to ~25 at K=4.
+
+    TPU-first: the statistics enter the encoder as a data-dependent
+    modulation of the FIRST-LAYER WEIGHTS — W_r_eff = W_r + A_r @ Wf_r,
+    W_m_eff = W_m + A_m @ Wf_m — so every existing first-layer path (dense
+    dual-matmul, fused int8 Pallas kernel, item-sharded psum) runs unchanged
+    on the modulated weights; the extra cost is one (M, F) x (F, H) matmul
+    per step, ~0.05% of the encoder FLOPs at the flagship shape.
+
+    Entries are scaled by 1/sqrt(M) so the summed statistics keep ~unit
+    scale under Glorot-initialized Wf blocks. Gradients flow to the item
+    posterior through A_r/A_m (the structured-VI coupling)."""
+    s = 1.0 / jnp.sqrt(jnp.float32(num_items))
+    if irt_model == "deep":
+        d = item_sample["d"]
+        return s * d, s * d
+    b = item_sample["b"]                                       # (M, 1)
+    if irt_model == "1pl":
+        return s * b, s * jnp.concatenate([b, b * b], -1)
+    a = item_sample["a"]                                       # (M, K)
+    k = a.shape[-1]
+    pairs = [a[..., i:i + 1] * a[..., j:j + 1]
+             for i in range(k) for j in range(i, k)]
+    r_parts = [a, b]
+    m_parts = [a, b, a * b, b * b] + pairs
+    if irt_model == "3pl":
+        g = item_sample["g_hat"]
+        r_parts.append(g)
+        m_parts.append(g)
+    return (s * jnp.concatenate(r_parts, -1),
+            s * jnp.concatenate(m_parts, -1))
+
+
+def modulated_first_layer(w1: dict, cond_mats, num_items: int):
+    """(W_r_eff (M, H), W_m_eff (M, H)) with the conditioning statistics
+    composed into the weights (see condition_stat_mats). cond_mats=None
+    returns the raw blocks."""
+    m = num_items
+    w_r, w_m = w1["w"][:m], w1["w"][m:2 * m]
+    if cond_mats is None:
+        return w_r, w_m
+    a_r, a_m = cond_mats
+    fr = a_r.shape[-1]
+    wf = w1["w"][2 * m:]
+    return w_r + a_r @ wf[:fr], w_m + a_m @ wf[fr:]
 
 
 # ------------------------------------------- amortized item encoder

@@ -83,7 +83,19 @@ class VIBOConfig:
                                         # carries no item-sampling noise AND
                                         # training matches the eval/serving
                                         # path (which always conditioned on
-                                        # means). Ignored under mean-field.
+                                        # means); "stats" = the item draw's
+                                        # SUFFICIENT interaction statistics
+                                        # (networks.condition_stat_mats):
+                                        # keeps the paper's q(theta|d,r)
+                                        # factorization but collapses the
+                                        # encoder's item pathway from
+                                        # M*(K+1) inputs (~5,120 at the K=4
+                                        # flagship — measured to entrain a
+                                        # collapsed basin, RESULTS.md) to
+                                        # ~25, entering as a modulation of
+                                        # the first-layer weights so every
+                                        # fused/sharded path runs unchanged.
+                                        # Ignored under mean-field.
     theta_posterior: str = "diag"       # ability-posterior covariance family:
                                         # "diag" = independent per-dim
                                         # Gaussians (the reference family);
@@ -119,9 +131,9 @@ class VIBOConfig:
     def __post_init__(self):
         if self.irt_model not in links.IRT_MODELS:
             raise ValueError(f"irt_model must be one of {links.IRT_MODELS}")
-        if self.condition_on not in ("sample", "mean"):
+        if self.condition_on not in ("sample", "mean", "stats"):
             raise ValueError(
-                f"condition_on must be 'sample' or 'mean', "
+                f"condition_on must be 'sample', 'mean' or 'stats', "
                 f"got {self.condition_on!r}")
         if self.theta_posterior not in ("diag", "chol"):
             raise ValueError(
@@ -134,10 +146,15 @@ class VIBO:
 
     def __init__(self, cfg: VIBOConfig):
         self.cfg = cfg
-        self._item_feat_dim = (
-            networks.item_feat_dim(cfg.num_items, cfg.irt_model, cfg.ability_dim,
-                                   cfg.item_latent_dim)
-            if cfg.conditional_posterior else 0)
+        if not cfg.conditional_posterior:
+            self._item_feat_dim = 0
+        elif cfg.condition_on == "stats":
+            self._item_feat_dim = sum(networks.condition_stat_dim(
+                cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim))
+        else:
+            self._item_feat_dim = networks.item_feat_dim(
+                cfg.num_items, cfg.irt_model, cfg.ability_dim,
+                cfg.item_latent_dim)
         self._head_spec = networks.item_head_spec(
             cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim)
         # ability_dim passed to the encoder-head split iff the head carries
@@ -256,6 +273,18 @@ class VIBO:
             return {name: p["mu"] for name, p in post.items()}
         return item_sample
 
+    def _cond_args(self, conditioning: dict | None):
+        """_encoder_conditioning output -> (item_feats, cond_mats) for the
+        encoder: the flat M*(K+1) feature vector (condition_on=
+        'sample'/'mean') or the compressed sufficient-statistic matrices
+        (condition_on='stats'; networks.condition_stat_mats)."""
+        if conditioning is None:
+            return None, None
+        if self.cfg.condition_on == "stats":
+            return None, networks.condition_stat_mats(
+                conditioning, self.cfg.num_items, self.cfg.irt_model)
+        return networks.flatten_item_sample(conditioning), None
+
     # ---------------------------------------------------- ability encoder
 
     def encode(self, params: dict, response: jax.Array, mask: jax.Array,
@@ -267,14 +296,14 @@ class VIBO:
             raise ValueError(
                 f"response has {response.shape[-1]} items but the model was "
                 f"configured with num_items={self.cfg.num_items}")
-        feats = None
         if self.cfg.conditional_posterior:
             assert item_sample is not None
-            feats = networks.flatten_item_sample(item_sample)
+        feats, cond = self._cond_args(
+            item_sample if self.cfg.conditional_posterior else None)
         return networks.apply_ability_encoder(
             params["encoder"], response, mask, feats,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-            ability_dim=self._enc_k)
+            ability_dim=self._enc_k, cond_mats=cond)
 
     # ---------------------------------------------- theta-posterior family
 
@@ -488,12 +517,13 @@ class VIBO:
                 raise ValueError(
                     f"packed has {packed.shape[-1]} items but the model was "
                     f"configured with num_items={self.cfg.num_items}")
-            feats = (networks.flatten_item_sample(item_sample)
-                     if self.cfg.conditional_posterior else None)
+            feats, cond = self._cond_args(
+                item_sample if self.cfg.conditional_posterior else None)
             return networks.apply_ability_encoder_packed(
                 params["encoder"], packed, feats,
                 compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-                transposed_head=transposed, ability_dim=self._enc_k)
+                transposed_head=transposed, ability_dim=self._enc_k,
+                cond_mats=cond)
         # item_sample here is ALREADY what the caller wants conditioned on
         # (callers route through _encoder_conditioning) — pass it through
         if transposed:
@@ -737,6 +767,26 @@ class VIBO:
         lls, kl_thetas = _mc_eps(one_sample, item_eps, theta_eps)
         return lls.mean(), kl_thetas.mean(), self.item_kl_from(post)
 
+    def _encode_item_sharded(self, params: dict, response, mask, post: dict,
+                             item_sample: dict | None, item_index,
+                             items_axis: str, cd):
+        """Ability encoder on a 2D mesh tile, routing the conditional
+        posterior's input per condition_on: the raw local item dict
+        ('sample'/'mean' — the sharded encoder flattens it against its
+        weight rows) or the LOCAL sufficient-statistic blocks ('stats' —
+        scaled at GLOBAL num_items so the psum over item shards reproduces
+        the unsharded statistics exactly)."""
+        conditioning = self._encoder_conditioning(post, item_sample)
+        cond = None
+        if conditioning is not None and self.cfg.condition_on == "stats":
+            cond = networks.condition_stat_mats(
+                conditioning, self.cfg.num_items, self.cfg.irt_model)
+            conditioning = None
+        return networks.apply_ability_encoder_item_sharded(
+            params["encoder"], response, mask, conditioning,
+            self.cfg.num_items, item_index, items_axis, compute_dtype=cd,
+            ability_dim=self._enc_k, cond_mats=cond)
+
     def _tile_item_post(self, params: dict, response, mask, item_index,
                         m_l: int, students_axis: str, items_axis: str) -> dict:
         """Item posterior for THIS item block on a 2D ('students','items')
@@ -806,11 +856,9 @@ class VIBO:
                 eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
                 item_sample[name] = dist.reparameterize_eps(
                     eps_loc, post[name]["mu"], post[name]["logvar"])
-            mu, logvar, c_off = networks.apply_ability_encoder_item_sharded(
-                params["encoder"], response, mask,
-                self._encoder_conditioning(post, item_sample),
-                cfg.num_items, item_index, items_axis, compute_dtype=cd,
-                ability_dim=self._enc_k)
+            mu, logvar, c_off = self._encode_item_sharded(
+                params, response, mask, post, item_sample, item_index,
+                items_axis, cd)
             theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -866,11 +914,9 @@ class VIBO:
                 eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
                 item_sample[name] = dist.reparameterize_eps(
                     eps_loc, post[name]["mu"], post[name]["logvar"])
-            mu, logvar, c_off = networks.apply_ability_encoder_item_sharded(
-                params["encoder"], response, mask,
-                self._encoder_conditioning(post, item_sample),
-                cfg.num_items, item_index, items_axis, compute_dtype=cd,
-                ability_dim=self._enc_k)
+            mu, logvar, c_off = self._encode_item_sharded(
+                params, response, mask, post, item_sample, item_index,
+                items_axis, cd)
             theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
