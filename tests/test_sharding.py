@@ -513,3 +513,44 @@ def test_dp_transposed_theta_device_count_invariant(eight_devices):
     assert np.isfinite(res8["final_elbo"])
     np.testing.assert_allclose(res8["final_elbo"], res1["final_elbo"],
                                rtol=5e-5)
+
+
+def test_mesh_sharded_eval_matches_single_device(eight_devices):
+    """Mesh-sharded evaluators (evaluation.*_sharded): the students-sharded
+    shard_map reductions must reproduce the single-device blocked evaluators
+    (imputation/calibration are deterministic given params -> near-exact),
+    and the sharded IWAE must be device-count-invariant (same exogenous
+    noise on a 1-device and an 8-device mesh -> same bound)."""
+    from vibo_tpu import evaluation
+    ds, model = _setup()
+    params = model.init_params(jax.random.key(0))
+    mesh8 = make_mesh(eight_devices)
+    mesh1 = make_mesh(eight_devices[:1])
+
+    ref = evaluation.imputation_accuracy(model, params, ds)
+    got = evaluation.imputation_accuracy_sharded(model, params, ds, mesh8)
+    assert got["num_heldout"] == ref["num_heldout"]
+    np.testing.assert_allclose(got["acc"], ref["acc"], rtol=1e-6)
+    np.testing.assert_allclose(got["base_rate"], ref["base_rate"], rtol=1e-6)
+
+    ref_c = evaluation.calibration(model, params, ds)
+    got_c = evaluation.calibration_sharded(model, params, ds, mesh8)
+    np.testing.assert_allclose(got_c["ece"], ref_c["ece"], rtol=1e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(got_c["brier"], ref_c["brier"], rtol=1e-5)
+    assert got_c["bin_count"] == ref_c["bin_count"]
+
+    key = jax.random.key(3)
+    iw8 = evaluation.iwae_loglik_sharded(model, params, key, ds, mesh8,
+                                         num_samples=6)
+    iw1 = evaluation.iwae_loglik_sharded(model, params, key, ds, mesh1,
+                                         num_samples=6)
+    assert iw8["num_cells"] == iw1["num_cells"] > 0
+    np.testing.assert_allclose(iw8["loglik"], iw1["loglik"], rtol=2e-5)
+    # and a 2D mesh (students x items): items axis replicates the reduction
+    mesh42 = make_mesh(eight_devices, item_axis=2)
+    got42 = evaluation.imputation_accuracy_sharded(model, params, ds, mesh42)
+    np.testing.assert_allclose(got42["acc"], ref["acc"], rtol=1e-6)
+    iw42 = evaluation.iwae_loglik_sharded(model, params, key, ds, mesh42,
+                                          num_samples=6)
+    np.testing.assert_allclose(iw42["loglik"], iw1["loglik"], rtol=2e-5)

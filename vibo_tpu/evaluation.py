@@ -601,3 +601,192 @@ def amortized_new_item_eval(model: VIBO, params, train_ds: Dataset,
             "num_heldout": int(total), "num_new_items": test_ds.shape[1],
             "seconds": seconds,
             "items_per_sec": test_ds.shape[1] / max(seconds, 1e-9)}
+
+
+# ------------------------------------------------- mesh-sharded evaluation
+
+def dataset_code_on_mesh(ds: Dataset, mesh) -> jax.Array:
+    """The uint8 bit-code students-sharded over `mesh` — P('students', None),
+    rows zero-padded to the student-axis size (padded rows decode to all-zero
+    masks, so every reduction below is exactly padding-invariant). Cached per
+    (Dataset, mesh) like dataset_code_on_device.
+
+    This is the piece that takes evaluation beyond one chip: the train path
+    already shards students across the mesh (SURVEY.md section 3.2), and
+    with the code sharded the same way the evaluators below run their
+    blocked reductions shard-locally and psum scalars over ICI instead of
+    streaming every person block through a single device."""
+    from vibo_tpu.parallel.mesh import STUDENTS, batch_sharding
+    cache = _device_ds_cache.setdefault(ds, {})
+    key = ("mesh", mesh)
+    try:
+        return cache[key]
+    except KeyError:
+        pass
+    code = dataset_code_on_device(ds, pad_rows_to=mesh.shape[STUDENTS])
+    out = jax.device_put(code, batch_sharding(mesh))
+    cache[key] = out
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _impute_stats_sharded_fn(cfg, mesh, bins: int):
+    """Cached jit'd shard_map imputation + calibration reduction: each shard
+    decodes and scores its LOCAL student rows (the encoder is per-person, so
+    no cross-shard terms exist before the final scalar sums), then psums the
+    per-bin counts over the 'students' axis. Outputs are replicated."""
+    from jax.sharding import PartitionSpec as P
+    from vibo_tpu.parallel.mesh import STUDENTS
+    model = VIBO(cfg)
+
+    def local(params, item_mean, code):
+        resp, tmask, hmask = _decode_bits(code)
+        prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
+        conf = jnp.maximum(prob, 1.0 - prob)
+        correct = ((prob > 0.5).astype(jnp.float32) == resp).astype(
+            jnp.float32)
+        idx = jnp.clip(((conf - 0.5) * 2.0 * bins).astype(jnp.int32),
+                       0, bins - 1)
+        cnt = jnp.zeros(bins).at[idx].add(hmask)
+        acc = jnp.zeros(bins).at[idx].add(hmask * correct)
+        cf = jnp.zeros(bins).at[idx].add(hmask * conf)
+        brier = (hmask * jnp.square(prob - resp)).sum()
+        ones = (hmask * resp).sum()
+        return jax.tree.map(lambda x: jax.lax.psum(x, STUDENTS),
+                            (cnt, acc, cf, brier, ones))
+
+    smapped = jax.shard_map(local, mesh=mesh,
+                            in_specs=(P(), P(), P(STUDENTS, None)),
+                            out_specs=P())
+    return jax.jit(smapped)
+
+
+def imputation_accuracy_sharded(model: VIBO, params, ds: Dataset, mesh,
+                                item_mean: dict | None = None) -> dict:
+    """imputation_accuracy over a ('students','items') mesh: the bit-code is
+    students-sharded, each shard scores its own rows, and only scalars cross
+    the mesh. Numerically equal to the single-device evaluator (tested —
+    imputation is deterministic given params, so the equality is exact up to
+    reduction order)."""
+    if item_mean is None:
+        item_mean = full_item_mean(model, params, ds)
+    stats = _impute_stats_sharded_fn(model.cfg, mesh, 10)
+    cnt, acc, cf, brier, ones = stats(params, item_mean,
+                                      dataset_code_on_mesh(ds, mesh))
+    total = float(np.asarray(cnt).sum())
+    correct = float(np.asarray(acc).sum())
+    ones = float(ones)
+    base_rate = max(ones, total - ones) / max(total, 1.0)
+    return {"acc": correct / max(total, 1.0), "base_rate": base_rate,
+            "num_heldout": int(total)}
+
+
+def calibration_sharded(model: VIBO, params, ds: Dataset, mesh,
+                        bins: int = 10,
+                        item_mean: dict | None = None) -> dict:
+    """calibration over the mesh (same shard_map reduction as
+    imputation_accuracy_sharded; per-bin sums psum'd over 'students')."""
+    if item_mean is None:
+        item_mean = full_item_mean(model, params, ds)
+    stats = _impute_stats_sharded_fn(model.cfg, mesh, bins)
+    cnt, acc, cf, brier, _ = stats(params, item_mean,
+                                   dataset_code_on_mesh(ds, mesh))
+    return _calib_summary(np.asarray(cnt), np.asarray(acc), np.asarray(cf),
+                          float(brier))
+
+
+@functools.lru_cache(maxsize=64)
+def _iwae_sharded_fn(cfg, mesh, num_samples: int, on: str):
+    """Cached jit'd shard_map IWAE bound: the students-sharded counterpart
+    of _iwae_block_fn, driven by EXOGENOUS noise so the bound's value is
+    device-count-invariant (the keyed path would draw different per-person
+    noise per shard layout; VIBO.sample_noise uses the partitionable RNG and
+    is drawn at GLOBAL shape outside the shard_map).
+
+    Per-sample assembly mirrors VIBO.iwae_packed_terms: local_s = loglik +
+    log p(theta_s) - log q(theta_s) over THIS shard's rows; the item
+    log-ratio is computed from replicated inputs (identical on every shard),
+    so log_w = psum(local, 'students') + item_scale * ratio is the exact
+    global per-sample log-weight vector and the logsumexp runs replicated."""
+    from jax.sharding import PartitionSpec as P
+    from vibo_tpu.ops import distributions as dist
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.parallel.mesh import STUDENTS
+    model = VIBO(cfg)
+    chunk = max(d for d in range(1, min(num_samples, 10) + 1)
+                if num_samples % d == 0)
+
+    def local(params, item_post, item_eps, theta_eps, code, item_scale):
+        resp, tmask, hmask = _decode_bits(code)
+        emask = tmask if on == "train" else hmask
+        valid = (emask.sum(-1) > 0).astype(jnp.float32)
+
+        def one_sample(i_eps, t_eps):
+            item_sample = {
+                name: dist.reparameterize_eps(i_eps[name],
+                                              item_post[name]["mu"],
+                                              item_post[name]["logvar"])
+                for name in i_eps}
+            mu, logvar, off = model.encode(params, resp, tmask, item_sample)
+            theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, off)
+            ll = model.loglik_per_person(params, theta, item_sample, resp,
+                                         emask).sum()
+            lp = (dist.standard_normal_log_prob(theta).sum(-1) * valid).sum()
+            lq = (model.theta_logq(theta, t_eps, mu, logvar, off)
+                  * valid).sum()
+            ratio = model.item_log_ratio_from(item_post, item_sample)
+            return ll + lp - lq, ratio
+
+        s_chunks = num_samples // chunk
+
+        def body(_, eps_c):
+            i_eps_c, t_eps_c = eps_c
+            return None, jax.vmap(one_sample)(i_eps_c, t_eps_c)
+
+        i_eps = jax.tree.map(
+            lambda x: x.reshape((s_chunks, chunk) + x.shape[1:]), item_eps)
+        t_eps = theta_eps.reshape((s_chunks, chunk) + theta_eps.shape[1:])
+        _, (local_w, ratio) = jax.lax.scan(body, None, (i_eps, t_eps))
+        log_w = (jax.lax.psum(local_w.reshape(-1), STUDENTS)
+                 + item_scale * ratio.reshape(-1))
+        return objectives.iwae_bound(log_w)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, STUDENTS, None), P(STUDENTS, None),
+                  P()),
+        out_specs=P())
+    return jax.jit(smapped)
+
+
+def iwae_loglik_sharded(model: VIBO, params, key: jax.Array, ds: Dataset,
+                        mesh, num_samples: int = 100, on: str = "heldout"
+                        ) -> dict:
+    """iwae_loglik over a ('students','items') mesh. Device-count-invariant:
+    the same (key, num_samples) gives bitwise the same noise on a 1-device
+    and an 8-device mesh (exogenous partitionable-RNG draws; tested
+    sharded == replicated). The encoder conditions on the train-visible
+    data and the likelihood on the evaluated cells, as in iwae_loglik."""
+    if model.cfg.use_pallas:
+        import dataclasses
+        model = VIBO(dataclasses.replace(model.cfg, use_pallas=False))
+    from vibo_tpu.parallel.mesh import STUDENTS, replicated
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n, m = ds.response.shape
+    code = dataset_code_on_mesh(ds, mesh)
+    item_post = full_item_dist(model, params, ds)
+    item_eps, theta_eps = model.sample_noise(params, key, code.shape[0],
+                                             num_samples)
+    repl = replicated(mesh)
+    item_post = jax.device_put(item_post, repl)
+    item_eps = jax.device_put(item_eps, repl)
+    theta_eps = jax.device_put(theta_eps,
+                               NamedSharding(mesh, P(None, STUDENTS, None)))
+    bound = _iwae_sharded_fn(model.cfg, mesh, num_samples, on)(
+        params, item_post, item_eps, theta_eps, code,
+        jnp.float32(1.0))
+    emask = ds.train_mask if on == "train" else ds.heldout_mask
+    cells = float(emask.sum())
+    total = float(bound)
+    return {"loglik": total, "loglik_per_cell": total / max(cells, 1.0),
+            "num_cells": int(cells), "num_samples": num_samples}
