@@ -272,13 +272,15 @@ def main():
     converged = measure_converged_config(args, use_pallas, packed, ds, sim)
 
     if args.skip_cpu:
+        cpu_ref = None
         cpu_cells_per_sec = None
         vs_baseline = None
     else:
-        from vibo_tpu.oracle_torch import time_cpu_reference_step
-        cpu_cells_per_sec = time_cpu_reference_step(
+        from vibo_tpu.oracle_torch import time_cpu_reference
+        cpu_ref = time_cpu_reference(
             num_persons=min(2048, args.persons), num_items=args.items,
             ability_dim=args.ability_dim, hidden_dim=args.hidden_dim)
+        cpu_cells_per_sec = cpu_ref["cells_per_sec"]
         vs_baseline = cells_per_sec / cpu_cells_per_sec
 
     record = {
@@ -307,6 +309,11 @@ def main():
             **converged,
             "cpu_reference_cells_per_sec": (round(cpu_cells_per_sec, 1)
                                             if cpu_cells_per_sec else None),
+            # pinned-denominator protocol (median-of-N + spread + load):
+            # vs_baseline should move only when the DEVICE number moves
+            "cpu_reference": ({k: (round(v, 1) if isinstance(v, float) else v)
+                               for k, v in cpu_ref.items()}
+                              if cpu_ref else None),
             "backend": jax.default_backend(),
             "use_pallas": use_pallas,
             "packed_int8": packed,

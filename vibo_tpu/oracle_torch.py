@@ -58,26 +58,57 @@ class TorchVIBO2PL(nn.Module):
         return ll - kl_theta - kl_items
 
 
-def time_cpu_reference_step(num_persons: int = 2048, num_items: int = 1024,
-                            ability_dim: int = 4, hidden_dim: int = 256,
-                            steps: int = 3, seed: int = 0) -> float:
-    """Return response-cells/sec of the torch-CPU full VIBO train step."""
+def time_cpu_reference(num_persons: int = 2048, num_items: int = 1024,
+                       ability_dim: int = 4, hidden_dim: int = 256,
+                       steps: int = 3, repeats: int = 7, seed: int = 0
+                       ) -> dict:
+    """Pinned CPU-reference protocol: cells/sec of the torch-CPU VIBO train
+    step, MEDIAN over `repeats` timed windows of `steps` steps each, with the
+    min/max spread and the host load average recorded.
+
+    Why median-of-N (round-3 VERDICT weak #4): this image's single
+    virtualized core is shared and its hypervisor has bimodal paging epochs,
+    so a single 3-step average ranged 4.2-7.0 M cells/s across rounds and
+    moved the headline vs_baseline ratio with zero device-side change. The
+    median over interleaved windows is stable against one contended window;
+    the recorded spread and loadavg make any residual drift attributable."""
+    import os
+    import statistics
     import time
     torch.manual_seed(seed)
     model = TorchVIBO2PL(num_items, ability_dim, hidden_dim)
     opt = torch.optim.Adam(model.parameters(), lr=5e-3)
     resp = (torch.rand(num_persons, num_items) < 0.5).float()
     mask = (torch.rand(num_persons, num_items) < 0.9).float()
-    # warmup
-    loss = -model.elbo(resp, mask)
-    loss.backward()
-    opt.step()
-    opt.zero_grad()
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        loss = -model.elbo(resp, mask)
-        loss.backward()
-        opt.step()
-        opt.zero_grad()
-    dt = (time.perf_counter() - t0) / steps
-    return num_persons * num_items / dt
+
+    def window() -> float:
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            loss = -model.elbo(resp, mask)
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        return (time.perf_counter() - t0) / steps
+
+    window()  # warmup (allocator, thread pool)
+    dts = [window() for _ in range(repeats)]
+    cells = num_persons * num_items
+    rates = sorted(cells / dt for dt in dts)
+    return {
+        "cells_per_sec": statistics.median(rates),
+        "cells_per_sec_min": rates[0],
+        "cells_per_sec_max": rates[-1],
+        "repeats": repeats,
+        "steps_per_repeat": steps,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "torch_threads": torch.get_num_threads(),
+    }
+
+
+def time_cpu_reference_step(num_persons: int = 2048, num_items: int = 1024,
+                            ability_dim: int = 4, hidden_dim: int = 256,
+                            steps: int = 3, seed: int = 0) -> float:
+    """Back-compat scalar form of time_cpu_reference (median cells/sec)."""
+    return time_cpu_reference(num_persons, num_items, ability_dim,
+                              hidden_dim, steps=steps,
+                              seed=seed)["cells_per_sec"]
