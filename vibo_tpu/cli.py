@@ -208,6 +208,19 @@ def _public(summary: dict) -> dict:
     return {k: v for k, v in summary.items() if not k.startswith("_")}
 
 
+def _params_fingerprint(tree) -> str:
+    """Stable short digest of a param pytree's values (sorted-key traversal;
+    used to validate that a cached deep HMC gold posterior was sampled under
+    THIS decoder's weights)."""
+    import hashlib
+    import jax
+    h = hashlib.sha256()
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()[:16]
+
+
 def cmd_baseline(args):
     from vibo_tpu import evaluation
     ds, sim = _load(args)
@@ -319,6 +332,12 @@ def cmd_baseline(args):
         os.makedirs(args.out_dir, exist_ok=True)
         arrays = {k[1:]: np.asarray(v) for k, v in summary.items()
                   if k.startswith("_") and isinstance(v, np.ndarray)}
+        if args.method == "hmc" and args.irt_model == "deep":
+            # a deep gold posterior is over (theta, d) UNDER a trained
+            # decoder: reuse is only valid with byte-identical decoder
+            # weights, so the cache carries their fingerprint
+            arrays["deep_fingerprint"] = np.asarray(
+                _params_fingerprint(deep_params))
         np.savez(os.path.join(args.out_dir, f"baseline_{args.method}.npz"),
                  summary_json=json.dumps(_public(summary)),
                  dataset=ds.name, shape=np.asarray(ds.shape),
@@ -378,6 +397,17 @@ def cmd_compare(args):
                     f"{int(z['seed'])}, not this run's "
                     f"{rows[0]['dataset']}{rows[0]['shape']} seed "
                     f"{args.seed} — posterior reuse would be invalid")
+            if "deep_fingerprint" in z.files:
+                cur = (_params_fingerprint(rows[0]["_deep_link"])
+                       if "_deep_link" in rows[0] else None)
+                if str(z["deep_fingerprint"]) != cur:
+                    raise SystemExit(
+                        f"--hmc-cache {path} holds a DEEP gold posterior "
+                        f"sampled under decoder {z['deep_fingerprint']}, "
+                        f"but this run's trained decoder is {cur} — a deep "
+                        f"posterior is only reusable under byte-identical "
+                        f"decoder weights; delete the cache or retrain "
+                        f"deterministically")
             for k in ("theta_hat", "theta_sd"):
                 if k in z.files:
                     row["_" + k] = z[k]
