@@ -166,3 +166,26 @@ def test_compare_hmc_cache_roundtrip(tmp_path, capsys):
     assert vibo2["sigma_vs_hmc"] == vibo1["sigma_vs_hmc"]
     with pytest.raises(SystemExit, match="invalid"):
         main(argv[:-2] + ["--seed", "9", "--hmc-cache", str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_compare_deep_hmc_cache_fingerprint(tmp_path, capsys):
+    """A cached DEEP gold posterior is only reusable under byte-identical
+    decoder weights: same train config -> cache hit (deterministic
+    training); different epochs -> different decoder -> loud refusal."""
+    base = ["compare", "synthetic-2pl", "--irt-model", "deep",
+            "--num-persons", "100", "--num-items", "16", "--hidden-dim",
+            "32", "--methods", "hmc", "--hmc-warmup", "15", "--hmc-samples",
+            "15", "--hmc-leapfrog", "4", "--hmc-chains", "2",
+            "--hmc-cache", str(tmp_path)]
+    main(base + ["--epochs", "20"])
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import numpy as np
+    with np.load(tmp_path / "baseline_hmc.npz") as z:
+        assert "deep_fingerprint" in z.files
+    main(base + ["--epochs", "20"])
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hmc2 = next(r for r in second["compare"] if r["method"] == "hmc")
+    assert hmc2["cached"] is True
+    with pytest.raises(SystemExit, match="decoder"):
+        main(base + ["--epochs", "25"])
