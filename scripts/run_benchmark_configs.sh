@@ -31,6 +31,22 @@ python -m vibo_tpu.cli train synthetic-2pl --num-persons 10240 \
     --num-items 1024 --ability-dim 4 --hidden-dim 512 --mean-field \
     --num-posterior-samples 5 --epochs 1500 --restarts 4
 
+echo "### flagship variants: full-covariance q(theta) / structured-stats family"
+python -m vibo_tpu.cli train synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --ability-dim 4 --hidden-dim 512 --mean-field \
+    --theta-posterior chol --num-posterior-samples 5 --epochs 1500 --restarts 4
+python -m vibo_tpu.cli train synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --ability-dim 4 --hidden-dim 512 --condition-on stats \
+    --num-posterior-samples 5 --epochs 1500 --restarts 4
+
+echo "### nonlinear-generated data: deep link vs (misspecified) 2PL, IWAE-100"
+python -m vibo_tpu.cli train synthetic-nonlinear --num-persons 2000 \
+    --num-items 200 --ability-dim 2 --epochs 300 --eval-every 100 \
+    --iwae-samples 100 --restarts 2 --num-posterior-samples 5
+python -m vibo_tpu.cli train synthetic-nonlinear --num-persons 2000 \
+    --num-items 200 --ability-dim 2 --irt-model deep --epochs 300 \
+    --eval-every 100 --iwae-samples 100 --restarts 2 --num-posterior-samples 5
+
 echo "### cfg5: deep link + parity sweep"
 python -m vibo_tpu.cli train wordbank --irt-model deep --epochs 200 \
     --eval-every 100
