@@ -2,6 +2,7 @@
 
 import json
 
+import numpy as np
 import pytest
 
 from vibo_tpu.cli import main
@@ -139,6 +140,24 @@ def test_restarts_and_condition_on_flags(tmp_path):
     assert s["final_elbo"] == max(r["final_elbo"] for r in s["restarts"])
     assert (tmp_path / "best.npz").exists()
     assert (tmp_path / f"restart{s['selected_restart']}" / "best.npz").exists()
+
+
+def test_nonlinear_dataset_and_chol_posterior_flags(tmp_path):
+    """`train synthetic-nonlinear --theta-posterior chol`: the nonlinear
+    generative family (data/synthetic._nonlinear_logits) is a first-class
+    CLI dataset with ground-truth theta recovery reported, and the
+    full-covariance ability posterior trains through the same entrypoint
+    (round-4 additions)."""
+    s = run(["train", "synthetic-nonlinear", "--num-persons", "96",
+             "--num-items", "16", "--ability-dim", "2", "--epochs", "12",
+             "--eval-every", "12", "--hidden-dim", "32",
+             "--theta-posterior", "chol", "--iwae-samples", "8",
+             "--out-dir", str(tmp_path)])
+    assert s["dataset"] == "synthetic-nonlinear"
+    assert np.isfinite(s["final_elbo"])
+    assert "theta_pearson" in s          # simulator retains ground truth
+    assert np.isfinite(s["iwae_loglik_per_cell"])
+    assert (tmp_path / "best.npz").exists()
 
 
 @pytest.mark.slow
