@@ -755,6 +755,8 @@ def main(argv=None):
                    help="VIBO leg: see train --theta-posterior")
     c.add_argument("--num-posterior-samples", type=int, default=1,
                    help="VIBO leg: MC samples for the training objective")
+    c.add_argument("--objective", default="elbo", choices=["elbo", "iwae"],
+                   help="VIBO leg: training bound (see train --objective)")
     c.add_argument("--restarts", type=int, default=1,
                    help="VIBO leg: independent random restarts, best final "
                         "bound kept (TrainConfig.restarts)")
