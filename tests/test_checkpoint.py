@@ -103,3 +103,71 @@ def test_fit_resume_continues_training(tmp_path):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-6),
         res2["params"], res_full["params"])
+
+
+def test_warm_start_transplant_is_function_preserving(tmp_path):
+    """transplant_params embeds a trained mean-field/diag model into the
+    conditional-stats + chol family with zero-filled appended slots, which
+    must leave the computed function UNCHANGED at step 0: zero conditioning
+    rows contribute zero first-layer modulation, zero off-diagonal head
+    columns make chol bitwise-diagonal (the basin warm-start mechanism,
+    TrainConfig.warm_start)."""
+    from vibo_tpu.train import checkpoint as ckpt
+
+    sim = simulate_irt("2pl", 96, 20, ability_dim=2, seed=11)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=11)
+    kw = dict(num_items=20, irt_model="2pl", ability_dim=2, hidden_dim=16)
+    src_model = VIBO(VIBOConfig(**kw, conditional_posterior=False))
+    Trainer(src_model, TrainConfig(lr=1e-2, epochs=6, eval_every=3,
+                                   log_every=100,
+                                   out_dir=str(tmp_path))).fit(ds)
+    src_params = ckpt.load_params_self_describing(str(tmp_path / "best.npz"))
+
+    dst_model = VIBO(VIBOConfig(**kw, conditional_posterior=True,
+                                condition_on="stats",
+                                theta_posterior="chol"))
+    tp = ckpt.transplant_params(src_params,
+                                dst_model.init_params(jax.random.key(1)))
+
+    resp = jnp.asarray(ds.response)
+    mask = jnp.asarray(ds.train_mask)
+    mu_s, lv_s, off_s = src_model.encode(src_params, resp, mask, None)
+    item_mean = dst_model.item_posterior_mean(tp)
+    mu_d, lv_d, off_d = dst_model.encode(tp, resp, mask, item_mean)
+    assert off_s is None and off_d is not None
+    np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lv_d), np.asarray(lv_s), atol=1e-6)
+    assert np.all(np.asarray(off_d) == 0.0)
+    # item posteriors copied exactly
+    src_items = src_model.item_posterior_mean(src_params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), item_mean, src_items)
+
+
+def test_warm_start_cli_end_to_end(tmp_path):
+    """train --warm-start CKPT: the wider-family run starts from the source
+    basin and trains; warm_start + resume refuses."""
+    from vibo_tpu.cli import main
+
+    out1 = tmp_path / "mf"
+    main(["train", "synthetic-2pl", "--num-persons", "96", "--num-items",
+          "20", "--ability-dim", "2", "--hidden-dim", "16", "--epochs", "6",
+          "--eval-every", "6", "--mean-field", "--out-dir", str(out1)])
+    out2 = tmp_path / "warm"
+    main(["train", "synthetic-2pl", "--num-persons", "96", "--num-items",
+          "20", "--ability-dim", "2", "--hidden-dim", "16", "--epochs", "4",
+          "--eval-every", "4", "--condition-on", "stats",
+          "--theta-posterior", "chol",
+          "--warm-start", str(out1 / "best.npz"), "--out-dir", str(out2)])
+    assert (out2 / "best.npz").exists()
+
+    model = VIBO(VIBOConfig(num_items=20, irt_model="2pl", ability_dim=2,
+                            hidden_dim=16))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Trainer(model, TrainConfig(
+            epochs=2, warm_start=str(out1 / "best.npz"))).fit(
+            holdout_split(simulate_irt("2pl", 96, 20, ability_dim=2,
+                                       seed=3).response,
+                          simulate_irt("2pl", 96, 20, ability_dim=2,
+                                       seed=3).mask, 0.1, seed=3),
+            resume=str(out1 / "best.npz"))

@@ -123,6 +123,7 @@ def cmd_train(args):
         num_mc_samples=args.num_posterior_samples, seed=args.seed,
         eval_every=args.eval_every, out_dir=args.out_dir,
         objective=getattr(args, "objective", "elbo"),
+        warm_start=getattr(args, "warm_start", None),
         restarts=getattr(args, "restarts", 1)), mesh=mesh)
     res = trainer.fit(
         ds, truth=sim if (test_ds is None and test_items_ds is None) else None,
@@ -662,6 +663,12 @@ def main(argv=None):
     t.add_argument("--objective", default="elbo", choices=["elbo", "iwae"],
                    help="training bound: ELBO or the multi-sample IWAE "
                         "(arXiv:2108.11579)")
+    t.add_argument("--warm-start", default=None, metavar="CKPT",
+                   dest="warm_start",
+                   help="transplant a trained checkpoint's params into this "
+                        "(possibly wider-family) model before training — "
+                        "e.g. seed a conditional/chol run from a converged "
+                        "mean-field basin (checkpoint.transplant_params)")
     t.add_argument("--iwae-samples", type=int, default=0,
                    help="if >0, evaluate the IWAE-S test log-lik")
     t.add_argument("--iwae-on", default="heldout",
@@ -757,6 +764,9 @@ def main(argv=None):
                    help="VIBO leg: MC samples for the training objective")
     c.add_argument("--objective", default="elbo", choices=["elbo", "iwae"],
                    help="VIBO leg: training bound (see train --objective)")
+    c.add_argument("--warm-start", default=None, metavar="CKPT",
+                   dest="warm_start",
+                   help="VIBO leg: see train --warm-start")
     c.add_argument("--restarts", type=int, default=1,
                    help="VIBO leg: independent random restarts, best final "
                         "bound kept (TrainConfig.restarts)")

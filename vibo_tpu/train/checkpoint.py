@@ -56,6 +56,71 @@ def load_checkpoint(path: str, state_template):
     return state, key, step, extra
 
 
+def load_params_self_describing(path: str):
+    """Params from a self-describing Trainer checkpoint — the embedded
+    model/optimizer configs (extra_model_cfg / extra_opt_cfg) supply the
+    template, so no caller-side model construction is needed (the same
+    mechanism serve.AbilityScorer.from_checkpoint uses)."""
+    import json
+
+    extra = peek_extra(path)
+    if "model_cfg" not in extra:
+        raise ValueError(f"{path} has no embedded model config; it cannot "
+                         "be loaded without a template")
+    from vibo_tpu.models.vibo import VIBO, VIBOConfig
+    model = VIBO(VIBOConfig(**json.loads(str(extra["model_cfg"]))))
+    params = model.init_params(jax.random.key(0))
+    from vibo_tpu.train.trainer import make_optimizer
+    if "opt_cfg" in extra:
+        oc = json.loads(str(extra["opt_cfg"]))
+        optimizer = make_optimizer(oc["lr"], oc["max_grad_norm"])
+    else:
+        optimizer = make_optimizer(5e-3, 10.0)
+    template = (params, optimizer.init(params))
+    (params, _), _, _, _ = load_checkpoint(path, template)
+    return params
+
+
+def _embed_leaf(s, d):
+    s, d = np.asarray(s), np.asarray(d)
+    if s.shape == d.shape:
+        return s.astype(d.dtype)
+    if s.ndim != d.ndim or any(a > b for a, b in zip(s.shape, d.shape)):
+        raise ValueError(
+            f"cannot transplant a {s.shape} leaf into {d.shape}: the target "
+            "family must be at least as wide as the source in every dim")
+    out = np.zeros(d.shape, d.dtype)
+    out[tuple(slice(0, n) for n in s.shape)] = s
+    return out
+
+
+def transplant_params(src, dst):
+    """Corner-embed every `src` leaf into zeros of the matching `dst` leaf's
+    shape (same tree structure required) — warm-starting a WIDER variational
+    family from a trained narrower one. Correct because every widening this
+    framework supports APPENDS new slots after the source block:
+
+    - mean-field -> conditional ('sample'/'mean'/'stats'): the ability
+      encoder's first layer grows input ROWS after the 2M response block
+      (networks.init_ability_encoder / ability_encoder_input_dim), and zero
+      conditioning rows contribute zero modulation — the transplanted model
+      computes exactly the source's function at step 0.
+    - diag -> chol q(theta): the encoder head grows output COLUMNS after
+      [mu, logvar] (networks.ability_head_dim); zero off-diagonal outputs
+      make the chol family bitwise-diagonal
+      (tests/test_models.py::test_chol_zero_off_head_matches_diag_bitwise).
+
+    Equal-shape leaves copy through, so transplanting into the same family
+    is an exact parameter copy."""
+    try:
+        return jax.tree.map(_embed_leaf, src, dst)
+    except ValueError as e:
+        raise ValueError(
+            f"warm-start transplant failed: {e} (source and target models "
+            "must share pytree structure — same irt_model/hidden layout)"
+        ) from e
+
+
 def peek_extra(path: str) -> dict:
     """Read only the extra_* metadata (no pytree template needed) — e.g. the
     embedded model config that makes checkpoints self-describing."""

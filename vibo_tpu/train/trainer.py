@@ -64,6 +64,15 @@ class TrainConfig:
                                        # and the training ELBO ranks them
                                        # correctly (multiple random starts is
                                        # standard factor-analysis practice)
+    warm_start: str | None = None      # checkpoint path: transplant a
+                                       # trained (possibly NARROWER-family)
+                                       # model's params into this model's
+                                       # init before training — zero-filled
+                                       # appended slots make e.g. mean-field
+                                       # -> conditional-stats or diag -> chol
+                                       # start at exactly the source basin
+                                       # (checkpoint.transplant_params).
+                                       # Optimizer state starts fresh.
 
 
 def make_optimizer(lr: float, max_grad_norm: float | None):
@@ -547,6 +556,18 @@ class Trainer:
         key = jax.random.key(cfg.seed) if key is None else key
         key, k_init = jax.random.split(key)
         params, opt_state = self.init_state(k_init)
+        if cfg.warm_start and resume:
+            raise ValueError("warm_start and resume are mutually exclusive: "
+                             "resume restores exact state; warm_start "
+                             "transplants params into a fresh run")
+        if cfg.warm_start:
+            src = ckpt.load_params_self_describing(cfg.warm_start)
+            params = jax.tree.map(jnp.asarray,
+                                  ckpt.transplant_params(src, params))
+            if self.mesh is not None:
+                shardings = meshlib.param_shardings(params, self.mesh)
+                params = jax.tree.map(jax.device_put, params, shardings)
+            opt_state = self.optimizer.init(params)
         if resume:
             (params, opt_state), key, _, _ = ckpt.load_checkpoint(
                 resume, (params, opt_state))
