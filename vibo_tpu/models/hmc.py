@@ -802,6 +802,16 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     if use_pk is None:
         from vibo_tpu.ops.pallas_elbo import _is_tpu
         use_pk = _is_tpu()
+        if cfg.irt_model == "deep":
+            # The fused deep kernel does NOT auto-enable for sampling: under
+            # the chain-vmap batch dim its internal rank-3 h1 @ w2 matmul
+            # fails Mosaic AOT lowering on this image's remote-compile
+            # helper ("Bad lhs type", observed 2026-08-19 at the nonlinear
+            # 2000x200 deep gold run — the linear kernels lift the same
+            # vmap fine). The chunked XLA deep path is the measured-safe
+            # default; opt back in with use_packed_kernel=True once the
+            # kernel lowers under batching.
+            use_pk = False
     if use_pk and cfg.irt_model == "deep":
         from vibo_tpu.ops import pallas_deep
         use_pk = pallas_deep.supports(deep_params)
