@@ -119,6 +119,14 @@ def test_correlation_collapsed_dim_is_zero_not_nan():
     assert np.isfinite(out["pearson"]) and np.isfinite(out["spearman"])
     assert abs(out["pearson"] - 0.5) < 0.05  # dim0 ~1.0, dim1 == 0
 
+    # NEAR-constant (std ~1e-9) dims slip past the exact-zero std guard and
+    # NaN inside pearsonr via cancellation (seen with an undertrained deep
+    # encoder's theta on linear data, round 4) — same contract: count as 0
+    inferred[:, 1] = 3.14 + 1e-9 * rng.standard_normal(200)
+    out = evaluation.correlation(inferred, truth)
+    assert np.isfinite(out["pearson"]) and np.isfinite(out["spearman"])
+    assert abs(out["pearson"] - 0.5) < 0.05
+
 
 def test_correlation_spearman_sign_alignment():
     """A dim with near-zero Pearson but strongly negative Spearman must not

@@ -439,6 +439,14 @@ def correlation(inferred: np.ndarray, truth: np.ndarray,
             continue
         p = scipy.stats.pearsonr(x, y).statistic
         s = scipy.stats.spearmanr(x, y).statistic
+        if not (np.isfinite(p) and np.isfinite(s)):
+            # NEAR-constant dims (std ~ 1e-9, e.g. an undertrained deep
+            # encoder) pass the exact-zero guard above but still NaN inside
+            # pearsonr via catastrophic cancellation — same semantics: a
+            # dim with no usable signal counts as 0
+            pearsons.append(0.0)
+            spearmans.append(0.0)
+            continue
         # One sign flip per dim (negating x negates BOTH statistics exactly);
         # deciding from p + s rather than p alone avoids reporting a
         # misleading negative Spearman when Pearson is near zero.
