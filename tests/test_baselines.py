@@ -120,6 +120,10 @@ def test_hmc_diagnostics(hmc_run):
     assert diag["divergences"] == 0
     assert diag["ess_min"] > 20
     assert set(diag["rhat"]) == {"theta", "a", "b"}
+    # self-reported sd noise ceiling: split-half per-person theta-sd
+    # agreement between chain halves — the bound on any sigma_vs_hmc
+    r = diag["theta_sd_split_half_r"]
+    assert np.isfinite(r) and 0.0 < r <= 1.0, diag
 
 
 def test_split_rhat_detects_nonmixing():

@@ -305,6 +305,11 @@ def cmd_baseline(args):
         # standard evidence for unimodal IRT posteriors
         summary["init_mode"] = diag["init_mode"]
         summary["trajectory"] = diag["trajectory"]
+        if np.isfinite(diag.get("theta_sd_split_half_r", float("nan"))):
+            # the gold's own sd noise floor: any sigma_vs_hmc is bounded
+            # by ~this split-half agreement (hmc diagnostics)
+            summary["theta_sd_split_half_r"] = round(
+                diag["theta_sd_split_half_r"], 4)
         summary["leapfrogs_per_draw"] = round(diag["leapfrogs_per_draw"], 1)
         summary["converged"] = bool(diag["rhat_max"] <= 1.05
                                     and diag["divergences"] == 0)

@@ -952,7 +952,21 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
         if n_chains >= 2 and v.shape[1] >= 4:
             rhat_by[name] = float(np.nanmax(split_rhat(v)))
         ess_by[name] = float(np.nanmin(effective_sample_size(v)))
+    # Self-reported noise CEILING for cross-method sd agreement: Pearson of
+    # per-person theta posterior sds between the two chain halves. Any
+    # method's sigma_vs_hmc is bounded by ~this number — at finite ESS the
+    # gold's own sds are MC-noisy (across-person sd spread is only a few %
+    # of the mean, so the attainable correlation saturates well below 1).
+    sd_ceiling = float("nan")
+    th = chain_samples.get("theta")
+    if th is not None and n_chains >= 2:
+        half = n_chains // 2
+        sd_a = th[:half].reshape((-1,) + th.shape[2:]).std(0).ravel()
+        sd_b = th[half:2 * half].reshape((-1,) + th.shape[2:]).std(0).ravel()
+        if sd_a.std() > 0 and sd_b.std() > 0:
+            sd_ceiling = float(np.corrcoef(sd_a, sd_b)[0, 1])
     diagnostics = {
+        "theta_sd_split_half_r": sd_ceiling,
         "num_chains": n_chains,
         "rhat": rhat_by,
         "rhat_max": max(rhat_by.values()) if rhat_by else float("nan"),
