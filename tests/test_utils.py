@@ -259,3 +259,76 @@ def test_rotate_tril_sigma_recovers_frame():
     partial = evaluation.correlation(
         evaluation.rotate_diag_sigma(sd_diag, w), sd_b)["pearson"]
     assert evaluation.correlation(got, sd_b)["pearson"] > partial
+
+
+def test_laplace_theta_sigma_matches_autodiff_hessian():
+    """For the canonical-link 2PL Bernoulli, the observed Hessian of the
+    masked log-posterior at theta IS the expected Fisher information, so
+    laplace_theta_sigma must equal inv(autodiff Hessian) exactly."""
+    import jax
+    import jax.numpy as jnp
+    from vibo_tpu import evaluation
+
+    rng = np.random.default_rng(5)
+    n, m, k = 7, 12, 3
+    a = rng.standard_normal((m, k))
+    b = rng.standard_normal(m)
+    theta = rng.standard_normal((n, k))
+    mask = (rng.random((n, m)) < 0.8).astype(np.float64)
+    items = {"a": a, "b": b}
+
+    sds, tril = evaluation.laplace_sigma_from_items(
+        items, "2pl", mask, theta, return_factor=True)
+
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    for i in range(n):
+        mi = jnp.asarray(mask[i])
+
+        def neg_logpost(t):
+            # the Hessian of -sum_j m_ij log p(r_j|t) is r-independent for
+            # the canonical link: H[sum m log(1+e^eta)] = sum m p(1-p) a a^T;
+            # the N(0, I) prior adds I_K
+            eta = aj @ t - bj
+            return (mi * jnp.log1p(jnp.exp(eta))).sum() + 0.5 * (t ** 2).sum()
+
+        # Hessian of sum m*log(1+e^eta) wrt t == sum m p(1-p) a a^T exactly
+        h = jax.hessian(neg_logpost)(jnp.asarray(theta[i]))
+        cov = np.linalg.inv(np.asarray(h))
+        np.testing.assert_allclose(sds[i], np.sqrt(np.diag(cov)), rtol=1e-6)
+        np.testing.assert_allclose(tril[i] @ tril[i].T, cov, rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_laplace_3pl_reduces_to_2pl_at_zero_guess():
+    """The 3PL Fisher weight ((1-g)s(1-s))^2 / (p(1-p)) at g -> 0 equals the
+    2PL weight p(1-p)."""
+    from vibo_tpu import evaluation
+
+    rng = np.random.default_rng(6)
+    n, m, k = 5, 10, 2
+    items = {"a": rng.standard_normal((m, k)), "b": rng.standard_normal(m)}
+    theta = rng.standard_normal((n, k))
+    mask = np.ones((n, m))
+    sd2 = evaluation.laplace_sigma_from_items(items, "2pl", mask, theta)
+    items3 = dict(items, g_hat=np.full(m, -30.0))
+    sd3 = evaluation.laplace_sigma_from_items(items3, "3pl", mask, theta)
+    np.testing.assert_allclose(sd3, sd2, rtol=1e-6)
+
+
+def test_scorer_laplace_sigma_serves():
+    """serve.AbilityScorer.laplace_sigma: finite, positive, below the prior
+    sd of 1 for observed students; deep models refuse."""
+    from vibo_tpu.data import simulate_irt, holdout_split
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.serve import AbilityScorer
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("2pl", 80, 24, ability_dim=2, seed=7)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7)
+    model = VIBO(VIBOConfig(num_items=24, irt_model="2pl", ability_dim=2,
+                            hidden_dim=16))
+    res = Trainer(model, TrainConfig(epochs=8, eval_every=8)).fit(ds)
+    sc = AbilityScorer(model, res["params"], pad_multiple=16)
+    sds = sc.laplace_sigma(ds.response, ds.train_mask)
+    assert sds.shape == (80, 2)
+    assert np.all(np.isfinite(sds)) and np.all(sds > 0) and np.all(sds < 1.0)

@@ -192,6 +192,15 @@ def cmd_train(args):
             # full covariance factor: sigma_vs_hmc frame transport must
             # rotate the whole covariance, not just its diagonal
             summary["_theta_scale_tril"] = out_means[3]
+        if args.irt_model in ("1pl", "2pl", "3pl"):
+            # closed-form Laplace (Fisher) width at the amortized mean:
+            # serves near-gold per-person uncertainty (0.93 vs the K=4 gold,
+            # at its split-half noise ceiling) where the encoder head
+            # reaches ~0.64 — see evaluation.laplace_theta_sigma
+            _, lap_tril = evaluation.laplace_theta_sigma(
+                model, res["params"], ds, theta=theta_hat,
+                return_factor=True)
+            summary["_theta_laplace_tril"] = lap_tril
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 theta_hat[:sim.theta.shape[0]], sim.theta,
@@ -516,11 +525,24 @@ def cmd_compare(args):
                         sig = evaluation.rotate_diag_sigma(sig, w)
                 r["sigma_vs_hmc"] = round(evaluation.correlation(
                     sig, hmc_row["_theta_sd"])["pearson"], 4)
+            if "_theta_laplace_tril" in r and "_theta_sd" in hmc_row:
+                # Laplace (Fisher) width at the amortized mean — the
+                # closed-form uncertainty the framework can serve for
+                # linear links (evaluation.laplace_theta_sigma)
+                lap = np.asarray(r["_theta_laplace_tril"])
+                if ref.ndim == 2 and ref.shape[1] > 1 and r_hat.ndim == 2 \
+                        and r_hat.shape[1] == ref.shape[1]:
+                    w = evaluation.procrustes_rotation(r_hat, ref)
+                    lap_sd = evaluation.rotate_tril_sigma(lap, w)
+                else:
+                    lap_sd = np.sqrt((lap ** 2).sum(-1))
+                r["laplace_sigma_vs_hmc"] = round(evaluation.correlation(
+                    lap_sd, hmc_row["_theta_sd"])["pearson"], 4)
         hmc_row["theta_vs_hmc"] = 1.0
 
     cols = ("method", "seconds", "heldout_acc", "ece", "theta_pearson",
-            "theta_vs_hmc", "sigma_vs_hmc", "rhat_max", "converged",
-            "cached", "dim_note")
+            "theta_vs_hmc", "sigma_vs_hmc", "laplace_sigma_vs_hmc",
+            "rhat_max", "converged", "cached", "dim_note")
     table = [{c: r[c] for c in cols if c in r} for r in rows]
     print(json.dumps({"dataset": rows[0]["dataset"], "compare": table}))
     return table

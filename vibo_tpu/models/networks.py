@@ -174,10 +174,36 @@ def apply_ability_encoder_packed(params, packed, item_feats=None,
     w1, rest = params[0], params[1:]
     m = packed.shape[-1]
     cd = compute_dtype
-    # condition_on='stats' composes the conditioning into the weight blocks
-    # (modulated_first_layer), so the fused int8 kernel runs unchanged
-    w_r, w_m = modulated_first_layer(w1, cond_mats, m)
-    h = pallas_encoder.packed_first_layer(packed, w_r, w_m, cd)
+    # condition_on='stats': the fused int8 kernel runs on the RAW weight
+    # blocks (sample-invariant — under the MC-sample vmap it is traced ONCE
+    # and its backward receives the vmap-summed cotangent), and the
+    # per-sample conditioning enters as the associativity-rearranged
+    # correction (rm @ A_r) @ Wf_r + (m @ A_m) @ Wf_m == rm @ (A_r Wf_r) +
+    # m @ (A_m Wf_m). Composing A @ Wf into the weights instead (the
+    # round-4 first cut) batches the kernel's dW tiles over S and blows the
+    # 16 MB VMEM stack at S=25 or hidden=1024 (measured Mosaic scoped-vmem
+    # OOM at the flagship shape).
+    h = pallas_encoder.packed_first_layer(packed, w1["w"][:m],
+                                          w1["w"][m:2 * m], cd)
+    if cond_mats is not None:
+        a_r, a_m = cond_mats
+        fr = a_r.shape[-1]
+        wf = w1["w"][2 * m:]
+        pk_f = packed.astype(jnp.float32)
+        mk = jnp.minimum(pk_f, 1.0)
+        rm = jnp.maximum(pk_f - 1.0, 0.0)
+        s_r = jax.lax.dot_general(                      # (B, Fr)
+            rm.astype(cd), a_r.astype(cd),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_m = jax.lax.dot_general(                      # (B, Fm)
+            mk.astype(cd), a_m.astype(cd),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = (h + jax.lax.dot(s_r.astype(cd), wf[:fr].astype(cd),
+                             preferred_element_type=jnp.float32)
+             + jax.lax.dot(s_m.astype(cd), wf[fr:].astype(cd),
+                           preferred_element_type=jnp.float32))
     if item_feats is not None:
         feat_proj = jax.lax.dot_general(
             item_feats.astype(cd), w1["w"][2 * m:].astype(cd),
