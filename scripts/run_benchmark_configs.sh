@@ -39,6 +39,15 @@ python -m vibo_tpu.cli train synthetic-2pl --num-persons 10240 \
     --num-items 1024 --ability-dim 4 --hidden-dim 512 --condition-on stats \
     --num-posterior-samples 5 --epochs 1500 --restarts 4
 
+echo "### K=4 posterior agreement vs the cached gold (encoder + Laplace widths)"
+# samples the 75-min gold into artifacts/gold/k4 on first run; reloads after
+python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --ability-dim 4 --hidden-dim 512 --condition-on stats \
+    --theta-posterior chol --num-posterior-samples 5 --epochs 1500 \
+    --restarts 4 --methods hmc --hmc-warmup 800 --hmc-samples 1600 \
+    --hmc-chains 4 --hmc-leapfrog 64 --hmc-target-accept 0.65 \
+    --hmc-cache artifacts/gold/k4
+
 echo "### nonlinear-generated data: deep link vs (misspecified) 2PL, IWAE-100"
 python -m vibo_tpu.cli train synthetic-nonlinear --num-persons 2000 \
     --num-items 200 --ability-dim 2 --epochs 300 --eval-every 100 \
@@ -54,6 +63,13 @@ python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
     --num-items 1024 --epochs 1500 --hidden-dim 512 --steps 800 \
     --hmc-warmup 500 --hmc-samples 800 --hmc-leapfrog 64 \
     --hmc-target-accept 0.65
+# deep gold posterior: joint (theta, d) HMC under the trained deep decoder
+# (samples into artifacts/gold/deep on first run; reloads after)
+python -m vibo_tpu.cli compare synthetic-nonlinear --num-persons 2000 \
+    --num-items 200 --ability-dim 2 --irt-model deep --epochs 300 \
+    --num-posterior-samples 5 --restarts 2 --methods hmc \
+    --hmc-warmup 1200 --hmc-samples 2400 --hmc-chains 4 --hmc-leapfrog 128 \
+    --hmc-target-accept 0.65 --hmc-cache artifacts/gold/deep
 
 echo "### throughput north star"
 python bench.py
