@@ -317,7 +317,7 @@ def test_laplace_3pl_reduces_to_2pl_at_zero_guess():
 
 def test_scorer_laplace_sigma_serves():
     """serve.AbilityScorer.laplace_sigma: finite, positive, below the prior
-    sd of 1 for observed students; deep models refuse."""
+    sd of 1 for observed students."""
     from vibo_tpu.data import simulate_irt, holdout_split
     from vibo_tpu.models import VIBO, VIBOConfig
     from vibo_tpu.serve import AbilityScorer
@@ -331,4 +331,95 @@ def test_scorer_laplace_sigma_serves():
     sc = AbilityScorer(model, res["params"], pad_multiple=16)
     sds = sc.laplace_sigma(ds.response, ds.train_mask)
     assert sds.shape == (80, 2)
+    assert np.all(np.isfinite(sds)) and np.all(sds > 0) and np.all(sds < 1.0)
+
+
+def test_laplace_deep_reduces_to_linear_closed_form():
+    """A deep decoder rigged into its ReLU-linear region computing
+    eta_ij = sum_k theta_ik - d_j (a 1PL link with b_j = d_j) must give
+    EXACTLY the linear closed form: the Gauss-Newton information with the
+    autodiff link Jacobian is the Fisher information, and for a linear eta
+    the Jacobian is the constant item loading."""
+    import jax.numpy as jnp
+    from vibo_tpu import evaluation
+
+    rng = np.random.default_rng(11)
+    n, m, k, big = 9, 14, 3, 50.0
+    theta = rng.standard_normal((n, k)).astype(np.float32)
+    d = rng.standard_normal((m, 1)).astype(np.float32)
+    mask = (rng.random((n, m)) < 0.8).astype(np.float32)
+    h = 2
+    dp = {
+        "w_theta": jnp.asarray(np.stack([np.ones(k), np.zeros(k)], 1)),
+        "w_item": jnp.asarray([[0.0, 1.0]]),
+        "b1": jnp.full((h,), big),
+        "layer2": {"w": jnp.eye(h), "b": jnp.full((h,), big)},
+        "out": {"w": jnp.asarray([[1.0], [-1.0]]), "b": jnp.zeros((1,))},
+    }
+    sds, tril = evaluation.laplace_sigma_deep(dp, d, mask, theta,
+                                              return_factor=True)
+    items = {"b": d[:, 0]}
+    ref_sds, ref_tril = evaluation.laplace_sigma_from_items(
+        items, "1pl", mask, theta, return_factor=True)
+    np.testing.assert_allclose(sds, ref_sds, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", tril, tril),
+        np.einsum("nij,nkj->nik", ref_tril, ref_tril), rtol=2e-5, atol=1e-7)
+
+
+def test_laplace_deep_matches_naive_autodiff_ggn():
+    """laplace_sigma_deep's batched one-hot-JVP assembly equals a naive
+    per-person GGN built from jax.jacrev of that person's logits, for a
+    generic random deep decoder; blocked == unblocked."""
+    import jax
+    import jax.numpy as jnp
+    from vibo_tpu import evaluation
+    from vibo_tpu.models import networks
+
+    rng = np.random.default_rng(12)
+    n, m, k, latent = 7, 10, 2, 3
+    dp = networks.init_deep_link(jax.random.key(3), k, latent, 8)
+    theta = rng.standard_normal((n, k)).astype(np.float32)
+    d = rng.standard_normal((m, latent)).astype(np.float32)
+    mask = (rng.random((n, m)) < 0.85).astype(np.float32)
+
+    sds, tril = evaluation.laplace_sigma_deep(dp, d, mask, theta,
+                                              return_factor=True)
+    d_j = jnp.asarray(d)
+    for i in range(n):
+        def eta_i(t):
+            return networks.apply_deep_link(dp, t[None], d_j)[0]
+
+        jac = np.asarray(jax.jacrev(eta_i)(jnp.asarray(theta[i])),
+                         np.float64)                        # (M, K)
+        p = 1.0 / (1.0 + np.exp(-np.asarray(eta_i(jnp.asarray(theta[i])),
+                                            np.float64)))
+        w = mask[i].astype(np.float64) * p * (1.0 - p)
+        info = np.eye(k) + (jac * w[:, None]).T @ jac
+        cov = np.linalg.inv(info)
+        np.testing.assert_allclose(sds[i], np.sqrt(np.diag(cov)), rtol=1e-4)
+        np.testing.assert_allclose(tril[i] @ tril[i].T, cov, rtol=1e-4,
+                                   atol=1e-7)
+
+    sds_b = evaluation.laplace_sigma_deep(dp, d, mask, theta, block_size=3)
+    np.testing.assert_allclose(sds_b, sds, rtol=1e-6)
+
+
+def test_scorer_laplace_sigma_deep_serves():
+    """serve.AbilityScorer.laplace_sigma under a trained deep model: finite,
+    positive, below the prior sd of 1 for observed students."""
+    from vibo_tpu.data import simulate_irt, holdout_split
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.serve import AbilityScorer
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("nonlinear", 60, 20, ability_dim=2, seed=9)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=9)
+    model = VIBO(VIBOConfig(num_items=20, irt_model="deep", ability_dim=2,
+                            hidden_dim=16, deep_hidden_dim=16,
+                            item_latent_dim=4))
+    res = Trainer(model, TrainConfig(epochs=8, eval_every=8)).fit(ds)
+    sc = AbilityScorer(model, res["params"], pad_multiple=16)
+    sds = sc.laplace_sigma(ds.response, ds.train_mask)
+    assert sds.shape == (60, 2)
     assert np.all(np.isfinite(sds)) and np.all(sds > 0) and np.all(sds < 1.0)

@@ -192,15 +192,15 @@ def cmd_train(args):
             # full covariance factor: sigma_vs_hmc frame transport must
             # rotate the whole covariance, not just its diagonal
             summary["_theta_scale_tril"] = out_means[3]
-        if args.irt_model in ("1pl", "2pl", "3pl"):
-            # closed-form Laplace (Fisher) width at the amortized mean:
-            # serves near-gold per-person uncertainty (0.93 vs the K=4 gold,
-            # at its split-half noise ceiling) where the encoder head
-            # reaches ~0.64 — see evaluation.laplace_theta_sigma
-            _, lap_tril = evaluation.laplace_theta_sigma(
-                model, res["params"], ds, theta=theta_hat,
-                return_factor=True)
-            summary["_theta_laplace_tril"] = lap_tril
+        # Laplace (Fisher) width at the amortized mean: closed form for
+        # the linear links, Gauss-Newton via autodiff for deep — serves
+        # near-gold per-person uncertainty (0.94 vs the K=4 gold, at its
+        # split-half noise ceiling) where the encoder head reaches ~0.64
+        # — see evaluation.laplace_theta_sigma
+        _, lap_tril = evaluation.laplace_theta_sigma(
+            model, res["params"], ds, theta=theta_hat,
+            return_factor=True)
+        summary["_theta_laplace_tril"] = lap_tril
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 theta_hat[:sim.theta.shape[0]], sim.theta,

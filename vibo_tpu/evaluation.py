@@ -431,16 +431,21 @@ def laplace_theta_sigma(model: VIBO, params, ds: Dataset,
     theta: (N, K) posterior means (default: infer_posterior_means).
     Returns (N, K) marginal sds; return_factor=True additionally returns the
     (N, K, K) Cholesky factor of the covariance (for rotate_tril_sigma
-    frame transport). Linear links only — the deep link has no closed-form
-    Fisher (raises ValueError)."""
+    frame transport). The deep link routes to laplace_sigma_deep (the same
+    Fisher/Gauss-Newton information with the link Jacobian from autodiff)."""
     cfg = model.cfg
-    if cfg.irt_model not in ("1pl", "2pl", "3pl"):
+    if cfg.irt_model not in ("1pl", "2pl", "3pl", "deep"):
         raise ValueError(
-            f"laplace_theta_sigma needs a linear link, got {cfg.irt_model!r}")
+            f"laplace_theta_sigma: unknown link {cfg.irt_model!r}")
     items = full_item_mean(model, params, ds)
     if theta is None:
         theta = infer_posterior_means(model, params, ds,
                                       block_size=block_size)[0]
+    if cfg.irt_model == "deep":
+        return laplace_sigma_deep(params["deep_link"], items["d"],
+                                  ds.train_mask, theta,
+                                  block_size=block_size,
+                                  return_factor=return_factor)
     return laplace_sigma_from_items(items, cfg.irt_model, ds.train_mask,
                                     theta, block_size=block_size,
                                     return_factor=return_factor)
@@ -486,6 +491,75 @@ def laplace_sigma_from_items(items: dict, irt_model: str, mask, theta,
         sds[s:e] = np.sqrt(np.diagonal(cov, axis1=1, axis2=2))
         if return_factor:
             factors[s:e] = np.linalg.cholesky(cov)
+    return (sds, factors) if return_factor else sds
+
+
+@functools.lru_cache(maxsize=16)
+def _deep_fisher_fn(kdim: int, item_chunk: int):
+    """Cached jit: (deep_params, theta (B,K), d (M,L), mask (B,M)) ->
+    per-person (sds (B,K), chol (B,K,K)) of the Gauss-Newton Laplace
+    covariance under the deep link."""
+    from vibo_tpu.models import networks
+
+    def fisher(dp, theta_b, d, mask_b):
+        def eta_fn(th):
+            return networks.apply_deep_link(dp, th, d, item_chunk=item_chunk)
+
+        # per-person Jacobian of eta wrt theta via K one-hot JVPs: each
+        # person's logits depend only on their own theta row, so pushing the
+        # whole column e_k through is exactly the k-th Jacobian column for
+        # every person at once (K forward passes, no B*M*K jacobian build)
+        eta, j0 = jax.jvp(eta_fn, (theta_b,),
+                          (jnp.zeros_like(theta_b).at[:, 0].set(1.0),))
+        cols = [j0]
+        for k in range(1, kdim):
+            cols.append(jax.jvp(eta_fn, (theta_b,),
+                                (jnp.zeros_like(theta_b)
+                                 .at[:, k].set(1.0),))[1])
+        jac = jnp.stack(cols)                                   # (K, B, M)
+        p = jax.nn.sigmoid(eta)
+        w = mask_b * p * (1.0 - p)                              # (B, M)
+        info = jnp.einsum("kbm,lbm->bkl", jac * w[None], jac)
+        info = info + jnp.eye(kdim, dtype=info.dtype)
+        cov = jnp.linalg.inv(info)
+        sds = jnp.sqrt(jnp.diagonal(cov, axis1=-2, axis2=-1))
+        return sds, jnp.linalg.cholesky(cov)
+
+    return jax.jit(fisher)
+
+
+def laplace_sigma_deep(deep_params, d, mask, theta,
+                       block_size: int = 4096,
+                       return_factor: bool = False,
+                       item_chunk: int = 256):
+    """Laplace width of theta under the DEEP link at the amortized mean.
+
+    The linear links' closed form generalizes through the Gauss-Newton /
+    expected-Fisher information: I_i = I_K + sum_j m_ij p_ij(1-p_ij)
+    J_ij J_ij^T with J_ij = d eta_ij / d theta_i from autodiff (for the
+    canonical Bernoulli link the GGN IS the expected Fisher, and for a
+    linear eta it reduces exactly to laplace_sigma_from_items — tested).
+    Always PSD, unlike the observed Hessian at an amortized (not exactly
+    modal) theta. Conditions on the item-latent means d, the same protocol
+    as the linear closed form (the HMC gold integrates d, which this
+    deliberately does not — it is the serving-time width).
+
+    deep_params: the trained decoder tree (params["deep_link"]).
+    d: (M, L) item latent means. Returns like laplace_sigma_from_items."""
+    theta = np.asarray(theta, np.float32)
+    n, k = theta.shape
+    fisher = _deep_fisher_fn(k, item_chunk)
+    dp = jax.tree.map(jnp.asarray, deep_params)
+    d_j = jnp.asarray(d)
+    mask = np.asarray(mask, np.float32)
+    sds = np.empty((n, k))
+    factors = np.empty((n, k, k)) if return_factor else None
+    for s, e in _person_blocks(n, block_size):
+        sd_b, ch_b = fisher(dp, jnp.asarray(theta[s:e]), d_j,
+                            jnp.asarray(mask[s:e]))
+        sds[s:e] = np.asarray(sd_b, np.float64)
+        if return_factor:
+            factors[s:e] = np.asarray(ch_b, np.float64)
     return (sds, factors) if return_factor else sds
 
 

@@ -112,7 +112,15 @@ class HMCConfig:
     scan_chunk: int = 100              # chain iterations per device
                                        # dispatch; bounds single-dispatch
                                        # wall time (relay timeouts) and the
-                                       # device-resident sample trace
+                                       # device-resident sample trace.
+                                       # Fixed trajectories additionally cap
+                                       # the chunk so one dispatch never
+                                       # exceeds ~scan_chunk*64 leapfrogs:
+                                       # --hmc-leapfrog 128 halves the chunk
+                                       # instead of doubling dispatch wall
+                                       # time past the relay watchdog (two
+                                       # observed worker kills mid-dispatch
+                                       # at 128x100)
     ridge_moves: int = 8               # Metropolis-within-Gibbs sweeps per
                                        # iteration along the likelihood-NULL
                                        # ridges (location: theta+c, b+c*a;
@@ -922,6 +930,11 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     all_keys = jax.vmap(lambda k: jax.random.split(k, total))(chain_keys)
     carry = programs.init(positions, data)
     chunk = max(1, int(cfg.scan_chunk))
+    if cfg.trajectory == "fixed" and cfg.num_leapfrog > 64:
+        # keep leapfrogs-per-dispatch at the proven 64*scan_chunk budget
+        # (see scan_chunk's docstring: longer single dispatches have killed
+        # the tunneled TPU worker mid-run)
+        chunk = max(1, (chunk * 64) // int(cfg.num_leapfrog))
     outs = []
     for i in range(0, total, chunk):
         j = min(total, i + chunk)

@@ -128,15 +128,13 @@ class AbilityScorer:
 
     def laplace_sigma(self, response, mask, theta_mu=None) -> np.ndarray:
         """(B, K) Laplace (Fisher) posterior widths at the amortized mean —
-        the closed-form uncertainty for linear links, measured at the K=4
-        gold's own noise ceiling (0.93 vs HMC sds) where the encoder head
-        reaches ~0.64 (evaluation.laplace_theta_sigma). theta_mu defaults
-        to this scorer's own score()["theta_mu"]."""
+        closed form for linear links, Gauss-Newton via autodiff for the
+        deep link; measured at the K=4 gold's own noise ceiling (0.94 vs
+        HMC sds) where the encoder head reaches ~0.64
+        (evaluation.laplace_theta_sigma). theta_mu defaults to this
+        scorer's own score()["theta_mu"]."""
         from vibo_tpu import evaluation
 
-        if self.model.cfg.irt_model not in ("1pl", "2pl", "3pl"):
-            raise ValueError("laplace_sigma needs a linear link, got "
-                             f"{self.model.cfg.irt_model!r}")
         if theta_mu is None:
             theta_mu = self.score(response, mask)["theta_mu"]
         items = self.item_mean
@@ -147,6 +145,9 @@ class AbilityScorer:
                     self.params, jnp.asarray(np.asarray(response,
                                                         np.float32)),
                     jnp.asarray(np.asarray(mask, np.float32))))
+        if self.model.cfg.irt_model == "deep":
+            return evaluation.laplace_sigma_deep(
+                self.params["deep_link"], items["d"], mask, theta_mu)
         return evaluation.laplace_sigma_from_items(
             items, self.model.cfg.irt_model, mask, theta_mu)
 
