@@ -486,3 +486,56 @@ def test_condition_on_stats_exogenous_noise_path():
         lls.append(float(model.loglik_per_person(params, theta, sample,
                                                  resp, mask).sum()))
     np.testing.assert_allclose(float(ll), np.mean(lls), rtol=1e-5)
+
+
+# --------------------- semi-amortized theta refinement
+
+def test_refine_theta_posterior_improves_bound():
+    """Per-person SVI refinement raises the per-person ELBO on average for
+    both theta-posterior families and returns well-formed outputs."""
+    from vibo_tpu.data import holdout_split, simulate_irt
+    from vibo_tpu.train import Trainer, TrainConfig
+    from vibo_tpu import evaluation
+    sim = simulate_irt("2pl", 64, M, ability_dim=K, seed=3)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=3)
+    for family in ("diag", "chol"):
+        cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                         hidden_dim=16, theta_posterior=family)
+        model = VIBO(cfg)
+        res = Trainer(model, TrainConfig(epochs=12)).fit(ds)
+        mu, sigma, tril, info = evaluation.refine_theta_posterior(
+            model, res["params"], ds, steps=150, num_samples=6)
+        assert mu.shape == (64, K) and sigma.shape == (64, K)
+        assert tril.shape == (64, K, K)
+        assert np.isfinite(mu).all() and np.isfinite(sigma).all()
+        np.testing.assert_allclose(sigma, np.sqrt((tril ** 2).sum(-1)),
+                                   rtol=1e-4, atol=1e-5)
+        assert info["elbo_gain_per_person"] > 0, family
+        # a refined per-person bound should rarely drop below its
+        # amortized start (MC noise in the paired eval allows a few)
+        assert info["persons_worse"] <= 6, family
+
+
+def test_refine_theta_posterior_prior_oracle():
+    """EXACT oracle: a person with zero observed responses has posterior ==
+    prior, so refinement must drive their q(theta) to N(0, I) regardless of
+    where the (extrapolating) encoder initializes it — mu -> 0, marginal
+    sd -> 1, off-diagonals -> 0. The loglik term is identically zero under
+    an all-zero mask, so the optimization is deterministic KL descent."""
+    from vibo_tpu.data import holdout_split, simulate_irt
+    from vibo_tpu.train import Trainer, TrainConfig
+    from vibo_tpu import evaluation
+    sim = simulate_irt("2pl", 48, M, ability_dim=K, seed=5)
+    mask = np.asarray(sim.mask).copy()
+    mask[:3] = 0.0                    # three all-missing persons
+    ds = holdout_split(np.asarray(sim.response), mask, 0.1, seed=5)
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=16, theta_posterior="chol")
+    model = VIBO(cfg)
+    res = Trainer(model, TrainConfig(epochs=10)).fit(ds)
+    mu, sigma, tril, _ = evaluation.refine_theta_posterior(
+        model, res["params"], ds, steps=600, lr=0.05, num_samples=2)
+    assert np.abs(mu[:3]).max() < 0.05
+    np.testing.assert_allclose(sigma[:3], 1.0, atol=0.05)
+    # off-diagonal mixing of the refined factor vanishes at the prior
+    assert np.abs(np.tril(tril[:3], -1)).max() < 0.05

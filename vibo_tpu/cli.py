@@ -201,6 +201,16 @@ def cmd_train(args):
             model, res["params"], ds, theta=theta_hat,
             return_factor=True)
         summary["_theta_laplace_tril"] = lap_tril
+        if getattr(args, "refine_theta", 0):
+            # semi-amortized per-person SVI refinement of q(theta) —
+            # closes the amortization gap at eval time
+            # (evaluation.refine_theta_posterior)
+            mu_r, _, tril_r, rinfo = evaluation.refine_theta_posterior(
+                model, res["params"], ds, steps=args.refine_theta)
+            summary["_theta_hat_refined"] = mu_r
+            summary["_theta_scale_tril_refined"] = tril_r
+            summary["refine_elbo_gain_per_person"] = round(
+                rinfo["elbo_gain_per_person"], 5)
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 theta_hat[:sim.theta.shape[0]], sim.theta,
@@ -538,10 +548,27 @@ def cmd_compare(args):
                     lap_sd = np.sqrt((lap ** 2).sum(-1))
                 r["laplace_sigma_vs_hmc"] = round(evaluation.correlation(
                     lap_sd, hmc_row["_theta_sd"])["pearson"], 4)
+            if "_theta_hat_refined" in r and "_theta_sd" in hmc_row:
+                # semi-amortized per-person SVI refinement
+                # (evaluation.refine_theta_posterior, --refine-theta)
+                mu_r = np.asarray(r["_theta_hat_refined"])
+                tr_r = np.asarray(r["_theta_scale_tril_refined"])
+                r["refined_theta_vs_hmc"] = round(evaluation.correlation(
+                    mu_r, ref, align_rotation=True)["pearson"], 4)
+                if ref.ndim == 2 and ref.shape[1] > 1 \
+                        and mu_r.shape[1] == ref.shape[1]:
+                    w = evaluation.procrustes_rotation(mu_r, ref)
+                    sd_r = evaluation.rotate_tril_sigma(tr_r, w)
+                else:
+                    sd_r = np.sqrt((tr_r ** 2).sum(-1))
+                r["refined_sigma_vs_hmc"] = round(evaluation.correlation(
+                    sd_r, hmc_row["_theta_sd"])["pearson"], 4)
         hmc_row["theta_vs_hmc"] = 1.0
 
     cols = ("method", "seconds", "heldout_acc", "ece", "theta_pearson",
             "theta_vs_hmc", "sigma_vs_hmc", "laplace_sigma_vs_hmc",
+            "refined_theta_vs_hmc", "refined_sigma_vs_hmc",
+            "refine_elbo_gain_per_person",
             "rhat_max", "converged", "cached", "dim_note")
     table = [{c: r[c] for c in cols if c in r} for r in rows]
     print(json.dumps({"dataset": rows[0]["dataset"], "compare": table}))
@@ -687,6 +714,11 @@ def main(argv=None):
                    help="independent random restarts; keeps the best final "
                         "training bound (K>1 IRT has optimization basins — "
                         "see TrainConfig.restarts)")
+    t.add_argument("--refine-theta", type=int, default=0, metavar="STEPS",
+                   dest="refine_theta",
+                   help="semi-amortized eval: per-person SVI refinement of "
+                        "q(theta) for STEPS Adam steps from the amortized "
+                        "posterior (evaluation.refine_theta_posterior)")
     t.add_argument("--objective", default="elbo", choices=["elbo", "iwae"],
                    help="training bound: ELBO or the multi-sample IWAE "
                         "(arXiv:2108.11579)")
@@ -797,6 +829,10 @@ def main(argv=None):
     c.add_argument("--restarts", type=int, default=1,
                    help="VIBO leg: independent random restarts, best final "
                         "bound kept (TrainConfig.restarts)")
+    c.add_argument("--refine-theta", type=int, default=0, metavar="STEPS",
+                   dest="refine_theta",
+                   help="VIBO leg: see train --refine-theta (adds "
+                        "refined_theta_vs_hmc / refined_sigma_vs_hmc)")
     c.add_argument("--steps", type=int, default=500)
     c.add_argument("--hmc-warmup", type=int, default=300)
     c.add_argument("--hmc-samples", type=int, default=300)
