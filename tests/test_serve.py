@@ -75,3 +75,31 @@ def test_scorer_shape_validation(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         scorer.score(np.zeros((4, 8)), np.zeros((4, 7)))
+
+
+def test_scorer_refine_improves_and_shapes():
+    """AbilityScorer.refine: semi-amortized serving — refined outputs are
+    well-formed, the per-person bound improves on average, and the marginal
+    sigma equals the factor's row norms."""
+    import jax
+    import numpy as np
+    from vibo_tpu.data import simulate_irt, holdout_split
+    from vibo_tpu.models import VIBO, VIBOConfig
+    from vibo_tpu.serve import AbilityScorer
+    from vibo_tpu.train import Trainer, TrainConfig
+
+    sim = simulate_irt("2pl", 70, 22, ability_dim=2, seed=13)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=13)
+    model = VIBO(VIBOConfig(num_items=22, irt_model="2pl", ability_dim=2,
+                            hidden_dim=16, theta_posterior="chol"))
+    res = Trainer(model, TrainConfig(epochs=12)).fit(ds)
+    sc = AbilityScorer(model, res["params"], pad_multiple=16)
+    out = sc.refine(ds.response, ds.train_mask, steps=120, num_samples=4)
+    assert out["theta_mu"].shape == (70, 2)
+    assert out["theta_sigma"].shape == (70, 2)
+    assert out["theta_tril"].shape == (70, 2, 2)
+    assert np.isfinite(out["theta_mu"]).all()
+    np.testing.assert_allclose(
+        out["theta_sigma"], np.sqrt((out["theta_tril"] ** 2).sum(-1)),
+        rtol=1e-4, atol=1e-5)
+    assert out["elbo_gain_per_person"] > 0

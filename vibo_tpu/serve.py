@@ -151,6 +151,65 @@ class AbilityScorer:
         return evaluation.laplace_sigma_from_items(
             items, self.model.cfg.irt_model, mask, theta_mu)
 
+    def refine(self, response, mask, steps: int = 300, lr: float = 0.05,
+               num_samples: int = 8, seed: int = 0) -> dict:
+        """Semi-amortized scoring: per-person SVI refinement of q(theta)
+        from the amortized init (evaluation.refine_theta_posterior's
+        program, driven from raw serving arrays). One vectorized Adam run
+        covers the whole batch — no per-student loops. Returns the refined
+        {"theta_mu", "theta_sigma", "theta_tril", "elbo_gain_per_person"}."""
+        from vibo_tpu import evaluation
+
+        response = np.asarray(response, np.float32)
+        mask = np.asarray(mask, np.float32)
+        if response.ndim != 2 or response.shape != mask.shape:
+            raise ValueError(
+                f"expected matching (B, M) response/mask, got "
+                f"{response.shape} vs {mask.shape}")
+        b = response.shape[0]
+        pad = (-b) % self.pad_multiple
+        if pad:
+            response = np.pad(response, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        items = self.item_mean
+        if items is None:
+            items = jax.tree.map(
+                np.asarray,
+                self.model.item_posterior_mean(
+                    self.params, jnp.asarray(response), jnp.asarray(mask)))
+        items_j = {k: jnp.asarray(v) for k, v in items.items()}
+        resp_j, mask_j = jnp.asarray(response), jnp.asarray(mask)
+        mu0, logvar0, off0 = self._encode_fn(self.params, resp_j, mask_j,
+                                             items_j)
+        q0 = {"mu": mu0, "logvar": logvar0}
+        if off0 is not None:
+            q0["off"] = off0
+        if self.model.cfg.irt_model == "deep":
+            items_j["__deep__"] = self.params["deep_link"]
+        # the refinement program consumes the evaluation bit-code; build it
+        # from the serving arrays (bit 0: response, bit 1: observed mask)
+        code = (response.astype(np.uint8) & 1) \
+            | ((mask > 0).astype(np.uint8) << 1)
+        refine_fn = evaluation._refine_theta_fn(
+            self.model.cfg, int(steps), int(num_samples), float(lr))
+        mu, sigma, tril, per0, per1 = refine_fn(
+            items_j, jnp.asarray(code), q0, jax.random.key(seed))
+        gain = (np.asarray(per1)[:b] - np.asarray(per0)[:b]).mean()
+        return {"theta_mu": np.asarray(mu)[:b],
+                "theta_sigma": np.asarray(sigma)[:b],
+                "theta_tril": np.asarray(tril)[:b],
+                "elbo_gain_per_person": float(gain)}
+
+    @functools.cached_property
+    def _encode_fn(self):
+        model = self.model
+
+        @jax.jit
+        def encode(params, response, mask, item_mean):
+            return model.encode(params, response, mask, item_mean)
+
+        return encode
+
     @functools.cached_property
     def _item_score_fn(self):
         model = self.model
