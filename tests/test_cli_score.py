@@ -170,3 +170,25 @@ def test_score_new_items_cold_start(tmp_path):
         assert any(k.endswith("_mu") for k in d.files)
         mu_keys = [k for k in d.files if k.endswith("_mu")]
         assert all(d[k].shape[0] == 6 for k in mu_keys)
+
+
+def test_score_refine_theta_outputs(trained, tmp_path):
+    """`score --refine-theta` appends refined_{theta_mu,theta_sigma,
+    theta_tril} to the output npz, shaped per person."""
+    rng = np.random.default_rng(9)
+    new_resp = (rng.random((9, 24)) < 0.5).astype(np.float32)
+    new_mask = (rng.random((9, 24)) < 0.8).astype(np.float32)
+    new_resp *= new_mask
+    npz_path = tmp_path / "new.npz"
+    np.savez(npz_path, response=new_resp, mask=new_mask)
+    out_path = tmp_path / "score_refined.npz"
+    s = cli.main(["score", "--checkpoint", trained["ckpt"], "--input",
+                  str(npz_path), "--output", str(out_path), "--cpu",
+                  "--refine-theta", "60"])
+    assert s["num_persons"] == 9
+    with np.load(out_path) as a:
+        assert a["refined_theta_mu"].shape == (9, 1)
+        assert a["refined_theta_sigma"].shape == (9, 1)
+        assert a["refined_theta_tril"].shape == (9, 1, 1)
+        assert np.isfinite(a["refined_theta_mu"]).all()
+        assert (a["refined_theta_sigma"] > 0).all()

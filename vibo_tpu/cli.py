@@ -677,6 +677,14 @@ def cmd_score(args):
     outs = [scorer.score(response[s:s + bs], mask[s:s + bs])
             for s in range(0, response.shape[0], bs)]
     out = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    if getattr(args, "refine_theta", 0):
+        # semi-amortized serving: SVI-refine q(theta) per batch
+        # (serve.AbilityScorer.refine)
+        routs = [scorer.refine(response[s:s + bs], mask[s:s + bs],
+                               steps=args.refine_theta)
+                 for s in range(0, response.shape[0], bs)]
+        for k in ("theta_mu", "theta_sigma", "theta_tril"):
+            out["refined_" + k] = np.concatenate([o[k] for o in routs])
     seconds = time.perf_counter() - t0
     summary = {"checkpoint": args.checkpoint, "mode": "persons",
                "num_persons": len(pids),
@@ -872,6 +880,10 @@ def main(argv=None):
                    help="new-ITEM cold start: input columns are unseen "
                         "items; needs a model trained with --item-encoder")
     s.add_argument("--batch-size", type=int, default=4096)
+    s.add_argument("--refine-theta", type=int, default=0, metavar="STEPS",
+                   dest="refine_theta",
+                   help="semi-amortized serving: SVI-refine q(theta) per "
+                        "batch before output (AbilityScorer.refine)")
     s.add_argument("--cpu", action="store_true", help="force the CPU backend")
     s.add_argument("--no-compilation-cache", action="store_true",
                    help=argparse.SUPPRESS)
