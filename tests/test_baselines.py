@@ -195,6 +195,86 @@ def test_em_3pl_recovery():
     assert acc > max(ones, 1 - ones)
 
 
+# --------------------- multidimensional EM (tensor-product GH grid, round 4)
+
+def test_gh_grid_matches_1d():
+    """gauss_hermite_grid(q, 1) is gauss_hermite_nodes(q) with a K axis."""
+    nodes1, w1 = em.gauss_hermite_nodes(21)
+    grid, logw = em.gauss_hermite_grid(21, 1)
+    np.testing.assert_allclose(np.asarray(grid)[:, 0], np.asarray(nodes1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.exp(np.asarray(logw)), np.asarray(w1),
+                               rtol=1e-5)
+
+
+def test_gh_grid_integrates_gaussian_moments():
+    """The K=2 product grid integrates low-order moments of N(0, I_2)."""
+    grid, logw = em.gauss_hermite_grid(15, 2)
+    g, w = np.asarray(grid), np.exp(np.asarray(logw))
+    assert abs(w.sum() - 1.0) < 1e-5
+    np.testing.assert_allclose(w @ g, [0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.einsum("q,qi,qj->ij", w, g, g), np.eye(2),
+                               atol=1e-4)
+
+
+def test_em_multidim_recovery():
+    """K=2 2PL EM: marginal loglik beats the K=1 fit on K=2-generated data,
+    EAP abilities recover the truth after rotation alignment, and held-out
+    imputation beats base rate."""
+    sim = simulate_irt("2pl", 500, 60, ability_dim=2, seed=13)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=13)
+    res = em.fit_em(ds.response, ds.train_mask,
+                    em.EMConfig(irt_model="2pl", ability_dim=2))
+    assert res["theta_eap"].shape == (500, 2)
+    assert res["a"].shape == (60, 2)
+    assert np.isfinite(res["log_marginal"])
+    res1 = em.fit_em(ds.response, ds.train_mask,
+                     em.EMConfig(irt_model="2pl", ability_dim=1))
+    assert res["log_marginal"] > res1["log_marginal"]
+    c = evaluation.correlation(res["theta_eap"], sim.theta,
+                               align_rotation=True)
+    assert c["pearson"] > 0.6, c
+    prob = em.response_prob(res)
+    pred = (prob > 0.5).astype(np.float32)
+    h = ds.heldout_mask
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    ones = (h * ds.response).sum() / h.sum()
+    acc1 = (h * ((em.response_prob(res1) > 0.5) == ds.response)).sum() / h.sum()
+    assert acc > max(ones, 1 - ones) + 0.02
+    assert acc >= acc1 - 0.005  # the extra dimension must not hurt
+
+
+def test_em_multidim_marginal_monotone():
+    """EM monotonicity holds through the multidim (K+1)x(K+1) M-step."""
+    import jax.numpy as jnp
+    sim = simulate_irt("2pl", 300, 30, ability_dim=2, seed=21)
+    resp, mask = jnp.asarray(sim.response), jnp.asarray(sim.mask)
+    nodes, log_w = em.gauss_hermite_grid(15, 2)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(
+        np.concatenate([np.ones((30, 1)), 0.1 * rng.standard_normal((30, 1))],
+                       axis=1), jnp.float32)
+    pval = (sim.response * sim.mask).sum(0) / np.maximum(sim.mask.sum(0), 1)
+    b = jnp.asarray(-np.log(np.clip(pval, 0.05, 0.95)
+                            / (1 - np.clip(pval, 0.05, 0.95))), jnp.float32)
+    lls = []
+    for _ in range(6):
+        post, ll = em.e_step(resp, mask, nodes, log_w, a, b)
+        lls.append(float(ll))
+        a, b = em.m_step(resp, mask, post, nodes, a, b, 8, True)
+    assert all(lls[i + 1] >= lls[i] - 1e-3 for i in range(len(lls) - 1)), lls
+
+
+def test_em_multidim_rejects_classical_forms():
+    sim = simulate_irt("2pl", 50, 10, ability_dim=1, seed=1)
+    with pytest.raises(ValueError, match="2pl-only"):
+        em.fit_em(sim.response, sim.mask,
+                  em.EMConfig(irt_model="3pl", ability_dim=2))
+    with pytest.raises(ValueError, match="K=4"):
+        em.fit_em(sim.response, sim.mask,
+                  em.EMConfig(irt_model="2pl", ability_dim=5))
+
+
 @pytest.mark.slow
 def test_em_3pl_marginal_loglik_increases():
     """EM's monotonicity must survive the 3PL Fisher-scoring M-step."""

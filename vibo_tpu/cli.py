@@ -276,15 +276,24 @@ def cmd_baseline(args):
                 align_rotation=True)["pearson"], 4)
     elif args.method == "em":
         from vibo_tpu.models import em
+        # 2PL EM is multidimensional (tensor-product GH grid, K <= 4);
+        # 1PL/3PL stay at the classical K=1 (models/em.py)
+        em_dim = args.ability_dim if args.irt_model == "2pl" else 1
         res = em.fit_em(ds.response, ds.train_mask,
-                        em.EMConfig(irt_model=args.irt_model))
+                        em.EMConfig(irt_model=args.irt_model,
+                                    ability_dim=em_dim, seed=args.seed))
         summary["log_marginal"] = res["log_marginal"]
         summary["iterations"] = res["iterations"]
         summary["heldout_acc"] = impute_acc(em.response_prob(res))
-        summary["_theta_hat"] = res["theta_eap"][:, None]
+        theta = res["theta_eap"]
+        summary["_theta_hat"] = theta[:, None] if theta.ndim == 1 else theta
         if sim is not None:
-            summary["theta_pearson"] = round(evaluation.correlation(
-                res["theta_eap"], sim.theta[:, 0])["pearson"], 4)
+            if em_dim > 1:
+                summary["theta_pearson"] = round(evaluation.correlation(
+                    theta, sim.theta, align_rotation=True)["pearson"], 4)
+            else:
+                summary["theta_pearson"] = round(evaluation.correlation(
+                    theta, sim.theta[:, 0])["pearson"], 4)
     elif args.method == "hmc":
 
         from vibo_tpu.models import hmc
@@ -471,12 +480,15 @@ def cmd_compare(args):
             print("NOTE: the deep link has no MLE/EM analog; running the "
                   f"{method} baseline as 2PL", file=sys.stderr)
             b_args.irt_model = "2pl"
-        if method == "em" and args.ability_dim > 1:
-            print(f"NOTE: the EM baseline is K=1 by classical Gauss-Hermite "
-                  f"restriction (models/em.py); comparing it against "
-                  f"ability-dim={args.ability_dim} methods via the mean "
-                  f"multiple correlation of its single trait with the "
-                  f"higher-dim posterior", file=sys.stderr)
+        if (method == "em" and args.ability_dim > 1
+                and (b_args.irt_model != "2pl" or args.ability_dim > 4)):
+            # 2PL EM runs at the requested K <= 4 (tensor-product grid,
+            # models/em.py); the classical 1PL/3PL forms stay K=1
+            b_args.ability_dim = 1
+            print(f"NOTE: {b_args.irt_model} EM is K=1 by classical "
+                  f"restriction (models/em.py); comparing its single trait "
+                  f"against ability-dim={args.ability_dim} methods via the "
+                  f"mean multiple correlation", file=sys.stderr)
         timed(method, lambda: cmd_baseline(b_args))
 
     # Cross-method posterior agreement (the paper's protocol when no ground
