@@ -65,26 +65,30 @@ def make_scan_steps(trainer, n_steps, packed=False):
 
 
 def measure_throughput(trainer, params, opt_state, data, packed,
-                       n_small=20, n_large=100, repeats=5):
+                       n_small=20, n_large=100, repeats=8):
     """Two-point scan timing -> (per-step seconds, fixed overhead seconds).
 
     The tunneled TPU is shared: each timing is repeated and the MIN is taken
     (contention only ever adds time), then the two points are differenced to
-    cancel the per-call RPC overhead."""
+    cancel the per-call RPC overhead. The two points are INTERLEAVED within
+    each repeat so a contention-regime shift over the measurement window hits
+    both points alike instead of biasing the difference (r03->r04 the step
+    time wandered 0.29->0.35 ms when the blocks ran minutes apart)."""
     import jax
 
-    times = {}
+    runs = {}
     for n in (n_small, n_large):
         run = make_scan_steps(trainer, n, packed=packed)
         p, o, e = run(params, opt_state, jax.random.key(1), *data)
         float(e)  # warm/compile, forced
-        best = float("inf")
-        for r in range(repeats):
+        runs[n] = run
+    times = {n_small: float("inf"), n_large: float("inf")}
+    for r in range(repeats):
+        for n in (n_small, n_large):
             t0 = time.perf_counter()
-            p, o, e = run(params, opt_state, jax.random.key(2 + r), *data)
+            p, o, e = runs[n](params, opt_state, jax.random.key(2 + r), *data)
             float(e)
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
+            times[n] = min(times[n], time.perf_counter() - t0)
     per_step = (times[n_large] - times[n_small]) / (n_large - n_small)
     fixed = times[n_small] - n_small * per_step
     return per_step, fixed
