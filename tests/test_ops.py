@@ -256,3 +256,87 @@ def test_tril_reparameterize_sample_covariance():
     want = L @ L.T
     np.testing.assert_allclose(np.cov(zs.T), want, rtol=0.05, atol=0.02)
     np.testing.assert_allclose(zs.mean(0), np.asarray(mu), atol=0.02)
+
+
+# ---------------------------------------------------------------- GRM ops
+
+def _grm_probs_np(base, kappa):
+    """Naive f64 oracle: (B, M, C) category probabilities."""
+    big = 1e9
+    lo = np.concatenate([np.full(kappa.shape[:-1] + (1,), -big), kappa], -1)
+    hi = np.concatenate([kappa, np.full(kappa.shape[:-1] + (1,), big)], -1)
+    sx = scipy.special.expit(base[..., None] - lo)
+    sy = scipy.special.expit(base[..., None] - hi)
+    return sx - sy
+
+
+def test_grm_thresholds_ordered(rng):
+    b_free = rng.standard_normal((7, 4)).astype(np.float32)
+    kappa = np.asarray(links.grm_thresholds(jnp.array(b_free)))
+    assert np.all(np.diff(kappa, axis=-1) > 0)
+    np.testing.assert_allclose(kappa[:, 0], b_free[:, 0], rtol=1e-6)
+    want = b_free[:, :1] + np.cumsum(np.logaddexp(0.0, b_free[:, 1:]), -1)
+    np.testing.assert_allclose(kappa[:, 1:], want, rtol=1e-5, atol=1e-6)
+
+
+def test_grm_logprob_all_vs_naive(rng):
+    b_num, m, c = 6, 9, 5
+    base = (1.5 * rng.standard_normal((b_num, m))).astype(np.float32)
+    kappa = np.sort(rng.standard_normal((m, c - 1)), -1).astype(np.float32)
+    got = np.asarray(lik.graded_logprob_all(jnp.array(base), jnp.array(kappa)))
+    want = np.log(_grm_probs_np(base.astype(np.float64), kappa.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # probabilities sum to one per cell
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_grm_loglik_cells_matches_gather_of_all(rng):
+    b_num, m, c = 5, 8, 4
+    base = rng.standard_normal((b_num, m)).astype(np.float32)
+    kappa = np.sort(rng.standard_normal((m, c - 1)), -1).astype(np.float32)
+    resp = rng.integers(0, c, (b_num, m)).astype(np.float32)
+    mask = (rng.random((b_num, m)) < 0.8).astype(np.float32)
+    got = np.asarray(lik.graded_loglik_cells(
+        jnp.array(base), jnp.array(kappa), jnp.array(resp), jnp.array(mask)))
+    allp = np.asarray(lik.graded_logprob_all(jnp.array(base), jnp.array(kappa)))
+    want = mask * np.take_along_axis(
+        allp, resp[..., None].astype(np.int64), -1)[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # masked cells contribute exactly zero even with extreme inputs
+    assert np.all(got[mask == 0] == 0.0)
+
+
+def test_grm_two_categories_match_bernoulli(rng):
+    """C=2 GRM with kappa = b reduces exactly to the 2PL Bernoulli loglik."""
+    b_num, m, k = 6, 7, 2
+    theta = rng.standard_normal((b_num, k)).astype(np.float32)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((m,)).astype(np.float32)
+    resp = rng.integers(0, 2, (b_num, m)).astype(np.float32)
+    mask = (rng.random((b_num, m)) < 0.9).astype(np.float32)
+    base = links.grm_base(jnp.array(theta), jnp.array(a))
+    got = np.asarray(lik.graded_loglik_per_person(
+        base, jnp.array(b)[:, None], jnp.array(resp), jnp.array(mask)))
+    logits = links.logits_2pl(jnp.array(theta), jnp.array(a), jnp.array(b))
+    want = np.asarray(lik.masked_loglik_per_person(
+        logits, jnp.array(resp), jnp.array(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_grm_loglik_grads_finite_extreme(rng):
+    """Gradients stay finite at extreme predictors and near-collapsed
+    categories (the clamp in graded_loglik_cells)."""
+    m, c = 4, 4
+    base = jnp.array([[40.0, -40.0, 0.0, 5.0]])
+    b_free = jnp.concatenate(
+        [jnp.zeros((m, 1)), jnp.full((m, c - 2), -20.0)], -1)  # tiny steps
+    resp = jnp.array([[0.0, 3.0, 1.0, 2.0]])
+    mask = jnp.ones((1, m))
+
+    def loss(bf):
+        kappa = links.grm_thresholds(bf)
+        return lik.graded_loglik_cells(base, kappa, resp, mask).sum()
+
+    val, g = jax.value_and_grad(loss)(b_free)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))

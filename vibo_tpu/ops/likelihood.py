@@ -48,6 +48,76 @@ def bernoulli_loglik_3pl(logits: jax.Array, g_hat: jax.Array, response: jax.Arra
     return mask * (response * log_pi + (1.0 - response) * log_1m_pi)
 
 
+# ------------------------------------------------ graded response model (GRM)
+#
+# Polytomous responses r in {0..C-1} under cumulative logits (Samejima's
+# graded response model; the polytomous family of the VIBO journal extension
+# arXiv:2108.11579):
+#   P(r_ij >= c) = sigmoid(base_ij - kappa_jc),  c = 1..C-1, kappa ordered
+#   P(r_ij = c)  = P(>= c) - P(>= c+1),   P(>= 0) = 1, P(>= C) = 0.
+# Stable log-category-probability via the identity
+#   sigmoid(x) - sigmoid(y) = sigmoid(x) * sigmoid(-y) * (1 - e^{y-x})  (x > y)
+#   => log P = -softplus(-x) - softplus(y) + log1p(-exp(y - x))
+# with x = base - kappa_r, y = base - kappa_{r+1}. Boundary categories use
+# sentinel thresholds +-_GRM_BIG: the corresponding softplus/exp terms
+# underflow to exactly the one-sided formulas (log sigmoid(-kappa-ish)), so
+# one branch-free expression covers all C categories.
+#
+# TPU shape strategy: NO (B, M, C) tensor is formed on the training path —
+# the per-cell thresholds kappa_r / kappa_{r+1} are gathered by an unrolled
+# C-way select (C is small and static), so the hot path stays one MXU matmul
+# (base) plus VPU elementwise work on (B, M) arrays, packed-int8 friendly.
+
+_GRM_BIG = 50.0   # exp(-50) ~ 2e-22, softplus(-50) == 0.0 in f32
+
+
+def graded_loglik_cells(base: jax.Array, kappa: jax.Array, response: jax.Array,
+                        mask: jax.Array) -> jax.Array:
+    """Elementwise masked GRM log P(r | base, kappa).
+
+    base (..., B, M) linear predictor; kappa (M, C-1) ordered thresholds
+    (links.grm_thresholds); response (..., B, M) float categories in
+    {0..C-1}; mask 1.0 observed / 0.0 missing.
+    """
+    cm1 = kappa.shape[-1]
+    lo = jnp.full(base.shape, -_GRM_BIG, base.dtype)   # kappa_r     (r=0: -BIG)
+    hi = jnp.full(base.shape, _GRM_BIG, base.dtype)    # kappa_{r+1} (r=C-1: +BIG)
+    for c in range(cm1):
+        kc = kappa[..., :, c]                          # (M,) -> broadcast (B, M)
+        lo = jnp.where(response == c + 1, kc, lo)
+        hi = jnp.where(response == c, kc, hi)
+    x = base - lo
+    y = base - hi
+    # interior gap kappa_r - kappa_{r+1} = -softplus(step) < 0; clamp so a
+    # collapsing category (step -> 0) saturates the loglik instead of
+    # producing -inf/NaN gradients
+    d = jnp.minimum(lo - hi, -1e-6)
+    ll = -jax.nn.softplus(-x) - jax.nn.softplus(y) + jnp.log1p(-jnp.exp(d))
+    return mask * ll
+
+
+def graded_logprob_all(base: jax.Array, kappa: jax.Array) -> jax.Array:
+    """All-category GRM log-probabilities -> (..., B, M, C).
+
+    Evaluation-path form (imputation argmax, calibration): materializes the
+    category axis, so callers stream person blocks. Same stable expression
+    as graded_loglik_cells with the category axis vectorized."""
+    big = jnp.array(_GRM_BIG, base.dtype)
+    pad = jnp.full(kappa.shape[:-1] + (1,), 1.0, kappa.dtype)
+    lo = jnp.concatenate([-big * pad, kappa], -1)      # (M, C): kappa_c
+    hi = jnp.concatenate([kappa, big * pad], -1)       # (M, C): kappa_{c+1}
+    x = base[..., None] - lo                            # (..., B, M, C)
+    y = base[..., None] - hi
+    d = jnp.minimum(lo - hi, -1e-6)
+    return -jax.nn.softplus(-x) - jax.nn.softplus(y) + jnp.log1p(-jnp.exp(d))
+
+
+def graded_loglik_per_person(base: jax.Array, kappa: jax.Array,
+                             response: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked GRM log-lik summed over the item axis -> (..., B)."""
+    return graded_loglik_cells(base, kappa, response, mask).sum(-1)
+
+
 def masked_loglik_per_person(logits: jax.Array, response: jax.Array, mask: jax.Array,
                              g_hat: jax.Array | None = None) -> jax.Array:
     """Sum the masked Bernoulli log-lik over the item axis -> (..., B)."""

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-IRT_MODELS = ("1pl", "2pl", "3pl", "deep")
+IRT_MODELS = ("1pl", "2pl", "3pl", "grm", "deep")
 
 
 def logits_1pl(theta: jax.Array, b: jax.Array) -> jax.Array:
@@ -45,6 +45,31 @@ def logits_2pl(theta: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
 def logits_3pl(theta: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
     """The sigmoid-logit part of 3PL (guessing handled in the likelihood)."""
     return logits_2pl(theta, a, b)
+
+
+def grm_thresholds(b_free: jax.Array) -> jax.Array:
+    """Ordered GRM category thresholds from unconstrained parameters.
+
+    b_free (..., M, C-1) -> kappa (..., M, C-1) with kappa strictly
+    increasing along the last axis: kappa_1 = b_free[..., 0] and
+    kappa_{c+1} = kappa_c + softplus(b_free[..., c]). The unconstrained
+    coordinates carry the N(0, I) prior (and the Gaussian variational
+    posterior), so the ordering constraint costs no Jacobian bookkeeping
+    anywhere in the framework — the prior is DEFINED on the unconstrained
+    space, exactly like 3PL's g_hat (graded response model, Samejima 1969;
+    the polytomous family of the VIBO journal extension arXiv:2108.11579).
+    """
+    first = b_free[..., :1]
+    if b_free.shape[-1] == 1:
+        return first
+    steps = jax.nn.softplus(b_free[..., 1:])
+    return jnp.concatenate([first, first + jnp.cumsum(steps, axis=-1)], -1)
+
+
+def grm_base(theta: jax.Array, a: jax.Array) -> jax.Array:
+    """GRM linear predictor a_j . theta_i -> (..., B, M). The cumulative
+    logit for category boundary c is base - kappa_c (grm_thresholds)."""
+    return jnp.einsum("...bk,mk->...bm", theta, a)
 
 
 def prob_1pl(theta, b):
