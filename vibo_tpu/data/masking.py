@@ -24,7 +24,9 @@ class Dataset:
     """Dense response data with train/held-out masks. (eq=False: identity
     hashing — evaluation caches device buffers per Dataset instance.)
 
-    response:    (N, M) float32 {0,1}; zero where unobserved.
+    response:    (N, M) float32 {0,1}; zero where unobserved. Polytomous
+                 (grm) datasets carry ordinal categories {0..C-1} with
+                 num_categories = C > 2.
     train_mask:  (N, M) float32; observed cells used for training.
     heldout_mask:(N, M) float32; observed cells hidden for imputation eval.
                  Disjoint from train_mask; train+heldout = observed.
@@ -42,6 +44,7 @@ class Dataset:
     num_items: int | None = None
     person_ids: list | None = None
     item_ids: list | None = None
+    num_categories: int = 2
 
     def __post_init__(self):
         if self.num_persons is None:
@@ -57,7 +60,8 @@ class Dataset:
 def holdout_split(response: np.ndarray, mask: np.ndarray,
                   holdout_frac: float = 0.1, seed: int = 0,
                   name: str = "dataset", person_ids: list | None = None,
-                  item_ids: list | None = None) -> Dataset:
+                  item_ids: list | None = None,
+                  num_categories: int = 2) -> Dataset:
     """Hide `holdout_frac` of the observed cells uniformly at random.
 
     Streams in row blocks: `Generator.random` fills its output sequentially
@@ -91,7 +95,8 @@ def holdout_split(response: np.ndarray, mask: np.ndarray,
         np.copyto(train_mask[s:e], observed[:b], casting="unsafe")
     return Dataset(response=np.asarray(response, np.float32),
                    train_mask=train_mask, heldout_mask=heldout_mask, name=name,
-                   person_ids=person_ids, item_ids=item_ids)
+                   person_ids=person_ids, item_ids=item_ids,
+                   num_categories=num_categories)
 
 
 def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
@@ -109,7 +114,8 @@ def split_persons(ds: Dataset, test_frac: float = 0.1, seed: int = 0
                 if ds.person_ids is not None else None)
         return Dataset(response=ds.response[idx], train_mask=ds.train_mask[idx],
                        heldout_mask=ds.heldout_mask[idx], name=f"{ds.name}/{tag}",
-                       person_ids=pids, item_ids=ds.item_ids)
+                       person_ids=pids, item_ids=ds.item_ids,
+                       num_categories=ds.num_categories)
     return take(train_idx, "train"), take(test_idx, "test")
 
 
@@ -132,7 +138,8 @@ def split_items(ds: Dataset, test_frac: float = 0.1, seed: int = 0
                        train_mask=ds.train_mask[:, idx],
                        heldout_mask=ds.heldout_mask[:, idx],
                        name=f"{ds.name}/{tag}",
-                       person_ids=ds.person_ids, item_ids=iids)
+                       person_ids=ds.person_ids, item_ids=iids,
+                       num_categories=ds.num_categories)
     return take(train_idx, "train-items"), take(test_idx, "test-items")
 
 
@@ -150,7 +157,8 @@ def pad_to_multiple(ds: Dataset, person_multiple: int = 8,
         response=np.pad(ds.response, pad), train_mask=np.pad(ds.train_mask, pad),
         heldout_mask=np.pad(ds.heldout_mask, pad), name=ds.name,
         num_persons=n, num_items=m,
-        person_ids=ds.person_ids, item_ids=ds.item_ids)
+        person_ids=ds.person_ids, item_ids=ds.item_ids,
+        num_categories=ds.num_categories)
 
 
 def batch_iterator(ds: Dataset, batch_size: int, seed: int, epoch: int):

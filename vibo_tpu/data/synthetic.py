@@ -22,16 +22,19 @@ import numpy as np
 @dataclasses.dataclass
 class SyntheticIRT:
     """A simulated response matrix plus the ground truth that generated it."""
-    response: np.ndarray        # (N, M) float32 in {0,1}
+    response: np.ndarray        # (N, M) float32 in {0,1} (grm: {0..C-1})
     mask: np.ndarray            # (N, M) float32, 1 = observed (MAR missingness)
     theta: np.ndarray           # (N, K) true abilities
     a: np.ndarray               # (M, K) true discriminations (ones for 1PL;
                                 # the item EMBEDDINGS d_j for "nonlinear")
-    b: np.ndarray               # (M,)  true difficulties
+    b: np.ndarray               # (M,)  true difficulties (grm: (M, C-1)
+                                # ordered category thresholds kappa)
     g_hat: np.ndarray | None    # (M,)  true guess logits (3PL only)
-    prob: np.ndarray            # (N, M) true response probabilities
+    prob: np.ndarray            # (N, M) true response probabilities (grm:
+                                # expected NORMALIZED score E[r]/(C-1))
     irt_model: str
     seed: int
+    num_categories: int = 2     # grm only: ordinal categories C
 
 
 def _sigmoid(x):
@@ -71,16 +74,60 @@ def _nonlinear_logits(rng, theta, d, b):
     return np.clip(raw - b[None, :], -10.0, 10.0)
 
 
+def simulate_grm(num_persons: int, num_items: int, ability_dim: int = 1,
+                 num_categories: int = 5, seed: int = 0,
+                 missing_rate: float = 0.0) -> SyntheticIRT:
+    """Simulate ordinal responses under Samejima's graded response model
+    (the polytomous family of the VIBO journal extension arXiv:2108.11579):
+
+      P(r_ij >= c) = sigmoid(a_j . theta_i - kappa_jc), kappa ordered.
+
+    Thresholds are drawn as kappa_1 ~ N(-1, 0.5^2) with softplus(N(0, 1))
+    increments (matching the model's unconstrained parameterization,
+    ops.links.grm_thresholds), centered so categories are all populated.
+    Sampling uses ONE uniform per cell: since P(>=c) is decreasing in c,
+    r = #{c : u < P(>=c)} is an exact categorical draw."""
+    rng = np.random.default_rng(seed)
+    k, c = ability_dim, num_categories
+    if c < 3:
+        raise ValueError("simulate_grm needs num_categories >= 3")
+    theta = rng.standard_normal((num_persons, k)).astype(np.float32)
+    a = (rng.standard_normal((num_items, k)) / np.sqrt(k)).astype(np.float32)
+    first = (-1.0 + 0.5 * rng.standard_normal((num_items, 1)))
+    steps = np.logaddexp(0.0, rng.standard_normal((num_items, c - 2)))
+    kappa = np.concatenate([first, first + np.cumsum(steps, -1)],
+                           -1).astype(np.float32)
+    base = theta @ a.T                                        # (N, M)
+    p_ge = _sigmoid(base[..., None] - kappa[None])            # (N, M, C-1)
+    u = rng.random((num_persons, num_items, 1))
+    response = (u < p_ge).sum(-1).astype(np.float32)
+    if missing_rate > 0.0:
+        mask = (rng.random((num_persons, num_items))
+                >= missing_rate).astype(np.float32)
+    else:
+        mask = np.ones((num_persons, num_items), dtype=np.float32)
+    response = response * mask
+    expected = p_ge.sum(-1).astype(np.float32) / (c - 1)      # E[r]/(C-1)
+    return SyntheticIRT(response=response, mask=mask, theta=theta, a=a,
+                        b=kappa, g_hat=None, prob=expected, irt_model="grm",
+                        seed=seed, num_categories=c)
+
+
 def simulate_irt(irt_model: str, num_persons: int, num_items: int,
                  ability_dim: int = 1, seed: int = 0,
-                 missing_rate: float = 0.0) -> SyntheticIRT:
-    """Simulate a dense binary response matrix under a 1PL/2PL/3PL model, or
+                 missing_rate: float = 0.0,
+                 num_categories: int = 5) -> SyntheticIRT:
+    """Simulate a dense binary response matrix under a 1PL/2PL/3PL model,
     under the NONLINEAR deep generative family ("nonlinear": fixed random
     tanh-MLP + multiplicative interaction link over (theta_i, d_j) — the
     data regime where the deep link earns its existence; see
-    _nonlinear_logits)."""
+    _nonlinear_logits), or ordinal responses under "grm" (simulate_grm;
+    num_categories applies only there)."""
+    if irt_model == "grm":
+        return simulate_grm(num_persons, num_items, ability_dim,
+                            num_categories, seed, missing_rate)
     if irt_model not in ("1pl", "2pl", "3pl", "nonlinear"):
-        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl/nonlinear, "
+        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl/nonlinear/grm, "
                          f"got {irt_model!r}")
     rng = np.random.default_rng(seed)
     k = ability_dim

@@ -45,12 +45,21 @@ def _blocked_code(ds: Dataset, block_size: int):
     return code, list(_person_blocks(code.shape[0], block_size))
 
 
-def _decode_bits(code: jax.Array):
+def _decode_bits(code: jax.Array, num_categories: int = 2):
     """uint8 bit-code -> (response, train_mask, heldout_mask) f32. Called
     INSIDE the jitted per-block reductions so XLA fuses the decode into each
     consumer's operand read — the decoded f32 matrices never persist in HBM
     (at the 131k x 2k six-figure scale they would be 3 x 1 GB vs the code's
-    268 MB)."""
+    268 MB).
+
+    Binary datasets use the 3-bit layout (response | train<<1 | heldout<<2).
+    Polytomous (grm) datasets carry the category in bits 0-4 with the masks
+    at bits 5/6 (num_categories <= 32; dataset_code_on_device writes the
+    matching layout from Dataset.num_categories)."""
+    if num_categories > 2:
+        return ((code & 31).astype(jnp.float32),
+                ((code >> 5) & 1).astype(jnp.float32),
+                ((code >> 6) & 1).astype(jnp.float32))
     return ((code & 1).astype(jnp.float32),
             ((code >> 1) & 1).astype(jnp.float32),
             ((code >> 2) & 1).astype(jnp.float32))
@@ -90,9 +99,14 @@ def dataset_code_on_device(ds: Dataset, pad_rows_to: int = 1) -> jax.Array:
     block = max(1, (1 << 24) // max(1, m))
     for s in range(0, n, block):
         e = min(n, s + block)
-        blk = (ds.response[s:e] > 0).astype(np.uint8)
-        blk |= (ds.train_mask[s:e] > 0).astype(np.uint8) << 1
-        blk |= (ds.heldout_mask[s:e] > 0).astype(np.uint8) << 2
+        if ds.num_categories > 2:
+            blk = ds.response[s:e].astype(np.uint8)       # categories 0..C-1
+            blk |= (ds.train_mask[s:e] > 0).astype(np.uint8) << 5
+            blk |= (ds.heldout_mask[s:e] > 0).astype(np.uint8) << 6
+        else:
+            blk = (ds.response[s:e] > 0).astype(np.uint8)
+            blk |= (ds.train_mask[s:e] > 0).astype(np.uint8) << 1
+            blk |= (ds.heldout_mask[s:e] > 0).astype(np.uint8) << 2
         code[s:e] = blk
     out = jax.block_until_ready(jnp.asarray(code))
     cache[pad_rows_to] = out
@@ -106,7 +120,7 @@ def _encode_code_fn(cfg):
 
     @jax.jit
     def f(params, item_mean, code):
-        resp, tmask, _ = _decode_bits(code)
+        resp, tmask, _ = _decode_bits(code, cfg.num_categories)
         return model.encode(params, resp, tmask, item_mean)
 
     return f
@@ -146,7 +160,7 @@ def _item_dist_code_fn(cfg):
 
     @jax.jit
     def f(params, code):
-        resp, tmask, _ = _decode_bits(code)
+        resp, tmask, _ = _decode_bits(code, cfg.num_categories)
         return model.item_dist(params, resp, tmask)
 
     return f
@@ -158,18 +172,26 @@ def full_item_mean(model: VIBO, params, ds: Dataset) -> dict:
 
 @functools.lru_cache(maxsize=64)
 def _impute_stats_fn(cfg):
-    """Cached jit'd per-block imputation reduction: the (correct, total,
-    ones) counts come back as three scalars instead of the (B, M) probability
-    matrix (8 MB/block through the ~50 MB/s relay)."""
+    """Cached jit'd per-block imputation reduction: (correct, total,
+    per-category counts) come back as scalars/a tiny (C,) vector instead of
+    the (B, M) probability matrix (8 MB/block through the ~50 MB/s relay).
+    grm predicts the argmax category (exact-match accuracy); binary keeps
+    the p > 0.5 threshold."""
     model = VIBO(cfg)
+    c = cfg.num_categories
 
     @jax.jit
     def stats(params, item_mean, code):
-        resp, tmask, hmask = _decode_bits(code)
-        prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
-        pred = (prob > 0.5).astype(jnp.float32)
+        resp, tmask, hmask = _decode_bits(code, c)
+        if cfg.irt_model == "grm":
+            pred = model.impute_category_with_items(
+                params, resp, tmask, item_mean).astype(jnp.float32)
+        else:
+            prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
+            pred = (prob > 0.5).astype(jnp.float32)
         correct = (hmask * (pred == resp)).sum()
-        return correct, hmask.sum(), (hmask * resp).sum()
+        counts = jnp.stack([(hmask * (resp == cat)).sum() for cat in range(c)])
+        return correct, hmask.sum(), counts
 
     return stats
 
@@ -190,13 +212,13 @@ def imputation_accuracy(model: VIBO, params, ds: Dataset,
     code_d, blocks = _blocked_code(ds, block_size)
     correct = 0.0
     total = 0.0
-    ones = 0.0
+    counts = np.zeros(model.cfg.num_categories)
     for s, e in blocks:
         c, t, o = stats(params, item_mean, code_d[s:e])
         correct += float(c)
         total += float(t)
-        ones += float(o)
-    base_rate = max(ones, total - ones) / max(total, 1.0)
+        counts += np.asarray(o)
+    base_rate = float(counts.max()) / max(total, 1.0)  # majority category
     return {"acc": correct / max(total, 1.0), "base_rate": base_rate,
             "num_heldout": int(total)}
 
@@ -220,7 +242,7 @@ def _iwae_block_fn(cfg, num_samples: int, on: str):
 
     @jax.jit
     def block_bound(params, item_post, key, code, item_scale):
-        resp, tmask, hmask = _decode_bits(code)
+        resp, tmask, hmask = _decode_bits(code, cfg.num_categories)
         emask = tmask if on == "train" else hmask
         # Encoder conditions on train-visible data; likelihood on emask cells.
         # Shared item prior/posterior terms enter scaled by block/N so the
@@ -355,6 +377,10 @@ def _refine_theta_fn(cfg, steps: int, num_samples: int, lr: float):
             logits = networks.apply_deep_link(items["__deep__"], theta,
                                               items["d"], item_chunk=256)
             return lik_ops.masked_loglik_per_person(logits, resp, tmask)
+        if cfg.irt_model == "grm":
+            return lik_ops.graded_loglik_per_person(
+                links.grm_base(theta, items["a"]),
+                links.grm_thresholds(items["b"]), resp, tmask)
         b = items["b"].reshape(-1)                  # item means carry a
         g = (items["g_hat"].reshape(-1)             # trailing param axis
              if cfg.irt_model == "3pl" else None)
@@ -368,7 +394,7 @@ def _refine_theta_fn(cfg, steps: int, num_samples: int, lr: float):
 
     @jax.jit
     def refine(item_mean, code, q0, key):
-        resp, tmask, _ = _decode_bits(code)
+        resp, tmask, _ = _decode_bits(code, cfg.num_categories)
 
         def neg_elbo(q, k):
             eps = jax.random.normal(k, (num_samples,) + q["mu"].shape)
@@ -554,7 +580,7 @@ def laplace_theta_sigma(model: VIBO, params, ds: Dataset,
     frame transport). The deep link routes to laplace_sigma_deep (the same
     Fisher/Gauss-Newton information with the link Jacobian from autodiff)."""
     cfg = model.cfg
-    if cfg.irt_model not in ("1pl", "2pl", "3pl", "deep"):
+    if cfg.irt_model not in ("1pl", "2pl", "3pl", "grm", "deep"):
         raise ValueError(
             f"laplace_theta_sigma: unknown link {cfg.irt_model!r}")
     items = full_item_mean(model, params, ds)
@@ -579,8 +605,17 @@ def laplace_sigma_from_items(items: dict, irt_model: str, mask, theta,
     encoder mus here)."""
     theta = np.asarray(theta, np.float64)
     n, k = theta.shape
-    b = np.asarray(items["b"], np.float64).reshape(-1)
-    m = b.shape[0]
+    if irt_model == "grm":
+        # kappa (M, C-1) ordered thresholds from the unconstrained means
+        bf = np.asarray(items["b"], np.float64)
+        kappa = np.concatenate(
+            [bf[:, :1], bf[:, :1] + np.cumsum(np.logaddexp(0.0, bf[:, 1:]),
+                                              -1)], -1)
+        m = kappa.shape[0]
+        b = None
+    else:
+        b = np.asarray(items["b"], np.float64).reshape(-1)
+        m = b.shape[0]
     a = (np.ones((m, k)) if irt_model == "1pl"
          else np.asarray(items["a"], np.float64))
     mask = np.asarray(mask, np.float64)
@@ -591,6 +626,30 @@ def laplace_sigma_from_items(items: dict, irt_model: str, mask, theta,
     factors = np.empty((n, k, k)) if return_factor else None
     eye = np.eye(k)
     for s, e in _person_blocks(n, block_size):
+        if irt_model == "grm":
+            # expected Fisher info wrt eta for the graded likelihood:
+            # w = sum_c (s'_c - s'_{c+1})^2 / P_c with s_c = sigmoid(eta -
+            # kappa_c), s' its derivative, boundary derivatives 0 (P(>=0)=1,
+            # P(>=C)=0) — the polytomous generalization of p(1-p)
+            eta = theta[s:e] @ a.T                          # (B, M)
+            sc = 1.0 / (1.0 + np.exp(-(eta[..., None] - kappa[None])))
+            z = np.zeros(sc.shape[:-1] + (1,))
+            s_lo = np.concatenate([np.ones_like(z), sc], -1)   # P(>= c)
+            s_hi = np.concatenate([sc, np.zeros_like(z)], -1)  # P(>= c+1)
+            pcat = np.clip(s_lo - s_hi, 1e-12, None)           # (B, M, C)
+            d_lo = np.concatenate([z, sc * (1.0 - sc)], -1)
+            d_hi = np.concatenate([sc * (1.0 - sc), z], -1)
+            w = (np.square(d_lo - d_hi) / pcat).sum(-1)        # (B, M)
+            flat = (mask[s:e] * w) @ a2
+            info = np.empty((e - s, k, k))
+            info[:, iu[0], iu[1]] = flat
+            info[:, iu[1], iu[0]] = flat
+            info += eye[None]
+            cov = np.linalg.inv(info)
+            sds[s:e] = np.sqrt(np.diagonal(cov, axis1=1, axis2=2))
+            if return_factor:
+                factors[s:e] = np.linalg.cholesky(cov)
+            continue
         eta = theta[s:e] @ a.T - b[None, :]
         p = 1.0 / (1.0 + np.exp(-eta))
         if irt_model == "3pl":
@@ -740,7 +799,27 @@ def _calib_stats_fn(cfg, bins: int):
 
     @jax.jit
     def stats(params, item_mean, code):
-        resp, tmask, hmask = _decode_bits(code)
+        resp, tmask, hmask = _decode_bits(code, cfg.num_categories)
+        if cfg.irt_model == "grm":
+            # multiclass calibration: confidence = max category probability,
+            # correct = argmax category match, Brier = sum_c (p_c - 1[r=c])^2
+            mu, _, _ = model.encode(params, resp, tmask, item_mean)
+            logp = model.category_logprobs(params, mu, item_mean)  # (B, M, C)
+            p_all = jnp.exp(logp)
+            conf = p_all.max(-1)
+            pred = jnp.argmax(logp, -1).astype(jnp.float32)
+            correct = (pred == resp).astype(jnp.float32)
+            onehot = jax.nn.one_hot(resp.astype(jnp.int32), p_all.shape[-1])
+            brier_cells = jnp.square(p_all - onehot).sum(-1)
+            # multiclass confidence lives on [1/C, 1]; same bin grid as the
+            # binary case ([0.5, 1] rescaled) keeps _calib_summary shared
+            lo = 1.0 / cfg.num_categories
+            idx = jnp.clip(((conf - lo) / (1.0 - lo) * bins).astype(jnp.int32),
+                           0, bins - 1)
+            cnt = jnp.zeros(bins).at[idx].add(hmask)
+            acc = jnp.zeros(bins).at[idx].add(hmask * correct)
+            cf = jnp.zeros(bins).at[idx].add(hmask * conf)
+            return cnt, acc, cf, (hmask * brier_cells).sum()
         prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
         conf = jnp.maximum(prob, 1.0 - prob)
         correct = ((prob > 0.5).astype(jnp.float32) == resp).astype(
@@ -919,20 +998,38 @@ def _impute_stats_sharded_fn(cfg, mesh, bins: int):
     model = VIBO(cfg)
 
     def local(params, item_mean, code):
-        resp, tmask, hmask = _decode_bits(code)
-        prob = model.impute_prob_with_items(params, resp, tmask, item_mean)
-        conf = jnp.maximum(prob, 1.0 - prob)
-        correct = ((prob > 0.5).astype(jnp.float32) == resp).astype(
-            jnp.float32)
-        idx = jnp.clip(((conf - 0.5) * 2.0 * bins).astype(jnp.int32),
-                       0, bins - 1)
+        resp, tmask, hmask = _decode_bits(code, cfg.num_categories)
+        if cfg.irt_model == "grm":
+            # the sharded counterpart of _calib_stats_fn's multiclass branch
+            mu, _, _ = model.encode(params, resp, tmask, item_mean)
+            logp = model.category_logprobs(params, mu, item_mean)
+            p_all = jnp.exp(logp)
+            conf = p_all.max(-1)
+            correct = (jnp.argmax(logp, -1).astype(jnp.float32)
+                       == resp).astype(jnp.float32)
+            onehot = jax.nn.one_hot(resp.astype(jnp.int32), p_all.shape[-1])
+            brier = (hmask * jnp.square(p_all - onehot).sum(-1)).sum()
+            lo = 1.0 / cfg.num_categories
+            idx = jnp.clip(((conf - lo) / (1.0 - lo) * bins).astype(jnp.int32),
+                           0, bins - 1)
+            counts = jnp.stack([(hmask * (resp == cat)).sum()
+                                for cat in range(cfg.num_categories)])
+        else:
+            prob = model.impute_prob_with_items(params, resp, tmask,
+                                                item_mean)
+            conf = jnp.maximum(prob, 1.0 - prob)
+            correct = ((prob > 0.5).astype(jnp.float32) == resp).astype(
+                jnp.float32)
+            idx = jnp.clip(((conf - 0.5) * 2.0 * bins).astype(jnp.int32),
+                           0, bins - 1)
+            brier = (hmask * jnp.square(prob - resp)).sum()
+            counts = jnp.stack([(hmask * (resp == cat)).sum()
+                                for cat in range(2)])
         cnt = jnp.zeros(bins).at[idx].add(hmask)
         acc = jnp.zeros(bins).at[idx].add(hmask * correct)
         cf = jnp.zeros(bins).at[idx].add(hmask * conf)
-        brier = (hmask * jnp.square(prob - resp)).sum()
-        ones = (hmask * resp).sum()
         return jax.tree.map(lambda x: jax.lax.psum(x, STUDENTS),
-                            (cnt, acc, cf, brier, ones))
+                            (cnt, acc, cf, brier, counts))
 
     smapped = jax.shard_map(local, mesh=mesh,
                             in_specs=(P(), P(), P(STUDENTS, None)),
@@ -950,12 +1047,11 @@ def imputation_accuracy_sharded(model: VIBO, params, ds: Dataset, mesh,
     if item_mean is None:
         item_mean = full_item_mean(model, params, ds)
     stats = _impute_stats_sharded_fn(model.cfg, mesh, 10)
-    cnt, acc, cf, brier, ones = stats(params, item_mean,
-                                      dataset_code_on_mesh(ds, mesh))
+    cnt, acc, cf, brier, counts = stats(params, item_mean,
+                                        dataset_code_on_mesh(ds, mesh))
     total = float(np.asarray(cnt).sum())
     correct = float(np.asarray(acc).sum())
-    ones = float(ones)
-    base_rate = max(ones, total - ones) / max(total, 1.0)
+    base_rate = float(np.asarray(counts).max()) / max(total, 1.0)
     return {"acc": correct / max(total, 1.0), "base_rate": base_rate,
             "num_heldout": int(total)}
 
@@ -996,7 +1092,7 @@ def _iwae_sharded_fn(cfg, mesh, num_samples: int, on: str):
                 if num_samples % d == 0)
 
     def local(params, item_post, item_eps, theta_eps, code, item_scale):
-        resp, tmask, hmask = _decode_bits(code)
+        resp, tmask, hmask = _decode_bits(code, cfg.num_categories)
         emask = tmask if on == "train" else hmask
         valid = (emask.sum(-1) > 0).astype(jnp.float32)
 

@@ -296,21 +296,27 @@ def apply_ability_encoder_item_sharded(params, response, mask, item_sample,
 # ------------------------------------------------------ item posteriors
 
 def item_head_spec(irt_model: str, ability_dim: int,
-                   item_latent_dim: int = 0) -> dict:
-    """Ordered {param_name: dim} for one item's parameters under each link."""
+                   item_latent_dim: int = 0, num_categories: int = 2) -> dict:
+    """Ordered {param_name: dim} for one item's parameters under each link.
+
+    grm: "b" holds the C-1 UNCONSTRAINED threshold coordinates
+    (links.grm_thresholds maps them to ordered cutpoints), so the Gaussian
+    prior/posterior machinery below is link-agnostic."""
     if irt_model == "1pl":
         return {"b": 1}
     if irt_model == "2pl":
         return {"a": ability_dim, "b": 1}
     if irt_model == "3pl":
         return {"a": ability_dim, "b": 1, "g_hat": 1}
+    if irt_model == "grm":
+        return {"a": ability_dim, "b": num_categories - 1}
     if irt_model == "deep":
         return {"d": item_latent_dim}
     raise ValueError(irt_model)
 
 
 def init_item_posterior(key, num_items: int, irt_model: str, ability_dim: int,
-                        item_latent_dim: int = 0):
+                        item_latent_dim: int = 0, num_categories: int = 2):
     """Per-item free-form Gaussian posteriors q(d_j | r).
 
     For the training items, the optimal amortized q(d|r) reduces to one
@@ -333,15 +339,19 @@ def init_item_posterior(key, num_items: int, irt_model: str, ability_dim: int,
     if irt_model == "3pl":
         return {"a": gauss(keys[0], ability_dim), "b": gauss(keys[1], 1),
                 "g_hat": gauss(keys[2], 1)}
+    if irt_model == "grm":
+        return {"a": gauss(keys[0], ability_dim),
+                "b": gauss(keys[1], num_categories - 1)}
     if irt_model == "deep":
         return {"d": gauss(keys[3], item_latent_dim)}
     raise ValueError(irt_model)
 
 
 def item_feat_dim(num_items: int, irt_model: str, ability_dim: int,
-                  item_latent_dim: int = 0) -> int:
+                  item_latent_dim: int = 0, num_categories: int = 2) -> int:
     """Flattened width of one item-parameter sample (encoder conditioning)."""
     dims = {"1pl": 1, "2pl": ability_dim + 1, "3pl": ability_dim + 2,
+            "grm": ability_dim + num_categories - 1,
             "deep": item_latent_dim}[irt_model]
     return num_items * dims
 
@@ -366,6 +376,8 @@ def condition_stat_dim(irt_model: str, ability_dim: int,
         return item_latent_dim, item_latent_dim
     if irt_model == "1pl":
         return 1, 2                            # [b] | [b, b^2]
+    # grm enters the 2pl formulas: its threshold vector is reduced to the
+    # mean cutpoint (condition_stat_mats), the difficulty-like scalar
     fr = k + 1 + (1 if irt_model == "3pl" else 0)
     fm = (k + 1) + k + 1 + (k * (k + 1)) // 2 \
         + (1 if irt_model == "3pl" else 0)
@@ -401,6 +413,11 @@ def condition_stat_mats(item_sample: dict, num_items: int,
         d = item_sample["d"]
         return s * d, s * d
     b = item_sample["b"]                                       # (M, 1)
+    if b.shape[-1] > 1:
+        # grm: the C-1 unconstrained threshold coordinates collapse to the
+        # mean ORDERED cutpoint — the difficulty-like sufficient summary
+        from vibo_tpu.ops import links as _links
+        b = _links.grm_thresholds(b).mean(-1, keepdims=True)
     if irt_model == "1pl":
         return s * b, s * jnp.concatenate([b, b * b], -1)
     a = item_sample["a"]                                       # (M, K)
@@ -494,7 +511,8 @@ def item_stats(response, mask, axis_name: str | None = None,
 
 
 def init_item_encoder(key, irt_model: str, ability_dim: int,
-                      item_latent_dim: int = 0, hidden_dim: int = 64):
+                      item_latent_dim: int = 0, hidden_dim: int = 64,
+                      num_categories: int = 2):
     """q(d_j | r_:,j): MLP from the item's column statistics to (mu, logvar)
     for every item-parameter head. Item-count-independent by construction.
 
@@ -505,7 +523,8 @@ def init_item_encoder(key, irt_model: str, ability_dim: int,
     init). Biasing a_mu to 1.0 (the classical MLE/EM init) and logvar to -2
     (matching init_item_posterior) makes theta identified from step one.
     """
-    spec = item_head_spec(irt_model, ability_dim, item_latent_dim)
+    spec = item_head_spec(irt_model, ability_dim, item_latent_dim,
+                          num_categories)
     total = sum(spec.values())
     params = init_mlp(key, [ITEM_STAT_DIM, hidden_dim, hidden_dim, 2 * total])
     bias = jnp.zeros((2 * total,), jnp.float32)
@@ -521,7 +540,7 @@ def init_item_encoder(key, irt_model: str, ability_dim: int,
 
 
 def init_item_residual(key, num_items: int, irt_model: str, ability_dim: int,
-                       item_latent_dim: int = 0):
+                       item_latent_dim: int = 0, num_categories: int = 2):
     """Free per-item residuals added to the amortized posterior for TRAINING
     items (semi-amortized VI).
 
@@ -533,7 +552,8 @@ def init_item_residual(key, num_items: int, irt_model: str, ability_dim: int,
     The 0.1-sigma per-item noise below restores exactly the free-form
     posterior's escape dynamics; new items simply have no residual (the
     encoder alone scores them)."""
-    spec = item_head_spec(irt_model, ability_dim, item_latent_dim)
+    spec = item_head_spec(irt_model, ability_dim, item_latent_dim,
+                          num_categories)
     keys = jax.random.split(key, len(spec))
     return {name: {
                 "mu": 0.1 * jax.random.normal(k, (num_items, spec[name]),

@@ -70,7 +70,13 @@ def _mc_eps(one_sample, item_eps: dict, theta_eps: jax.Array):
 @dataclasses.dataclass(frozen=True)
 class VIBOConfig:
     num_items: int
-    irt_model: str = "2pl"              # 1pl | 2pl | 3pl | deep
+    irt_model: str = "2pl"              # 1pl | 2pl | 3pl | grm | deep
+    num_categories: int = 2             # grm only: ordinal categories C >= 3
+                                        # (responses in {0..C-1}; binary
+                                        # links require the default 2). The
+                                        # packed int8 code and the eval
+                                        # uint8 bit-code carry categories up
+                                        # to C = 32.
     ability_dim: int = 1
     hidden_dim: int = 256               # ability-encoder width
     conditional_posterior: bool = True  # q(theta | d, r) vs mean-field q(theta | r)
@@ -139,6 +145,15 @@ class VIBOConfig:
             raise ValueError(
                 f"theta_posterior must be 'diag' or 'chol', "
                 f"got {self.theta_posterior!r}")
+        if self.irt_model == "grm":
+            if not 3 <= self.num_categories <= 32:
+                raise ValueError(
+                    "grm needs num_categories in [3, 32] (2 categories IS "
+                    f"the 2pl model), got {self.num_categories}")
+        elif self.num_categories != 2:
+            raise ValueError(
+                f"num_categories={self.num_categories} only applies to "
+                f"irt_model='grm' (binary links are 2-category)")
 
 
 class VIBO:
@@ -154,9 +169,10 @@ class VIBO:
         else:
             self._item_feat_dim = networks.item_feat_dim(
                 cfg.num_items, cfg.irt_model, cfg.ability_dim,
-                cfg.item_latent_dim)
+                cfg.item_latent_dim, cfg.num_categories)
         self._head_spec = networks.item_head_spec(
-            cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim)
+            cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim,
+            cfg.num_categories)
         # ability_dim passed to the encoder-head split iff the head carries
         # Cholesky outputs; None keeps the diagonal family's historical
         # halve-in-two contract (networks.split_ability_head)
@@ -177,14 +193,14 @@ class VIBO:
             k_mlp, k_res = jax.random.split(k_item)
             params["item_enc"] = networks.init_item_encoder(
                 k_mlp, cfg.irt_model, cfg.ability_dim, cfg.item_latent_dim,
-                cfg.item_encoder_hidden)
+                cfg.item_encoder_hidden, cfg.num_categories)
             params["item_resid"] = networks.init_item_residual(
                 k_res, cfg.num_items, cfg.irt_model, cfg.ability_dim,
-                cfg.item_latent_dim)
+                cfg.item_latent_dim, cfg.num_categories)
         else:
             params["item_post"] = networks.init_item_posterior(
                 k_item, cfg.num_items, cfg.irt_model, cfg.ability_dim,
-                cfg.item_latent_dim)
+                cfg.item_latent_dim, cfg.num_categories)
         if cfg.irt_model == "deep":
             params["deep_link"] = networks.init_deep_link(
                 k_deep, cfg.ability_dim, cfg.item_latent_dim, cfg.deep_hidden_dim)
@@ -324,12 +340,14 @@ class VIBO:
     # ------------------------------------------------------------ decoder
 
     def _link_params(self, item_sample: dict) -> dict:
-        """Item-sample dict -> link-function kwargs (squeeze scalar dims)."""
+        """Item-sample dict -> link-function kwargs (squeeze scalar dims;
+        grm keeps its (M, C-1) unconstrained threshold block whole)."""
         out = {}
         if "a" in item_sample:
             out["a"] = item_sample["a"]
         if "b" in item_sample:
-            out["b"] = item_sample["b"][..., 0]
+            b = item_sample["b"]
+            out["b"] = b if self.cfg.irt_model == "grm" else b[..., 0]
         if "g_hat" in item_sample:
             out["g_hat"] = item_sample["g_hat"][..., 0]
         return out
@@ -345,6 +363,10 @@ class VIBO:
                 compute_dtype=jnp.dtype(cfg.compute_dtype))
             return lik.masked_loglik_per_person(logits, response, mask)
         lp = self._link_params(item_sample)
+        if cfg.irt_model == "grm":
+            base = links.grm_base(theta, lp["a"])
+            kappa = links.grm_thresholds(lp["b"])
+            return lik.graded_loglik_per_person(base, kappa, response, mask)
         if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl", "3pl"):
             from vibo_tpu.ops import pallas_elbo
             a = lp.get("a")
@@ -366,12 +388,27 @@ class VIBO:
                       ) -> jax.Array:
         """p(r_ij = 1) matrix (B, M) — used for imputation."""
         cfg = self.cfg
+        if cfg.irt_model == "grm":
+            raise ValueError("grm responses are polytomous: use "
+                             "category_logprobs / impute_category_with_items")
         if cfg.irt_model == "deep":
             return jax.nn.sigmoid(networks.apply_deep_link(
                 params["deep_link"], theta, item_sample["d"],
                 item_chunk=cfg.deep_item_chunk,
                 compute_dtype=jnp.dtype(cfg.compute_dtype)))
         return links.response_prob(cfg.irt_model, theta, self._link_params(item_sample))
+
+    def category_logprobs(self, params: dict, theta: jax.Array,
+                          item_sample: dict) -> jax.Array:
+        """GRM all-category log-probabilities -> (..., B, M, C). Evaluation
+        path (imputation argmax, calibration); the training path never
+        materializes the category axis (ops.likelihood.graded_loglik_cells)."""
+        del params
+        if self.cfg.irt_model != "grm":
+            raise ValueError("category_logprobs is the grm evaluation path")
+        lp = self._link_params(item_sample)
+        return lik.graded_logprob_all(links.grm_base(theta, lp["a"]),
+                                      links.grm_thresholds(lp["b"]))
 
     # --------------------------------------------------------------- ELBO
 
@@ -1057,3 +1094,15 @@ class VIBO:
         matrix and reuse it across person blocks."""
         mu, _, _ = self.encode(params, response, mask, item_mean)
         return self.response_prob(params, mu, item_mean)
+
+    def impute_category_with_items(self, params: dict, response: jax.Array,
+                                   mask: jax.Array, item_mean: dict
+                                   ) -> jax.Array:
+        """GRM imputation: most-probable category per cell -> (B, M) int32.
+
+        Same protocol as impute_prob_with_items (encode the train-visible
+        responses, posterior means through the link), with the binary
+        p > 0.5 threshold generalized to the category-probability argmax."""
+        mu, _, _ = self.encode(params, response, mask, item_mean)
+        return jnp.argmax(self.category_logprobs(params, mu, item_mean),
+                          axis=-1).astype(jnp.int32)
