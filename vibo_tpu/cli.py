@@ -34,12 +34,16 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("dataset",
-                   help="synthetic-{1pl,2pl,3pl,nonlinear} | pisa | duolingo "
-                        "| wordbank "
+                   help="synthetic-{1pl,2pl,3pl,nonlinear,grm} | pisa "
+                        "| duolingo | wordbank "
                         "| critlangacq | gradescope")
     p.add_argument("--num-persons", type=int, default=1000)
     p.add_argument("--num-items", type=int, default=100)
     p.add_argument("--ability-dim", type=int, default=1)
+    p.add_argument("--num-categories", type=int, default=5,
+                   help="ordinal categories C for the graded response model "
+                        "(synthetic-grm data / --irt-model grm); binary "
+                        "links ignore this")
     p.add_argument("--artificial-missing-perc", type=float, default=0.1,
                    help="fraction of observed cells hidden for imputation eval")
     p.add_argument("--missing-rate", type=float, default=0.0,
@@ -63,12 +67,15 @@ def _load(args):
     from vibo_tpu.data import holdout_split, load_dataset, simulate_irt
     if args.dataset.startswith("synthetic-"):
         model = args.dataset.split("-", 1)[1]
+        kw = ({"num_categories": args.num_categories}
+              if model == "grm" else {})
         sim = simulate_irt(model, args.num_persons, args.num_items,
                            ability_dim=args.ability_dim, seed=args.seed,
-                           missing_rate=args.missing_rate)
+                           missing_rate=args.missing_rate, **kw)
         ds = holdout_split(sim.response, sim.mask,
                            args.artificial_missing_perc, seed=args.seed,
-                           name=args.dataset)
+                           name=args.dataset,
+                           num_categories=sim.num_categories)
         return ds, sim
     ds = load_dataset(args.dataset, data_dir=args.data_dir,
                       holdout_frac=args.artificial_missing_perc,
@@ -104,16 +111,25 @@ def cmd_train(args):
         ds, test_items_ds = split_items(ds, test_frac=args.eval_new_items,
                                         seed=args.seed)
     n, m = ds.shape
+    if (ds.num_categories > 2) != (args.irt_model == "grm"):
+        raise SystemExit(
+            f"dataset has {ds.num_categories} response categories but "
+            f"--irt-model {args.irt_model}: polytomous data needs grm, "
+            f"binary data a binary link (1pl/2pl/3pl/deep)")
     model = VIBO(VIBOConfig(
         num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
+        num_categories=ds.num_categories,
         hidden_dim=args.hidden_dim,
         conditional_posterior=not args.mean_field,
         condition_on=getattr(args, "condition_on", "sample"),
         theta_posterior=getattr(args, "theta_posterior", "diag"),
         item_encoder=getattr(args, "item_encoder", False),
         item_latent_dim=args.item_latent_dim,
+        # grm: no fused loglik kernel (dispatches to the XLA graded path)
+        # but the packed int8 fused ENCODER first layer still applies —
+        # its decode (mask, category) is the same clamp pair
         use_pallas=(jax.default_backend() == "tpu"
-                    and args.irt_model in ("1pl", "2pl", "3pl"))))
+                    and args.irt_model in ("1pl", "2pl", "3pl", "grm"))))
     mesh = None
     if args.data_parallel and jax.device_count() > 1:
         from vibo_tpu.parallel import make_mesh
@@ -215,7 +231,16 @@ def cmd_train(args):
             summary["theta_pearson"] = round(evaluation.correlation(
                 theta_hat[:sim.theta.shape[0]], sim.theta,
                 align_rotation=True)["pearson"], 4)
-            if "b" in items:
+            if "b" in items and args.irt_model == "grm":
+                # recover the ORDERED thresholds from the unconstrained
+                # posterior means before correlating with sim.b (kappa)
+                from vibo_tpu.ops import links as _links
+                import jax.numpy as _jnp
+                kappa_hat = np.asarray(_links.grm_thresholds(
+                    _jnp.asarray(items["b"])))[:sim.b.shape[0]]
+                summary["b_pearson"] = round(evaluation.correlation(
+                    kappa_hat.ravel(), sim.b.ravel())["pearson"], 4)
+            elif "b" in items:
                 summary["b_pearson"] = round(evaluation.correlation(
                     items["b"][:sim.b.shape[0], 0], sim.b)["pearson"], 4)
     print(json.dumps(_public(summary)))
@@ -246,11 +271,16 @@ def cmd_baseline(args):
     ds, sim = _load(args)
 
     def impute_acc(prob):
-        pred = (prob > 0.5).astype(np.float32)
         h = ds.heldout_mask
         if h.sum() == 0:
             return None
-        cal = evaluation.calibration_from_probs(prob, ds.response, h)
+        if prob.ndim == 3:                   # grm: (N, M, C) category probs
+            pred = prob.argmax(-1).astype(np.float32)
+            cal = evaluation.calibration_from_category_probs(
+                prob, ds.response, h)
+        else:
+            pred = (prob > 0.5).astype(np.float32)
+            cal = evaluation.calibration_from_probs(prob, ds.response, h)
         summary["ece"] = round(cal["ece"], 4)
         summary["brier"] = round(cal["brier"], 4)
         return float((h * (pred == ds.response)).sum() / h.sum())
@@ -260,10 +290,22 @@ def cmd_baseline(args):
         raise SystemExit(
             "the deep link has no closed-form MLE/EM baseline (nonlinear "
             "decoder); only --method hmc samples it, under a trained decoder")
+    if args.irt_model != "deep" and \
+            (ds.num_categories > 2) != (args.irt_model == "grm"):
+        raise SystemExit(
+            f"dataset has {ds.num_categories} response categories but "
+            f"--irt-model {args.irt_model}: polytomous data needs grm, "
+            f"binary data a binary link")
+    if args.irt_model == "grm" and args.method == "em":
+        raise SystemExit(
+            "EM (Gauss-Hermite marginal ML) is implemented for the binary "
+            "links; the grm gold posterior is --method hmc and the grm "
+            "point baseline --method mle/map")
     if args.method == "mle" or args.method == "map":
         from vibo_tpu.models import mle
         cfg = mle.MLEConfig(irt_model=args.irt_model,
                             ability_dim=args.ability_dim,
+                            num_categories=ds.num_categories,
                             map_prior=(args.method == "map"),
                             steps=args.steps, seed=args.seed)
         params, loss = mle.fit_mle(ds.response, ds.train_mask, cfg)
@@ -310,6 +352,7 @@ def cmd_baseline(args):
             deep_params = scorer.params["deep_link"]
         cfg = hmc.HMCConfig(irt_model=args.irt_model,
                             ability_dim=args.ability_dim,
+                            num_categories=ds.num_categories,
                             num_warmup=args.hmc_warmup,
                             num_samples=args.hmc_samples, seed=args.seed,
                             num_chains=getattr(args, "hmc_chains", 4),
@@ -468,7 +511,16 @@ def cmd_compare(args):
                           if method == "hmc" and getattr(args, "hmc_cache",
                                                          None)
                           else None)
-        if args.irt_model in ("1pl", "2pl", "3pl"):
+        if args.irt_model == "grm" and method == "em":
+            # loud skip, not a crash: the GH-quadrature EM is binary-link
+            # only (models/em.py); grm's point baseline is mle/map and its
+            # gold posterior hmc
+            print("NOTE: EM has no graded-response form here; skipping the "
+                  "em row for grm (use mle/map/hmc)", file=sys.stderr)
+            rows.append({"method": "em", "seconds": 0.0,
+                         "dim_note": "em skipped: binary links only"})
+            continue
+        if args.irt_model in ("1pl", "2pl", "3pl", "grm"):
             b_args.irt_model = args.irt_model
         elif method == "hmc":
             # deep: HMC samples (theta, d) under the decoder the VIBO run
@@ -722,7 +774,7 @@ def main(argv=None):
     t = sub.add_parser("train", help="train + evaluate a VIBO model")
     _add_common(t)
     t.add_argument("--irt-model", default="2pl",
-                   choices=["1pl", "2pl", "3pl", "deep"])
+                   choices=["1pl", "2pl", "3pl", "grm", "deep"])
     t.add_argument("--hidden-dim", type=int, default=256)
     t.add_argument("--item-latent-dim", type=int, default=16)
     t.add_argument("--lr", type=float, default=5e-3)
@@ -795,7 +847,7 @@ def main(argv=None):
     b.add_argument("--method", required=True,
                    choices=["mle", "map", "em", "hmc"])
     b.add_argument("--irt-model", default="2pl",
-                   choices=["1pl", "2pl", "3pl", "deep"])
+                   choices=["1pl", "2pl", "3pl", "grm", "deep"])
     b.add_argument("--deep-ckpt", default=None,
                    help="--irt-model deep + --method hmc: checkpoint "
                         "(best.npz from a deep `train --out-dir`) whose "
@@ -825,7 +877,7 @@ def main(argv=None):
                             "dataset (accuracy, recovery, wall-clock)")
     _add_common(c)
     c.add_argument("--irt-model", default="2pl",
-                   choices=["1pl", "2pl", "3pl", "deep"])
+                   choices=["1pl", "2pl", "3pl", "grm", "deep"])
     c.add_argument("--methods", default="mle,em,hmc",
                    help="comma-separated baselines to include")
     c.add_argument("--hidden-dim", type=int, default=256)

@@ -872,6 +872,32 @@ def calibration_from_probs(prob: np.ndarray, resp: np.ndarray,
     return _calib_summary(cnt, acc, cf, brier)
 
 
+def calibration_from_category_probs(prob: np.ndarray, resp: np.ndarray,
+                                    hmask: np.ndarray, bins: int = 10) -> dict:
+    """Multiclass counterpart of calibration_from_probs for (N, M, C)
+    category probabilities (grm baselines): confidence = max category
+    probability (binned on [1/C, 1]), correct = argmax match, Brier =
+    sum_c (p_c - 1[r=c])^2."""
+    prob = np.asarray(prob, np.float64)
+    resp = np.asarray(resp, np.float64)
+    hmask = np.asarray(hmask, np.float64)
+    c = prob.shape[-1]
+    conf = prob.max(-1)
+    pred = prob.argmax(-1)
+    correct = (pred == resp).astype(np.float64)
+    onehot = np.eye(c)[resp.astype(np.int64)]
+    brier_cells = np.square(prob - onehot).sum(-1)
+    lo = 1.0 / c
+    idx = np.clip(((conf - lo) / (1.0 - lo) * bins).astype(int), 0, bins - 1)
+    w = hmask.ravel()
+    idx = idx.ravel()
+    cnt = np.bincount(idx, weights=w, minlength=bins)
+    acc = np.bincount(idx, weights=w * correct.ravel(), minlength=bins)
+    cf = np.bincount(idx, weights=w * conf.ravel(), minlength=bins)
+    brier = (w * brier_cells.ravel()).sum()
+    return _calib_summary(cnt, acc, cf, brier)
+
+
 def calibration(model: VIBO, params, ds: Dataset, bins: int = 10,
                 block_size: int = 16384, item_mean: dict | None = None) -> dict:
     """Posterior-predictive calibration of VIBO's held-out imputation

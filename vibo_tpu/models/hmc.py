@@ -59,6 +59,13 @@ class HMCConfig:
                                        # cfg 5's deep row; the reference has
                                        # no sampler for its deep link at all
     ability_dim: int = 1
+    num_categories: int = 2            # grm only: ordinal categories C.
+                                       # "grm" samples (theta, a, b) with b
+                                       # the UNCONSTRAINED threshold
+                                       # coordinates (links.grm_thresholds)
+                                       # under N(0, I) priors — the same
+                                       # parameterization VIBO/MLE use, so
+                                       # posteriors compare coordinate-free
     deep_latent_dim: int = 0           # deep only; filled by run_hmc from
     deep_hidden_dim: int = 0           # deep_params shapes (program-cache key)
     num_warmup: int = 300
@@ -133,6 +140,9 @@ class HMCConfig:
 def _flatten_spec(n, m, cfg):
     if cfg.irt_model == "deep":
         return {"theta": (n, cfg.ability_dim), "d": (m, cfg.deep_latent_dim)}
+    if cfg.irt_model == "grm":
+        return {"theta": (n, cfg.ability_dim), "a": (m, cfg.ability_dim),
+                "b": (m, cfg.num_categories - 1)}
     spec = {"theta": (n, cfg.ability_dim), "b": (m,)}
     if cfg.irt_model in ("2pl", "3pl"):
         spec["a"] = (m, cfg.ability_dim)
@@ -206,6 +216,17 @@ def _per_person_fn(cfg: HMCConfig, m: int, use_pk: bool):
                 data["deep"], params["theta"], params["d"], item_chunk=256)
             return lik.masked_loglik_per_person(logits, data["resp"],
                                                 data["mask"])
+        return per_person
+    if cfg.irt_model == "grm":
+        if use_pk:
+            raise ValueError("no fused packed kernel exists for the graded "
+                             "likelihood; grm runs the dense XLA potential")
+
+        def per_person(params, data):
+            return lik.graded_loglik_per_person(
+                links.grm_base(params["theta"], params["a"]),
+                links.grm_thresholds(params["b"]),
+                data["resp"], data["mask"])
         return per_person
     if use_pk:
         from vibo_tpu.ops import pallas_elbo as pe
@@ -309,8 +330,9 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
     # invariances of the linear links — no ridge to move along
     do_ridge = cfg.ridge_moves > 0 and cfg.irt_model != "deep"
     # K > 1 linear links carry a CONTINUOUS O(K) gauge symmetry
-    # (theta, a) -> (theta R, a R); see the rotation Gibbs move in step()
-    do_rot = cfg.ability_dim > 1 and cfg.irt_model in ("2pl", "3pl")
+    # (theta, a) -> (theta R, a R); see the rotation Gibbs move in step().
+    # grm shares it: its base a.theta and its thresholds are R-invariant
+    do_rot = cfg.ability_dim > 1 and cfg.irt_model in ("2pl", "3pl", "grm")
     kdim = cfg.ability_dim
 
     per_person = _per_person_fn(cfg, m, use_pk)
@@ -605,6 +627,12 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
 
             def ridge_sweep(carry, kk):
                 theta_q, a_q, b_q = carry
+                # grm: b_q is (M, C-1) UNCONSTRAINED threshold coordinates;
+                # the location ridge theta_k += c shifts the linear
+                # predictor by c*a_k, compensated by kappa_jc += c*a_jk for
+                # EVERY cutpoint — i.e. only b_q[:, 0] moves (the increments
+                # are shift-invariant), so the prior ratio sees b_q[:, 0]
+                grm_b = b_q is not None and b_q.ndim == 2
                 for kd in range(kdim):
                     k1, k2, k3, k4 = (jax.random.fold_in(kk, 4 * kd + i)
                                       for i in range(4))
@@ -622,15 +650,17 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
                         ak = a_q[:, kd]
                     else:
                         ak = jnp.ones_like(b_q)
+                    b0 = b_q[:, 0] if grm_b else b_q
                     cp = sig_c * jax.random.normal(k3)
                     logr = -0.5 * (2 * cp * theta_q[:, kd].sum()
                                    + n * cp * cp
-                                   + 2 * cp * (b_q * ak).sum()
+                                   + 2 * cp * (b0 * ak).sum()
                                    + cp * cp * jnp.square(ak).sum())
                     ok = jnp.log(jax.random.uniform(k4)) < logr
                     cc = jnp.where(ok, cp, 0.0)
                     theta_q = theta_q.at[:, kd].add(cc)
-                    b_q = b_q + cc * ak
+                    b_q = (b_q.at[:, 0].add(cc * ak) if grm_b
+                           else b_q + cc * ak)
                 return (theta_q, a_q, b_q), None
 
             if do_ridge:
@@ -810,6 +840,9 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     if use_pk is None:
         from vibo_tpu.ops.pallas_elbo import _is_tpu
         use_pk = _is_tpu()
+        if cfg.irt_model == "grm":
+            use_pk = False          # dense XLA graded potential (see
+            # _per_person_fn: no fused graded kernel exists)
         if cfg.irt_model == "deep":
             # The fused deep kernel does NOT auto-enable for sampling: under
             # the chain-vmap batch dim its internal rank-3 h1 @ w2 matmul
@@ -1172,6 +1205,13 @@ def posterior_mean_prob(samples: dict, irt_model: str,
     elif irt_model == "2pl":
         chunk_sum = jax.jit(lambda t, a, b: jax.vmap(
             lambda ti, ai, bi: jax.nn.sigmoid(links.logits_2pl(ti, ai, bi))
+        )(t, a, b).sum(0))
+        args = ("theta", "a", "b")
+    elif irt_model == "grm":
+        # (N, M, C) posterior-predictive CATEGORY probabilities
+        chunk_sum = jax.jit(lambda t, a, b: jax.vmap(
+            lambda ti, ai, bi: jnp.exp(lik.graded_logprob_all(
+                links.grm_base(ti, ai), links.grm_thresholds(bi)))
         )(t, a, b).sum(0))
         args = ("theta", "a", "b")
     else:

@@ -25,6 +25,7 @@ from vibo_tpu.ops import links
 class MLEConfig:
     irt_model: str = "2pl"
     ability_dim: int = 1
+    num_categories: int = 2     # grm only
     map_prior: bool = True      # False => pure MLE
     lr: float = 0.05
     steps: int = 500
@@ -35,9 +36,12 @@ def init_point_params(key, num_persons, num_items, cfg: MLEConfig):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     params = {
         "theta": 0.1 * jax.random.normal(k1, (num_persons, cfg.ability_dim)),
-        "b": 0.1 * jax.random.normal(k3, (num_items,)),
+        "b": (0.1 * jax.random.normal(k3, (num_items,
+                                           cfg.num_categories - 1))
+              if cfg.irt_model == "grm"
+              else 0.1 * jax.random.normal(k3, (num_items,))),
     }
-    if cfg.irt_model in ("2pl", "3pl"):
+    if cfg.irt_model in ("2pl", "3pl", "grm"):
         params["a"] = (jax.random.normal(k2, (num_items, cfg.ability_dim))
                        / jnp.sqrt(cfg.ability_dim) * 0.5 + 0.0)
     if cfg.irt_model == "3pl":
@@ -48,13 +52,20 @@ def init_point_params(key, num_persons, num_items, cfg: MLEConfig):
 
 def neg_log_posterior(params, resp, mask, cfg: MLEConfig):
     theta = params["theta"]
-    if cfg.irt_model == "1pl":
-        logits = links.logits_1pl(theta, params["b"])
-        g_hat = None
+    if cfg.irt_model == "grm":
+        # "b" holds the UNCONSTRAINED threshold coordinates (links.
+        # grm_thresholds), exactly like the VIBO/HMC parameterization
+        ll = lik.graded_loglik_cells(
+            links.grm_base(theta, params["a"]),
+            links.grm_thresholds(params["b"]), resp, mask).sum()
     else:
-        logits = links.logits_2pl(theta, params["a"], params["b"])
-        g_hat = params.get("g_hat") if cfg.irt_model == "3pl" else None
-    ll = lik.masked_loglik_total(logits, resp, mask, g_hat=g_hat)
+        if cfg.irt_model == "1pl":
+            logits = links.logits_1pl(theta, params["b"])
+            g_hat = None
+        else:
+            logits = links.logits_2pl(theta, params["a"], params["b"])
+            g_hat = params.get("g_hat") if cfg.irt_model == "3pl" else None
+        ll = lik.masked_loglik_total(logits, resp, mask, g_hat=g_hat)
     if cfg.map_prior:
         for v in params.values():
             ll = ll - 0.5 * jnp.square(v).sum()
@@ -89,6 +100,11 @@ def fit_mle(resp, mask, cfg: MLEConfig, key=None):
 
 
 def response_prob(params, cfg: MLEConfig):
-    """(N, M) predicted probabilities from the point estimates."""
+    """(N, M) predicted probabilities from the point estimates (grm:
+    (N, M, C) category probabilities)."""
     item = {k: v for k, v in params.items() if k != "theta"}
+    if cfg.irt_model == "grm":
+        return jnp.exp(lik.graded_logprob_all(
+            links.grm_base(params["theta"], item["a"]),
+            links.grm_thresholds(item["b"])))
     return links.response_prob(cfg.irt_model, params["theta"], item)
