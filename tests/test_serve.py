@@ -103,3 +103,43 @@ def test_scorer_refine_improves_and_shapes():
         out["theta_sigma"], np.sqrt((out["theta_tril"] ** 2).sum(-1)),
         rtol=1e-4, atol=1e-5)
     assert out["elbo_gain_per_person"] > 0
+
+
+def test_scorer_grm_polytomous(tmp_path):
+    """GRM serving: score returns (B, M, C) category probabilities that
+    normalize over C; refine runs the graded per-person SVI program."""
+    sim = simulate_irt("grm", 300, 24, ability_dim=1, num_categories=4,
+                       seed=7, missing_rate=0.1)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7, name="grm",
+                       num_categories=4)
+    model = VIBO(VIBOConfig(num_items=24, irt_model="grm", num_categories=4,
+                            ability_dim=1, hidden_dim=24))
+    Trainer(model, TrainConfig(lr=8e-3, epochs=60, eval_every=60,
+                               log_every=60, out_dir=str(tmp_path))
+            ).fit(ds)
+
+    # reconstructed from the checkpoint: num_categories must round-trip
+    scorer = AbilityScorer.from_checkpoint(str(tmp_path / "best.npz"),
+                                           pad_multiple=16)
+    assert scorer.model.cfg.num_categories == 4
+    resp = ds.response * ds.train_mask
+    out = scorer.score(resp[:37], ds.train_mask[:37])
+    assert out["theta_mu"].shape == (37, 1)
+    assert out["prob"].shape == (37, 24, 4)
+    np.testing.assert_allclose(out["prob"].sum(-1), 1.0, rtol=1e-5)
+    assert (out["prob"] >= 0).all()
+
+    # held-out exact-category accuracy beats the modal-category base rate
+    out = scorer.score(resp, ds.train_mask)
+    h = ds.heldout_mask
+    pred = out["prob"].argmax(-1).astype(np.float32)
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    counts = np.bincount(ds.response[h > 0].astype(int), minlength=4)
+    assert acc > counts.max() / counts.sum()
+
+    # semi-amortized refinement under the graded likelihood
+    ref = scorer.refine(resp[:37], ds.train_mask[:37], steps=80,
+                        num_samples=4)
+    assert ref["theta_mu"].shape == (37, 1)
+    assert np.isfinite(ref["theta_mu"]).all()
+    assert ref["elbo_gain_per_person"] > -1.0

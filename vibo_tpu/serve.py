@@ -97,7 +97,11 @@ class AbilityScorer:
             else:
                 item_mean = model.item_posterior_mean(params, response, mask)
             mu, logvar, off = model.encode(params, response, mask, item_mean)
-            prob = model.response_prob(params, mu, item_mean)
+            if model.cfg.irt_model == "grm":
+                # polytomous serving: (B, M, C) category probabilities
+                prob = jnp.exp(model.category_logprobs(params, mu, item_mean))
+            else:
+                prob = model.response_prob(params, mu, item_mean)
             from vibo_tpu.ops import distributions as dist
             return mu, dist.tril_marginal_sigma(logvar, off), prob
 
@@ -187,9 +191,14 @@ class AbilityScorer:
         if self.model.cfg.irt_model == "deep":
             items_j["__deep__"] = self.params["deep_link"]
         # the refinement program consumes the evaluation bit-code; build it
-        # from the serving arrays (bit 0: response, bit 1: observed mask)
-        code = (response.astype(np.uint8) & 1) \
-            | ((mask > 0).astype(np.uint8) << 1)
+        # from the serving arrays (binary: bit 0 response, bit 1 mask;
+        # polytomous: bits 0-4 category, bit 5 mask — evaluation._decode_bits)
+        if self.model.cfg.num_categories > 2:
+            code = (response.astype(np.uint8) & 31) \
+                | ((mask > 0).astype(np.uint8) << 5)
+        else:
+            code = (response.astype(np.uint8) & 1) \
+                | ((mask > 0).astype(np.uint8) << 1)
         refine_fn = evaluation._refine_theta_fn(
             self.model.cfg, int(steps), int(num_samples), float(lr))
         mu, sigma, tril, per0, per1 = refine_fn(
