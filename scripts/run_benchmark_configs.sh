@@ -71,5 +71,13 @@ python -m vibo_tpu.cli compare synthetic-nonlinear --num-persons 2000 \
     --hmc-warmup 1200 --hmc-samples 2400 --hmc-chains 4 --hmc-leapfrog 128 \
     --hmc-target-accept 0.65 --hmc-cache artifacts/gold/deep
 
+echo "### graded response model (polytomous, C=5): parity sweep vs MLE + HMC gold"
+# samples the GRM gold into artifacts/gold/grm on first run; reloads after
+python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
+    --num-categories 5 --num-persons 2000 --num-items 100 --epochs 500 \
+    --num-posterior-samples 5 --restarts 2 --steps 600 \
+    --hmc-warmup 800 --hmc-samples 1600 --hmc-chains 4 --hmc-leapfrog 64 \
+    --hmc-target-accept 0.65 --hmc-cache artifacts/gold/grm
+
 echo "### throughput north star"
 python bench.py
