@@ -208,3 +208,17 @@ def test_compare_deep_hmc_cache_fingerprint(tmp_path, capsys):
     assert hmc2["cached"] is True
     with pytest.raises(SystemExit, match="decoder"):
         main(base + ["--epochs", "25"])
+
+
+def test_train_gradescope_polytomous(tmp_path):
+    """gradescope --irt-model grm loads the graded (partial-credit) protocol:
+    the surrogate is GRM-generated with C categories end-to-end."""
+    s = run(["train", "gradescope", "--irt-model", "grm",
+             "--num-categories", "4", "--epochs", "10", "--eval-every", "10",
+             "--out-dir", str(tmp_path)])
+    assert s["dataset"] == "gradescope-surrogate"
+    assert 0 < s["heldout_acc"] <= 1
+    # binary links keep the binarized-at-full-credit loading
+    b = run(["train", "gradescope", "--epochs", "5", "--eval-every", "5",
+             "--out-dir", str(tmp_path)])
+    assert b["heldout_base_rate"] != s["heldout_base_rate"]

@@ -188,3 +188,50 @@ def test_simulator_nonlinear_family():
     llog = np.log(lin.prob / (1 - lin.prob))
     sv_l = np.linalg.svd(llog - llog.mean(), compute_uv=False)
     assert (sv_l[k + 1:] ** 2).sum() / (sv_l ** 2).sum() < 1e-9
+
+
+def test_load_gradescope_polytomous_surrogate():
+    """num_categories=C keeps Gradescope graded: GRM-generated surrogate,
+    Dataset.num_categories propagates, responses are ordinal."""
+    ds = load_dataset("gradescope", data_dir=None, seed=0, num_categories=4)
+    assert ds.num_categories == 4
+    obs = ds.response[(ds.train_mask + ds.heldout_mask) > 0]
+    assert set(np.unique(obs)) <= set(range(4))
+    assert len(np.unique(obs)) >= 3            # actually graded, not binary
+    # binary default unchanged
+    b = load_dataset("gradescope", data_dir=None, seed=0)
+    assert b.num_categories == 2
+    # polytomous loading is a gradescope protocol only
+    with pytest.raises(ValueError, match="gradescope"):
+        load_dataset("pisa", num_categories=4)
+
+
+def test_load_gradescope_polytomous_csv(tmp_path):
+    """Partial-credit score/max_score quantizes to round(C-1 * frac)."""
+    import csv as _csv
+    path = tmp_path / "gradescope.csv"
+    scores = {}
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["student_id", "question_id",
+                                           "score", "max_score"])
+        w.writeheader()
+        for p in range(12):
+            for i in range(6):
+                s, m = (p * 5 + i * 3) % 11, 10
+                scores[(str(p), str(i))] = s / m
+                w.writerow({"student_id": p, "question_id": i,
+                            "score": s, "max_score": m})
+    ds = load_dataset("gradescope", data_dir=str(tmp_path), seed=0,
+                      num_categories=5)
+    assert ds.num_categories == 5
+    assert ds.response.shape == (12, 6)
+    # row/col vocabularies are sorted string ids
+    ids = sorted(str(p) for p in range(12))
+    for r, pid in enumerate(ids):
+        for c, iid in enumerate(sorted(str(i) for i in range(6))):
+            want = round(4 * scores[(pid, iid)])
+            assert ds.response[r, c] == want, (pid, iid)
+    # same file binarized at full credit under the default
+    b = load_dataset("gradescope", data_dir=str(tmp_path), seed=0)
+    assert b.num_categories == 2
+    assert set(np.unique(b.response)) <= {0.0, 1.0}

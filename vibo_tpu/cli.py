@@ -79,7 +79,14 @@ def _load(args):
         return ds, sim
     ds = load_dataset(args.dataset, data_dir=args.data_dir,
                       holdout_frac=args.artificial_missing_perc,
-                      seed=args.seed)
+                      seed=args.seed,
+                      # gradescope --irt-model grm --num-categories C:
+                      # polytomous partial credit for the graded response
+                      # model (loaders.py); binary links load binarized
+                      num_categories=(
+                          args.num_categories
+                          if getattr(args, "irt_model", None) == "grm"
+                          else None))
     return ds, None
 
 

@@ -23,7 +23,10 @@ File formats accepted (documented shapes of the public dumps):
   ("produces"/"understands"/"") — binarized to produces.
 - CritLangAcq:        CSV subject_id, question_id, correct.
 - Gradescope:         CSV student_id, question_id, score, max_score —
-  binarized at score == max_score.
+  binarized at score == max_score, OR kept polytomous
+  (num_categories=C > 2): partial credit score/max_score quantized to the
+  nearest of C ordinal levels for the graded response model, the dataset
+  the VIBO journal extension (arXiv:2108.11579) models polytomously.
 """
 
 from __future__ import annotations
@@ -65,14 +68,16 @@ _COLUMN_MAPS = {
 
 
 def long_to_matrix(rows, min_per_person: int = 5, min_per_item: int = 5,
-                   return_ids: bool = False):
+                   return_ids: bool = False, categories: int | None = None):
     """(person, item, correct) triples -> dense response + observation mask.
 
     Filtering mirrors the reference protocol: drop persons/items with fewer
     than the minimum observed responses (iterated once, as in standard IRT
     preprocessing). Duplicate (person, item) pairs keep the last response.
     With return_ids=True also returns the sorted person/item id vocabularies
-    (row/column order of the matrices).
+    (row/column order of the matrices). categories=C keeps the value as an
+    ordinal category (clipped to {0..C-1}) instead of binarizing at 0.5 —
+    the graded-response path.
     """
     by_pair: dict[tuple[str, str], float] = {}
     for p, i, c in rows:
@@ -92,7 +97,10 @@ def long_to_matrix(rows, min_per_person: int = 5, min_per_item: int = 5,
     mask = np.zeros_like(resp)
     for (p, i), c in by_pair.items():
         if p in pidx and i in iidx:
-            resp[pidx[p], iidx[i]] = 1.0 if c > 0.5 else 0.0
+            if categories is None:
+                resp[pidx[p], iidx[i]] = 1.0 if c > 0.5 else 0.0
+            else:
+                resp[pidx[p], iidx[i]] = min(max(round(c), 0), categories - 1)
             mask[pidx[p], iidx[i]] = 1.0
     if return_ids:
         return resp * mask, mask, persons, items
@@ -106,7 +114,8 @@ def _read_csv(path):
 
 def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
                       min_per_person: int = 5, min_per_item: int = 5,
-                      native_spec: dict | None = None):
+                      native_spec: dict | None = None,
+                      categories: int | None = None):
     # hot path: the native C++ parser (semantics identical to long_to_matrix;
     # measured numbers at 13M-row DuoLingo scale in RESULTS.md "At-scale raw
     # ingestion"). native_spec carries the dataset's
@@ -115,7 +124,8 @@ def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
     # takes it (round-1 advisor finding: only pisa/critlangacq did). Falls
     # back to Python if the toolchain/.so is unavailable.
     from vibo_tpu.data import native
-    if native.available() and (binarize is None or native_spec is not None):
+    if categories is None and native.available() \
+            and (binarize is None or native_spec is not None):
         return native.parse_long_csv(
             path, person_col, item_col, correct_col,
             min_per_person=min_per_person, min_per_item=min_per_item,
@@ -125,30 +135,49 @@ def _load_generic_csv(path, person_col, item_col, correct_col, binarize=None,
         c = binarize(row) if binarize else float(row[correct_col])
         rows.append((row[person_col], row[item_col], c))
     return long_to_matrix(rows, min_per_person=min_per_person,
-                          min_per_item=min_per_item, return_ids=True)
+                          min_per_item=min_per_item, return_ids=True,
+                          categories=categories)
 
 
-def _surrogate(name: str, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _surrogate(name: str, seed: int, num_categories: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
     n, m, density, gen_model, gen_k = _SURROGATE_SCALES[name]
     import zlib
     # stable digest, NOT Python's salted hash(): surrogate datasets must be
     # byte-identical across processes for reproducible benchmarks/checkpoints
+    kw = {}
+    if num_categories is not None:
+        gen_model = "grm"                  # polytomous protocol (gradescope)
+        kw["num_categories"] = num_categories
     sim = simulate_irt(gen_model, n, m, ability_dim=gen_k,
                        seed=seed + zlib.crc32(name.encode()) % 9973,
-                       missing_rate=1.0 - density)
+                       missing_rate=1.0 - density, **kw)
     return sim.response, sim.mask
 
 
 def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0.1,
-                 seed: int = 0, min_per_person: int = 5, min_per_item: int = 5
-                 ) -> Dataset:
+                 seed: int = 0, min_per_person: int = 5, min_per_item: int = 5,
+                 num_categories: int | None = None) -> Dataset:
     """Load a named real dataset (or its offline surrogate) with hold-out split.
 
     Recognized names: pisa, duolingo, wordbank, critlangacq, gradescope.
+    num_categories=C (> 2) keeps Gradescope polytomous: partial-credit
+    score/max_score quantized to C ordinal levels for the graded response
+    model (arXiv:2108.11579's polytomous protocol) instead of binarized at
+    full credit. Only Gradescope carries a graded raw column; the other
+    datasets are binary at the source.
     """
     name = name.lower()
     if name not in _SURROGATE_SCALES:
         raise ValueError(f"unknown dataset {name!r}; options: {sorted(_SURROGATE_SCALES)}")
+    if num_categories is not None and num_categories <= 2:
+        num_categories = None
+    if num_categories is not None and name != "gradescope":
+        raise ValueError(
+            f"polytomous loading (num_categories={num_categories}) is a "
+            f"gradescope protocol — {name!r} is binary at the source "
+            f"(correct/incorrect); only gradescope's partial-credit "
+            f"score/max_score supports graded quantization")
     path = None
     if data_dir:
         for ext in ("csv",):
@@ -158,7 +187,7 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
                 break
     person_ids = item_ids = None
     if path is None:
-        resp, mask = _surrogate(name, seed)
+        resp, mask = _surrogate(name, seed, num_categories)
         tag = f"{name}-surrogate"
     else:
         kw = dict(min_per_person=min_per_person, min_per_item=min_per_item)
@@ -183,11 +212,21 @@ def load_dataset(name: str, data_dir: str | None = None, holdout_frac: float = 0
                                  mode=_nat.BINARIZE_STR_MATCH), **kw)
         elif name == "gradescope":
             from vibo_tpu.data import native as _nat
-            resp, mask, person_ids, item_ids = _load_generic_csv(
-                path, "student_id", "question_id", "score",
-                binarize=lambda r: 1.0 if float(r["score"]) >= float(r["max_score"]) else 0.0,
-                native_spec=dict(denom_col="max_score",
-                                 mode=_nat.BINARIZE_GE_DENOM), **kw)
+            if num_categories is not None:
+                c1 = num_categories - 1
+                resp, mask, person_ids, item_ids = _load_generic_csv(
+                    path, "student_id", "question_id", "score",
+                    binarize=lambda r: round(
+                        c1 * min(max(float(r["score"])
+                                     / float(r["max_score"]), 0.0), 1.0)),
+                    categories=num_categories, **kw)
+            else:
+                resp, mask, person_ids, item_ids = _load_generic_csv(
+                    path, "student_id", "question_id", "score",
+                    binarize=lambda r: 1.0 if float(r["score"]) >= float(r["max_score"]) else 0.0,
+                    native_spec=dict(denom_col="max_score",
+                                     mode=_nat.BINARIZE_GE_DENOM), **kw)
         tag = name
     return holdout_split(resp, mask, holdout_frac=holdout_frac, seed=seed,
-                         name=tag, person_ids=person_ids, item_ids=item_ids)
+                         name=tag, person_ids=person_ids, item_ids=item_ids,
+                         num_categories=num_categories or 2)
