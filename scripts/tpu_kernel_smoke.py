@@ -44,12 +44,20 @@ def _data():
 
 
 def cases():
-    from vibo_tpu.ops import pallas_deep, pallas_elbo, pallas_encoder
+    from vibo_tpu.ops import links, pallas_deep, pallas_elbo, pallas_encoder
+    from vibo_tpu.ops import pallas_grm
 
     pk, rng = _data()
     theta = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
     a = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((M, 1)), jnp.float32)
+    kappa = links.grm_thresholds(
+        jnp.asarray(rng.standard_normal((M, 4)), jnp.float32))
+    # polytomous code: categories 0..4 at bit 0-4, mask at bit... the packed
+    # train code is mask * (1 + category) — rebuild pk-style for C=5
+    cat = (rng.integers(0, 5, (B, M))).astype(np.float32)
+    gmask = (rng.random((B, M)) < 0.9).astype(np.float32)
+    pk_grm = jnp.asarray((gmask * (1.0 + cat)).astype(np.int8))
     g = jnp.asarray(rng.standard_normal((M, 1)) * 0.1 - 2.0, jnp.float32)
     w_r = jnp.asarray(rng.standard_normal((M, H)) * 0.02, jnp.float32)
     w_m = jnp.asarray(rng.standard_normal((M, H)) * 0.02, jnp.float32)
@@ -89,6 +97,12 @@ def cases():
     yield ("loglik_2pl_train_t", "plain",
            lambda: grad_sum(pallas_elbo.masked_loglik_2pl_packed_train_t,
                             theta.T, a, b, pk))
+    yield ("loglik_grm_train", "plain",
+           lambda: grad_sum(pallas_grm.masked_loglik_grm_packed_train,
+                            theta, a, kappa, pk_grm))
+    yield ("loglik_grm_train", "vmap",
+           lambda: vmapped(pallas_grm.masked_loglik_grm_packed_train,
+                           3)(theta, a, kappa, pk_grm))
     yield ("encoder_first_layer", "plain",
            lambda: jax.jit(jax.grad(
                lambda wr: pallas_encoder.packed_first_layer(

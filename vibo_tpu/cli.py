@@ -132,9 +132,9 @@ def cmd_train(args):
         theta_posterior=getattr(args, "theta_posterior", "diag"),
         item_encoder=getattr(args, "item_encoder", False),
         item_latent_dim=args.item_latent_dim,
-        # grm: no fused loglik kernel (dispatches to the XLA graded path)
-        # but the packed int8 fused ENCODER first layer still applies —
-        # its decode (mask, category) is the same clamp pair
+        # grm runs its own one-pass fused graded kernel (ops/pallas_grm.py)
+        # plus the packed int8 fused ENCODER first layer — its decode
+        # (mask, category) is the same clamp pair
         use_pallas=(jax.default_backend() == "tpu"
                     and args.irt_model in ("1pl", "2pl", "3pl", "grm"))))
     mesh = None

@@ -488,6 +488,12 @@ class VIBO:
             return pallas_deep.masked_loglik_deep_packed_train(
                 theta, item_sample["d"], params["deep_link"], packed)
         lp = self._link_params(item_sample)
+        if cfg.irt_model == "grm":
+            from vibo_tpu.ops import pallas_grm
+            # thresholds reparameterized OUTSIDE the kernel: its dkappa
+            # chains through the tiny softplus-cumsum in plain JAX
+            return pallas_grm.masked_loglik_grm_packed_train(
+                theta, lp["a"], links.grm_thresholds(lp["b"]), packed)
         a = lp.get("a")
         if a is None:  # 1PL == 2PL with unit discriminations on summed
             # theta; sized from the data so item-sharded tiles work
@@ -591,7 +597,7 @@ class VIBO:
             from vibo_tpu.ops import pallas_deep
             return (self.cfg.deep_fused_kernel
                     and pallas_deep.supports(params["deep_link"]))
-        return self.cfg.irt_model in ("1pl", "2pl", "3pl")
+        return self.cfg.irt_model in ("1pl", "2pl", "3pl", "grm")
 
     def elbo_packed(self, params: dict, key: jax.Array, packed: jax.Array,
                     item_scale: float | jax.Array = 1.0, num_samples: int = 1,
