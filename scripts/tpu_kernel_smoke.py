@@ -28,9 +28,16 @@ sys.path.insert(0, ".")
 
 # (kernel, variant) pairs that are documented NOT to lower today; keep in
 # sync with the fences at the call sites (models/hmc.py deep gate).
-EXPECTED_FAIL = {
-    ("deep_fused_train", "vmap"),   # rank-3 matmul under batching: Bad lhs type
-}
+#
+# Round-5 resolution of the deep-vmap entry: the round-2..4 "Bad lhs type"
+# failure was never about the chain-vmap batch dim — it was the ambient
+# jax.default_matmul_precision("highest") that run_hmc wraps everything in,
+# which stamped contract_precision<fp32> onto the kernel's bf16 dots
+# (Mosaic rejects fp32 contraction of bf16 vectors). pallas_deep now pins
+# its contraction precision explicitly per operand dtype, so every variant
+# below — including the "highest"-context ones that reproduce the original
+# failure mode — must lower. EXPECTED_FAIL is empty on a healthy repo.
+EXPECTED_FAIL = set()
 
 B, M, K, H = 512, 256, 4, 512      # small but MXU-real shapes
 
@@ -117,6 +124,20 @@ def cases():
                lambda t: -pallas_deep.masked_loglik_deep_packed_train(
                    t, jnp.stack([d, d]), link, pk).sum()))(
                jnp.stack([theta, theta])))
+
+    # the HMC context reproduction: chain-vmap under ambient HIGHEST matmul
+    # precision, in both dot modes — the exact configuration that failed
+    # rounds 2-4 before pallas_deep pinned its contraction precisions
+    def _deep_highest(f32_dots):
+        def run():
+            with jax.default_matmul_precision("highest"):
+                return jax.jit(jax.grad(
+                    lambda t: -pallas_deep.masked_loglik_deep_packed_train(
+                        t, jnp.stack([d, d]), link, pk,
+                        f32_dots=f32_dots).sum()))(jnp.stack([theta, theta]))
+        return run
+    yield ("deep_fused_train", "vmap_highest_bf16", _deep_highest(False))
+    yield ("deep_fused_train", "vmap_highest_f32", _deep_highest(True))
 
 
 def main():

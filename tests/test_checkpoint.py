@@ -144,6 +144,67 @@ def test_warm_start_transplant_is_function_preserving(tmp_path):
         np.asarray(a), np.asarray(b)), item_mean, src_items)
 
 
+def test_warm_start_rejects_scrambled_transplants(tmp_path):
+    """check_transplant_compat (round-4 advisor): warm-starting across
+    ability_dim (K=1 -> K=4 would corner-embed the source logvar column
+    into the target mu block), narrowing chol -> diag, or crossing the
+    'stats' encoder layout must raise BEFORE touching parameters; the
+    documented widenings pass."""
+    from vibo_tpu.train import checkpoint as ckpt
+
+    src = dict(num_items=20, irt_model="2pl", ability_dim=1, hidden_dim=16,
+               conditional_posterior=False, condition_on="sample",
+               theta_posterior="diag", num_categories=2,
+               item_latent_dim=16, deep_hidden_dim=128, item_encoder=False,
+               item_encoder_hidden=64)
+    ok_dst = VIBOConfig(num_items=20, irt_model="2pl", ability_dim=1,
+                        hidden_dim=16, conditional_posterior=True,
+                        condition_on="stats", theta_posterior="chol")
+    ckpt.check_transplant_compat(src, ok_dst)   # documented widening: fine
+
+    with pytest.raises(ValueError, match="ability_dim"):
+        ckpt.check_transplant_compat(
+            src, VIBOConfig(num_items=20, irt_model="2pl", ability_dim=4,
+                            hidden_dim=16))
+    with pytest.raises(ValueError, match="irt_model"):
+        ckpt.check_transplant_compat(
+            src, VIBOConfig(num_items=20, irt_model="3pl", ability_dim=1,
+                            hidden_dim=16))
+    chol_src = dict(src, theta_posterior="chol", ability_dim=2)
+    with pytest.raises(ValueError, match="chol -> diag"):
+        ckpt.check_transplant_compat(
+            chol_src, VIBOConfig(num_items=20, irt_model="2pl",
+                                 ability_dim=2, hidden_dim=16,
+                                 theta_posterior="diag"))
+    cond_src = dict(src, conditional_posterior=True, condition_on="stats")
+    with pytest.raises(ValueError, match="condition_on"):
+        ckpt.check_transplant_compat(
+            cond_src, VIBOConfig(num_items=20, irt_model="2pl",
+                                 ability_dim=1, hidden_dim=16,
+                                 condition_on="sample"))
+    # sample <-> mean share layout and semantics: allowed
+    ckpt.check_transplant_compat(
+        dict(src, conditional_posterior=True, condition_on="sample"),
+        VIBOConfig(num_items=20, irt_model="2pl", ability_dim=1,
+                   hidden_dim=16, condition_on="mean"))
+
+    # end-to-end: the Trainer path raises through --warm-start
+    sim = simulate_irt("2pl", 64, 20, ability_dim=1, seed=2)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=2)
+    src_model = VIBO(VIBOConfig(num_items=20, irt_model="2pl",
+                                ability_dim=1, hidden_dim=16))
+    Trainer(src_model, TrainConfig(lr=1e-2, epochs=4, eval_every=4,
+                                   log_every=100,
+                                   out_dir=str(tmp_path))).fit(ds)
+    wide = VIBO(VIBOConfig(num_items=20, irt_model="2pl", ability_dim=4,
+                           hidden_dim=16))
+    sim4 = simulate_irt("2pl", 64, 20, ability_dim=4, seed=2)
+    ds4 = holdout_split(sim4.response, sim4.mask, 0.1, seed=2)
+    with pytest.raises(ValueError, match="ability_dim"):
+        Trainer(wide, TrainConfig(
+            epochs=2, warm_start=str(tmp_path / "best.npz"))).fit(ds4)
+
+
 def test_warm_start_cli_end_to_end(tmp_path):
     """train --warm-start CKPT: the wider-family run starts from the source
     basin and trains; warm_start + resume refuses."""

@@ -174,6 +174,25 @@ def test_grm_bitcode_roundtrip():
     np.testing.assert_array_equal(hmask, ds.heldout_mask)
 
 
+def test_grm_bitcode_rejects_too_many_categories():
+    """Round-4 advisor: a Dataset built directly with num_categories > 32
+    (VIBOConfig caps C at 32 but holdout_split does not) would silently
+    collide category bits with the mask bits 5/6 — the bit-code builder
+    must fail loudly instead."""
+    import dataclasses
+
+    import pytest
+
+    from vibo_tpu.data.masking import holdout_split
+
+    rng = np.random.default_rng(0)
+    resp = rng.integers(0, 33, (8, 6)).astype(np.float32)
+    mask = np.ones((8, 6), np.float32)
+    ds = holdout_split(resp, mask, 0.1, seed=0, num_categories=33)
+    with pytest.raises(ValueError, match="32-category"):
+        evaluation.dataset_code_on_device(ds)
+
+
 def test_grm_eval_suite_runs():
     sim, ds, model = _grm_setup()
     params = model.init_params(jax.random.key(0))

@@ -306,6 +306,31 @@ def test_grm_loglik_cells_matches_gather_of_all(rng):
     assert np.all(got[mask == 0] == 0.0)
 
 
+def test_grm_extreme_base_saturates_cleanly(rng):
+    """Round-4 advisor: at |base| approaching the +-50 sentinels, boundary
+    categories used to pick up a spurious -softplus penalty (base -49,
+    r=0: x = base + 50 = 1 -> -softplus(-1) ~ -0.31 instead of ~0). The
+    _GRM_CLAMP saturation keeps boundary log-probs ~0 and category probs
+    summing to 1 for ANY predictor magnitude (reachable via pure MLE, which
+    places no bound on base)."""
+    m, c = 6, 5
+    kappa = np.sort(rng.standard_normal((m, c - 1)), -1).astype(np.float32)
+    for mag in (45.0, 49.0, 200.0):
+        base = np.full((3, m), -mag, np.float32)     # far left: r=0 certain
+        ll0 = np.asarray(lik.graded_loglik_cells(
+            jnp.array(base), jnp.array(kappa),
+            jnp.zeros((3, m), np.float32), jnp.ones((3, m), np.float32)))
+        assert np.all(ll0 > -1e-4), (mag, ll0.min())
+        base = np.full((3, m), mag, np.float32)      # far right: r=C-1
+        lltop = np.asarray(lik.graded_loglik_cells(
+            jnp.array(base), jnp.array(kappa),
+            jnp.full((3, m), c - 1, np.float32), jnp.ones((3, m), np.float32)))
+        assert np.all(lltop > -1e-4), (mag, lltop.min())
+        allp = np.exp(np.asarray(lik.graded_logprob_all(
+            jnp.array(base), jnp.array(kappa))))
+        np.testing.assert_allclose(allp.sum(-1), 1.0, atol=1e-5)
+
+
 def test_grm_two_categories_match_bernoulli(rng):
     """C=2 GRM with kappa = b reduces exactly to the 2PL Bernoulli loglik."""
     b_num, m, k = 6, 7, 2

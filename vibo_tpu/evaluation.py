@@ -96,6 +96,14 @@ def dataset_code_on_device(ds: Dataset, pad_rows_to: int = 1) -> jax.Array:
     # ~5 matrix-sized temporaries, each paying this image's ~100x 4k-page
     # first-touch penalty (utils/hostmem.py)
     code = zeros_hugepages((n + pad, m), np.uint8)
+    if ds.num_categories > 32:
+        # the polytomous layout stores categories in bits 0-4 (mask bits at
+        # 5/6); a Dataset built directly with C > 32 would silently collide
+        # them (round-4 advisor — VIBOConfig caps C at 32, but the Dataset
+        # type itself does not)
+        raise ValueError(
+            f"num_categories={ds.num_categories} exceeds the uint8 "
+            "bit-code's 32-category budget (bits 0-4; masks at bits 5/6)")
     block = max(1, (1 << 24) // max(1, m))
     for s in range(0, n, block):
         e = min(n, s + block)

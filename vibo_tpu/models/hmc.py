@@ -206,8 +206,12 @@ def _per_person_fn(cfg: HMCConfig, m: int, use_pk: bool):
             from vibo_tpu.ops import pallas_deep
 
             def per_person(params, data):
+                # f32_dots: sampling needs true-f32 contractions — the bf16
+                # training mode's per-cell rounding is a dH noise floor the
+                # Metropolis test cannot tolerate (run_hmc docstring)
                 return pallas_deep.masked_loglik_deep_packed_train(
-                    params["theta"], params["d"], data["deep"], data["pk"])
+                    params["theta"], params["d"], data["deep"], data["pk"],
+                    f32_dots=True)
             return per_person
         from vibo_tpu.models import networks
 

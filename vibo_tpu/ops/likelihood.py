@@ -70,6 +70,14 @@ def bernoulli_loglik_3pl(logits: jax.Array, g_hat: jax.Array, response: jax.Arra
 
 _GRM_BIG = 50.0   # exp(-50) ~ 2e-22, softplus(-50) == 0.0 in f32
 
+# The sentinel algebra needs |base| well below _GRM_BIG: at base ~ -50 the
+# r=0 boundary term -softplus(-(base + BIG)) no longer underflows to 0 and
+# leaks a spurious -log 2 into the loglik (round-4 advisor). Unreachable
+# under N(0,I) priors/MAP, but pure MLE places no bound on the predictor —
+# so the graded paths saturate base at +-_GRM_CLAMP, where every category
+# probability is already converged to within exp(-20) of its limit.
+_GRM_CLAMP = 30.0
+
 
 def graded_loglik_cells(base: jax.Array, kappa: jax.Array, response: jax.Array,
                         mask: jax.Array) -> jax.Array:
@@ -79,6 +87,7 @@ def graded_loglik_cells(base: jax.Array, kappa: jax.Array, response: jax.Array,
     (links.grm_thresholds); response (..., B, M) float categories in
     {0..C-1}; mask 1.0 observed / 0.0 missing.
     """
+    base = jnp.clip(base, -_GRM_CLAMP, _GRM_CLAMP)
     cm1 = kappa.shape[-1]
     lo = jnp.full(base.shape, -_GRM_BIG, base.dtype)   # kappa_r     (r=0: -BIG)
     hi = jnp.full(base.shape, _GRM_BIG, base.dtype)    # kappa_{r+1} (r=C-1: +BIG)
@@ -102,6 +111,7 @@ def graded_logprob_all(base: jax.Array, kappa: jax.Array) -> jax.Array:
     Evaluation-path form (imputation argmax, calibration): materializes the
     category axis, so callers stream person blocks. Same stable expression
     as graded_loglik_cells with the category axis vectorized."""
+    base = jnp.clip(base, -_GRM_CLAMP, _GRM_CLAMP)
     big = jnp.array(_GRM_BIG, base.dtype)
     pad = jnp.full(kappa.shape[:-1] + (1,), 1.0, kappa.dtype)
     lo = jnp.concatenate([-big * pad, kappa], -1)      # (M, C): kappa_c

@@ -55,21 +55,33 @@ ITEM_BLOCK = 128     # 16 MB VMEM budget (tb=64 measured 18.8 MB: OOM)
 
 
 def _dot(x, w, contract=((1,), (0,)), dtype=jnp.bfloat16):
+    # precision is pinned EXPLICITLY per operand dtype: an inherited ambient
+    # jax.default_matmul_precision("highest") (HMC wraps everything in it)
+    # stamps contract_precision<fp32> onto these dots, and Mosaic rejects
+    # fp32 contraction of bf16 vectors ("Bad lhs type" — the round-2..4
+    # deep-HMC fence traced to exactly this, NOT to the chain-vmap batch
+    # dim). bf16 operands always contract at DEFAULT (bf16 multiply, f32
+    # accumulate — this kernel's documented contract); f32 operands at
+    # HIGHEST (true f32 passes), both independent of the caller's context.
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
         x.astype(dtype), w.astype(dtype),
         dimension_numbers=(contract, ((), ())),
+        precision=precision,
         preferred_element_type=jnp.float32)
 
 
 def _fused_deep_kernel(t1_ref, t2_ref, w2_ref, b2_ref, wo_ref, bo_ref, pk_ref,
                        ll_ref, sth_ref, sd_ref, dw2_ref, db2_ref, dwo_ref,
-                       dbo_ref):
+                       dbo_ref, *, dot_dtype):
     i, j = pl.program_id(0), pl.program_id(1)
 
     # ------------------------------------------------------------ forward
     pre1 = t1_ref[:][:, None, :] + t2_ref[:][None, :, :]   # (tb, tm, H)
     h1 = jnp.maximum(pre1, 0.0)
-    pre2 = _dot(h1, w2_ref[:], contract=((2,), (0,))) + b2_ref[:]
+    pre2 = _dot(h1, w2_ref[:], contract=((2,), (0,)),
+                dtype=dot_dtype) + b2_ref[:]
     h2 = jnp.maximum(pre2, 0.0)                            # (tb, tm, H)
     wo_row = wo_ref[:][0]                                  # (H,)
     logit = (h2 * wo_row).sum(axis=-1) + bo_ref[0, 0]      # (tb, tm)
@@ -90,11 +102,14 @@ def _fused_deep_kernel(t1_ref, t2_ref, w2_ref, b2_ref, wo_ref, bo_ref, pk_ref,
                                                      keepdims=True)
     dpre2 = jnp.where(pre2 > 0, dl3 * wo_row, 0.0)         # (tb, tm, H)
     dw2_part = jax.lax.dot_general(                        # (H, H)
-        h1.astype(jnp.bfloat16), dpre2.astype(jnp.bfloat16),
+        h1.astype(dot_dtype), dpre2.astype(dot_dtype),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=(jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
         preferred_element_type=jnp.float32).sum(axis=0)
     db2_part = dpre2.sum(axis=0).sum(axis=0, keepdims=True)  # (1, H)
-    dh1 = _dot(dpre2, w2_ref[:], contract=((2,), (1,)))    # (tb, tm, H)
+    dh1 = _dot(dpre2, w2_ref[:], contract=((2,), (1,)),
+               dtype=dot_dtype)                            # (tb, tm, H)
     dpre1 = jnp.where(h1 > 0, dh1, 0.0)
     sth_part = dpre1.sum(axis=1)                           # (tb, H)
     sd_part = dpre1.sum(axis=0)                            # (tm, H)
@@ -136,7 +151,7 @@ def _fused_deep_kernel(t1_ref, t2_ref, w2_ref, b2_ref, wo_ref, bo_ref, pk_ref,
         dbo_ref[:] = dbo_ref[:] + dbo_part
 
 
-def _fused_deep_fwd(theta, d, link, packed, interpret):
+def _fused_deep_fwd(theta, d, link, packed, interpret, f32_dots=False):
     bsz0, m0 = theta.shape[0], d.shape[0]
     h = link["w_theta"].shape[1]
     # row/column projections outside the kernel (see module docstring)
@@ -153,8 +168,9 @@ def _fused_deep_fwd(theta, d, link, packed, interpret):
     grid = (_cdiv(bsz, tb), _cdiv(m, tm))
 
     full = lambda shape, idx: pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+    dot_dtype = jnp.float32 if f32_dots else jnp.bfloat16
     outs = pl.pallas_call(
-        _fused_deep_kernel,
+        functools.partial(_fused_deep_kernel, dot_dtype=dot_dtype),
         grid=grid,
         in_specs=[
             full((tb, h), lambda i, j: (i, 0)),
@@ -195,17 +211,19 @@ def _fused_deep_fwd(theta, d, link, packed, interpret):
             {"w2": dw2, "b2": db2[0], "wo": dwo, "bo": dbo[0]})
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _masked_loglik_deep_packed_train(theta, d, link, packed, interpret):
-    return _fused_deep_fwd(theta, d, link, packed, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _masked_loglik_deep_packed_train(theta, d, link, packed, interpret,
+                                     f32_dots):
+    return _fused_deep_fwd(theta, d, link, packed, interpret, f32_dots)[0]
 
 
-def _fwd_rule(theta, d, link, packed, interpret):
-    ll, sth, sd, wgrads = _fused_deep_fwd(theta, d, link, packed, interpret)
+def _fwd_rule(theta, d, link, packed, interpret, f32_dots):
+    ll, sth, sd, wgrads = _fused_deep_fwd(theta, d, link, packed, interpret,
+                                          f32_dots)
     return ll, (theta, d, link, sth, sd, wgrads)
 
 
-def _bwd_rule(interpret, residuals, g):
+def _bwd_rule(interpret, f32_dots, residuals, g):
     theta, d, link, sth, sd, wgrads = residuals
     # per-person outputs: exact for any cotangent
     gsth = g[:, None] * sth
@@ -239,8 +257,8 @@ def supports(link_params: dict) -> bool:
 
 def masked_loglik_deep_packed_train(theta: jax.Array, d: jax.Array,
                                     link_params: dict, packed: jax.Array,
-                                    interpret: bool | None = None
-                                    ) -> jax.Array:
+                                    interpret: bool | None = None,
+                                    f32_dots: bool = False) -> jax.Array:
     """One-pass deep-link training loglik from packed responses -> (B,).
 
     Value == masked_loglik_per_person(apply_deep_link(link_params, theta, d),
@@ -248,6 +266,14 @@ def masked_loglik_deep_packed_train(theta: jax.Array, d: jax.Array,
     same kernel pass under the UNIFORM-COTANGENT CONTRACT (see
     pallas_elbo.masked_loglik_2pl_packed_train) — use only where the
     per-person logliks get one shared weight (.sum() into the loss).
+
+    f32_dots=True contracts the in-kernel pairwise matmuls in true f32
+    (HIGHEST) instead of the default bf16-multiply/f32-accumulate — the
+    mode HMC needs: bf16 operand rounding perturbs per-cell logliks by
+    ~2e-3 relative, which summed over ~1e5+ cells is a dH noise floor a
+    Metropolis test cannot shrug off (models/hmc.run_hmc docstring). Either
+    mode lowers under any ambient matmul-precision context — the kernel
+    pins its contraction precision explicitly.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -256,7 +282,7 @@ def masked_loglik_deep_packed_train(theta: jax.Array, d: jax.Array,
     link_params = jax.tree.map(lambda x: x.astype(jnp.float32), link_params)
     if theta.ndim == 2:
         return _masked_loglik_deep_packed_train(theta, d, link_params, packed,
-                                                interpret)
+                                                interpret, f32_dots)
     fn = lambda th, dd: masked_loglik_deep_packed_train(
-        th, dd, link_params, packed, interpret=interpret)
+        th, dd, link_params, packed, interpret=interpret, f32_dots=f32_dots)
     return jax.vmap(fn)(theta, d)

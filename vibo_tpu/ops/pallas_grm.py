@@ -56,6 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vibo_tpu.ops.pallas_elbo import (ITEM_BLOCK, STUDENT_BLOCK, _cdiv,
                                       _has_vma, _is_tpu, match_vma, out_sds)
 
+from vibo_tpu.ops.likelihood import _GRM_CLAMP   # shared base saturation
+
 _BIG = 50.0      # sentinel threshold for the boundary categories — same
                  # value as ops/likelihood._GRM_BIG (exp(-50) ~ 2e-22 == 0
                  # in f32 through every softplus/sigmoid below)
@@ -103,6 +105,11 @@ def _fused_train_kernel_grm(theta_ref, a_ref, kapt_ref, dtab_ref, ltab_ref,
     base = jax.lax.dot_general(
         theta_ref[:], a_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    # saturate like the XLA twin (likelihood._GRM_CLAMP): keeps |base| far
+    # from the +-_BIG sentinels so boundary categories stay exactly
+    # one-sided; values match the reference bitwise, gradients differ only
+    # by the clip's zeroing beyond +-30 (where both are ~sigmoid'(30))
+    base = jnp.clip(base, -_GRM_CLAMP, _GRM_CLAMP)
     pk = pk_ref[:].astype(jnp.float32)
     m = jnp.minimum(pk, 1.0)
     r = pk - 1.0                                  # category; -1 for missing

@@ -81,6 +81,50 @@ def load_params_self_describing(path: str):
     return params
 
 
+_TRANSPLANT_MUST_MATCH = ("num_items", "irt_model", "num_categories",
+                          "ability_dim", "hidden_dim", "item_latent_dim",
+                          "deep_hidden_dim", "item_encoder",
+                          "item_encoder_hidden")
+
+
+def check_transplant_compat(src_cfg: dict, dst_cfg) -> None:
+    """Raise unless warm-starting `dst_cfg` from a checkpoint with embedded
+    config `src_cfg` is one of the documented transplants.
+
+    Round-4 advisor: transplant_params corner-embeds ANY shape-compatible
+    leaf, so e.g. K=1 -> K=4 would embed the (H, 2) encoder-head output into
+    (H, 8) and land the source LOGVAR column inside the target's mu block —
+    a silently scrambled init. Allowed transitions: exact same family;
+    mean-field -> conditional; diag -> chol q(theta); condition_on
+    'sample' <-> 'mean' (identical encoder input layout). Everything else
+    raises before any parameter is touched."""
+    import dataclasses as _dc
+    dst = {f.name: getattr(dst_cfg, f.name) for f in _dc.fields(type(dst_cfg))}
+    for name in _TRANSPLANT_MUST_MATCH:
+        if name in src_cfg and src_cfg[name] != dst[name]:
+            raise ValueError(
+                f"warm-start config mismatch: {name}={src_cfg[name]!r} in "
+                f"the source checkpoint vs {dst[name]!r} in the target "
+                "model; transplant supports only the documented family "
+                "widenings (mean-field -> conditional, diag -> chol), not "
+                "architecture changes")
+    if (src_cfg.get("conditional_posterior", True)
+            and not dst["conditional_posterior"]):
+        raise ValueError(
+            "warm-start cannot narrow conditional -> mean-field q(theta)")
+    if (src_cfg.get("theta_posterior", "diag") == "chol"
+            and dst["theta_posterior"] == "diag"):
+        raise ValueError("warm-start cannot narrow chol -> diag q(theta)")
+    if src_cfg.get("conditional_posterior", True) and dst["conditional_posterior"]:
+        s, d = src_cfg.get("condition_on", "sample"), dst["condition_on"]
+        if s != d and "stats" in (s, d):
+            raise ValueError(
+                f"warm-start condition_on {s!r} -> {d!r}: the 'stats' "
+                "encoder input layout is incompatible with the item-draw "
+                "layouts (only 'sample' <-> 'mean' share shapes and "
+                "semantics)")
+
+
 def _embed_leaf(s, d):
     s, d = np.asarray(s), np.asarray(d)
     if s.shape == d.shape:

@@ -561,6 +561,14 @@ class Trainer:
                              "resume restores exact state; warm_start "
                              "transplants params into a fresh run")
         if cfg.warm_start:
+            import json as _json
+            extra = ckpt.peek_extra(cfg.warm_start)
+            if "model_cfg" in extra:
+                # reject shape-compatible-but-scrambled embeds (e.g. K=1 ->
+                # K=4 landing the source logvar column in the target mu
+                # block) before touching any parameter — round-4 advisor
+                ckpt.check_transplant_compat(
+                    _json.loads(str(extra["model_cfg"])), self.model.cfg)
             src = ckpt.load_params_self_describing(cfg.warm_start)
             params = jax.tree.map(jnp.asarray,
                                   ckpt.transplant_params(src, params))
