@@ -26,17 +26,21 @@ import numpy as np
 
 
 def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas,
-          compute_dtype="bfloat16"):
+          compute_dtype="bfloat16", irt_model="2pl", num_categories=5):
     import jax
     import jax.numpy as jnp
     from vibo_tpu.data import simulate_irt, holdout_split
     from vibo_tpu.models import VIBO, VIBOConfig
     from vibo_tpu.train import Trainer, TrainConfig
 
-    sim = simulate_irt("2pl", num_persons, num_items, ability_dim=ability_dim,
-                       seed=0, missing_rate=0.1)
-    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0, name="bench")
-    model = VIBO(VIBOConfig(num_items=num_items, irt_model="2pl",
+    sim = simulate_irt(irt_model, num_persons, num_items,
+                       ability_dim=ability_dim, seed=0, missing_rate=0.1,
+                       num_categories=num_categories)
+    c = num_categories if irt_model == "grm" else 2
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=0, name="bench",
+                       num_categories=c)
+    model = VIBO(VIBOConfig(num_items=num_items, irt_model=irt_model,
+                            num_categories=c,
                             ability_dim=ability_dim, hidden_dim=hidden_dim,
                             use_pallas=use_pallas, compute_dtype=compute_dtype))
     trainer = Trainer(model, TrainConfig(lr=5e-3))
@@ -92,6 +96,85 @@ def measure_throughput(trainer, params, opt_state, data, packed,
     per_step = (times[n_large] - times[n_small]) / (n_large - n_small)
     fixed = times[n_small] - n_small * per_step
     return per_step, fixed
+
+
+def measure_kernel_only(irt_model, persons, items, ability_dim,
+                        num_categories=5, n_small=50, n_large=200, repeats=8):
+    """Fused-kernel-only microbenchmark: value+grad of the packed training
+    loglik (uniform cotangent — exactly what the ELBO consumes), scanned
+    inside ONE jit with the two-point differencing protocol.
+
+    The contention-isolation instrument (round-4 VERDICT weak #2): the
+    end-to-end step number drifted 3.67 -> 3.14e10 cells/s over rounds 2-4,
+    attributed to shared-chip contention with no within-round evidence.
+    This number has no encoder/Adam/eval confounds, so its round-over-round
+    delta next to the end-to-end number separates contention (both move)
+    from a code regression (only one moves). Also reports the dense-XLA
+    twin of the same reduction — for grm this is the 2.2e9-cells/s number
+    the fused graded kernel was built to beat (ops/pallas_grm.py)."""
+    import jax
+    import jax.numpy as jnp
+    from vibo_tpu.data import simulate_irt
+    from vibo_tpu.ops import pallas_elbo as pe
+
+    sim = simulate_irt(irt_model, persons, items, ability_dim=ability_dim,
+                       seed=0, missing_rate=0.1,
+                       num_categories=num_categories)
+    pk = jnp.asarray(pe.pack_responses(sim.response, sim.mask))
+    rng = np.random.default_rng(0)
+    theta0 = jnp.asarray(rng.standard_normal(
+        (persons, ability_dim)).astype(np.float32))
+    if irt_model == "grm":
+        from vibo_tpu.ops import pallas_grm as pg
+        a = jnp.asarray(sim.a, jnp.float32)
+        kappa = jnp.asarray(sim.b, jnp.float32)   # sim.b = ordered cutpoints
+        pairs = {
+            "fused": lambda th: pg.masked_loglik_grm_packed_train(
+                th, a, kappa, pk),
+            "xla": lambda th: pg._xla_train_grm(th, a, kappa, pk),
+        }
+    elif irt_model == "2pl":
+        a = jnp.asarray(sim.a, jnp.float32)
+        b = jnp.asarray(sim.b, jnp.float32)
+        pairs = {
+            "fused": lambda th: pe.masked_loglik_2pl_packed_train(
+                th, a, b, pk),
+            "xla": lambda th: pe._xla_train_2pl(th, a, b, pk),
+        }
+    else:
+        raise ValueError(f"kernel microbench supports 2pl|grm, "
+                         f"got {irt_model}")
+
+    def make_run(fn, n):
+        grad = jax.grad(lambda t: -fn(t).sum())
+
+        @jax.jit
+        def run(th):
+            def body(carry, _):
+                # theta update serializes iterations (data dependence)
+                return carry - 1e-6 * grad(carry), ()
+            th, _ = jax.lax.scan(body, th, None, length=n)
+            return th.sum()
+        return run
+
+    out = {}
+    cells = persons * items
+    for name, fn in pairs.items():
+        runs = {}
+        for n in (n_small, n_large):
+            runs[n] = make_run(fn, n)
+            float(runs[n](theta0))  # compile + warm, forced
+        times = {n_small: float("inf"), n_large: float("inf")}
+        for _ in range(repeats):
+            for n in (n_small, n_large):   # interleaved (see module header)
+                t0 = time.perf_counter()
+                float(runs[n](theta0))
+                times[n] = min(times[n], time.perf_counter() - t0)
+        per_call = (times[n_large] - times[n_small]) / (n_large - n_small)
+        out[f"{name}_grad_us"] = round(per_call * 1e6, 2)
+        out[f"{name}_cells_per_sec"] = round(cells / per_call, 1)
+    out["fused_vs_xla"] = round(out["xla_grad_us"] / out["fused_grad_us"], 2)
+    return out
 
 
 def measure_time_to_train(trainer, model, params, opt_state, data, packed, ds,
@@ -199,6 +282,12 @@ def main():
     ap.add_argument("--items", type=int, default=1024)
     ap.add_argument("--ability-dim", type=int, default=4)
     ap.add_argument("--hidden-dim", type=int, default=256)
+    ap.add_argument("--irt-model", default="2pl", choices=["2pl", "grm"],
+                    help="grm: the graded (polytomous) family at the same "
+                         "north-star scale — fused graded kernel + "
+                         "categorical eval (round-4 VERDICT task #1)")
+    ap.add_argument("--num-categories", type=int, default=5,
+                    help="grm only: ordinal response categories C")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--no-packed", action="store_true",
                     help="use the dense f32 response/mask pipeline instead of "
@@ -238,7 +327,7 @@ def main():
 
     model, trainer, params, opt_state, resp, mask, ds, sim = build(
         args.persons, args.items, args.ability_dim, args.hidden_dim, use_pallas,
-        args.compute_dtype)
+        args.compute_dtype, args.irt_model, args.num_categories)
     packed = not args.no_packed
     if packed:
         import jax.numpy as jnp
@@ -251,6 +340,11 @@ def main():
     per_step, fixed = measure_throughput(trainer, params, opt_state, data, packed)
     cells = args.persons * args.items
     cells_per_sec = cells / per_step
+
+    kernel_only = (measure_kernel_only(args.irt_model, args.persons,
+                                       args.items, args.ability_dim,
+                                       args.num_categories)
+                   if on_tpu else None)
 
     (train_seconds, final_elbo, acc, train_seconds_conv, final_elbo_conv,
      acc_conv, trained_params) = measure_time_to_train(
@@ -273,7 +367,10 @@ def main():
                                       num_samples=100, on="train")
     cal = evaluation.calibration(model, trained_params, ds)
 
-    converged = measure_converged_config(args, use_pallas, packed, ds, sim)
+    # the converged operating point is the 2PL flagship recipe; the graded
+    # family's converged parity evidence lives in the RESULTS.md GRM section
+    converged = (measure_converged_config(args, use_pallas, packed, ds, sim)
+                 if args.irt_model == "2pl" else {})
 
     if args.skip_cpu:
         cpu_ref = None
@@ -283,7 +380,8 @@ def main():
         from vibo_tpu.oracle_torch import time_cpu_reference
         cpu_ref = time_cpu_reference(
             num_persons=min(2048, args.persons), num_items=args.items,
-            ability_dim=args.ability_dim, hidden_dim=args.hidden_dim)
+            ability_dim=args.ability_dim, hidden_dim=args.hidden_dim,
+            irt_model=args.irt_model, num_categories=args.num_categories)
         cpu_cells_per_sec = cpu_ref["cells_per_sec"]
         vs_baseline = cells_per_sec / cpu_cells_per_sec
 
@@ -294,6 +392,8 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "extra": {
             "matrix": f"{args.persons}x{args.items}",
+            "irt_model": args.irt_model,
+            "kernel_only": kernel_only,
             "step_ms": round(per_step * 1e3, 4),
             "fixed_overhead_ms": round(fixed * 1e3, 2),
             "train_300_epochs_seconds": round(train_seconds, 3),

@@ -96,6 +96,84 @@ def test_em_posterior_predictive(synth_2pl):
 
 
 @pytest.fixture(scope="module")
+def synth_grm_em():
+    sim = simulate_irt("grm", 600, 40, ability_dim=1, seed=7,
+                       num_categories=5)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7, num_categories=5)
+    res = em.fit_em(ds.response, ds.train_mask,
+                    em.EMConfig(irt_model="grm", num_categories=5))
+    return sim, ds, res
+
+
+def test_em_grm_recovery(synth_grm_em):
+    """Bock-Aitkin MML for the graded response model (round-4 VERDICT
+    task #2): parameter recovery on synthetic GRM data. The K=1 graded
+    marginal likelihood has the (theta, a) -> (-theta, -a) reflection
+    gauge (simulate_grm draws SIGNED loadings), which correlation's
+    align_sign handles; thresholds are gauge-free."""
+    sim, ds, res = synth_grm_em
+    assert res["iterations"] >= 2
+    assert np.isfinite(res["log_marginal"])
+    assert evaluation.correlation(
+        res["theta_eap"], sim.theta[:, 0])["pearson"] > 0.8
+    assert evaluation.correlation(res["a"], sim.a[:, 0])["pearson"] > 0.7
+    kc = evaluation.correlation(res["kappa"].ravel(), sim.b.ravel(),
+                                align_sign=False)
+    assert kc["pearson"] > 0.95
+    # EM's frame flip must be CONSISTENT between theta and a: flipping both
+    # is the gauge; flipping one alone would break the likelihood
+    s_theta = np.sign(np.corrcoef(res["theta_eap"], sim.theta[:, 0])[0, 1])
+    s_a = np.sign(np.corrcoef(res["a"], sim.a[:, 0])[0, 1])
+    assert s_theta == s_a
+
+
+def test_em_grm_posterior_predictive(synth_grm_em):
+    """(N, M, C) category probs: rows sum to 1, heldout categorical argmax
+    accuracy beats the marginal-mode base rate."""
+    sim, ds, res = synth_grm_em
+    prob = em.response_prob(res)
+    assert prob.shape == ds.response.shape + (5,)
+    np.testing.assert_allclose(prob.sum(-1), 1.0, atol=2e-3)
+    h = ds.heldout_mask
+    pred = prob.argmax(-1).astype(np.float32)
+    acc = (h * (pred == ds.response)).sum() / h.sum()
+    base = max((h * (ds.response == c)).sum() / h.sum() for c in range(5))
+    assert acc > base + 0.02
+
+
+def test_em_grm_marginal_loglik_increases(synth_grm_em):
+    """EM's defining property holds for the graded E/M steps."""
+    import jax.numpy as jnp
+    sim, ds, _ = synth_grm_em
+    resp = jnp.asarray(ds.response)
+    mask = jnp.asarray(ds.train_mask)
+    nodes, w = em.gauss_hermite_nodes(41)
+    log_w = jnp.log(w)
+    a = jnp.ones(40, jnp.float32)
+    b_free = em._grm_threshold_init(ds.response, ds.train_mask, 5)
+    lls = []
+    for _ in range(6):
+        post, ll = em.e_step_grm(resp, mask, nodes, log_w, a, b_free, 5)
+        lls.append(float(ll))
+        n_qjc = jnp.stack([post.T @ (mask * (resp == c)) for c in range(5)],
+                          axis=-1)
+        a, b_free = em.m_step_grm(n_qjc, nodes, a, b_free, 8)
+    assert all(lls[i + 1] >= lls[i] - 1e-3 for i in range(len(lls) - 1)), lls
+
+
+def test_em_grm_guards():
+    sim = simulate_irt("grm", 50, 10, ability_dim=1, seed=3,
+                       num_categories=4)
+    with pytest.raises(ValueError, match="K=1 classical"):
+        em.fit_em(sim.response, sim.mask,
+                  em.EMConfig(irt_model="grm", num_categories=4,
+                              ability_dim=2))
+    with pytest.raises(ValueError, match="num_categories >= 3"):
+        em.fit_em(sim.response, sim.mask,
+                  em.EMConfig(irt_model="grm", num_categories=2))
+
+
+@pytest.fixture(scope="module")
 def hmc_run():
     sim = simulate_irt("2pl", 120, 24, ability_dim=1, seed=11)
     ds = holdout_split(sim.response, sim.mask, 0.1, seed=11)

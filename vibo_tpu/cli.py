@@ -303,11 +303,6 @@ def cmd_baseline(args):
             f"dataset has {ds.num_categories} response categories but "
             f"--irt-model {args.irt_model}: polytomous data needs grm, "
             f"binary data a binary link")
-    if args.irt_model == "grm" and args.method == "em":
-        raise SystemExit(
-            "EM (Gauss-Hermite marginal ML) is implemented for the binary "
-            "links; the grm gold posterior is --method hmc and the grm "
-            "point baseline --method mle/map")
     if args.method == "mle" or args.method == "map":
         from vibo_tpu.models import mle
         cfg = mle.MLEConfig(irt_model=args.irt_model,
@@ -326,11 +321,12 @@ def cmd_baseline(args):
     elif args.method == "em":
         from vibo_tpu.models import em
         # 2PL EM is multidimensional (tensor-product GH grid, K <= 4);
-        # 1PL/3PL stay at the classical K=1 (models/em.py)
+        # 1PL/3PL/grm stay at the classical K=1 (models/em.py)
         em_dim = args.ability_dim if args.irt_model == "2pl" else 1
         res = em.fit_em(ds.response, ds.train_mask,
                         em.EMConfig(irt_model=args.irt_model,
-                                    ability_dim=em_dim, seed=args.seed))
+                                    ability_dim=em_dim, seed=args.seed,
+                                    num_categories=ds.num_categories))
         summary["log_marginal"] = res["log_marginal"]
         summary["iterations"] = res["iterations"]
         summary["heldout_acc"] = impute_acc(em.response_prob(res))
@@ -518,15 +514,6 @@ def cmd_compare(args):
                           if method == "hmc" and getattr(args, "hmc_cache",
                                                          None)
                           else None)
-        if args.irt_model == "grm" and method == "em":
-            # loud skip, not a crash: the GH-quadrature EM is binary-link
-            # only (models/em.py); grm's point baseline is mle/map and its
-            # gold posterior hmc
-            print("NOTE: EM has no graded-response form here; skipping the "
-                  "em row for grm (use mle/map/hmc)", file=sys.stderr)
-            rows.append({"method": "em", "seconds": 0.0,
-                         "dim_note": "em skipped: binary links only"})
-            continue
         if args.irt_model in ("1pl", "2pl", "3pl", "grm"):
             b_args.irt_model = args.irt_model
         elif method == "hmc":

@@ -11,6 +11,16 @@ solve, so K=4's 9^4 = 6,561 nodes cost milliseconds (the per-dim node count
 auto-shrinks with K: 61/21/13/9; round-3 VERDICT row 16 carried the K=1
 restriction as a weakness — now only the literature-standard 1PL/3PL keep it).
 
+The GRADED RESPONSE MODEL (irt_model="grm", the journal extension's
+polytomous family, arXiv:2108.11579) gets the same Bock-Aitkin treatment at
+the classical K=1: the E-step accumulates one masked indicator matmul per
+category against the (Q, M, C) node log-probability table, and the M-step
+runs a vmapped damped-Newton ascent per item over (a, b_free) in the SAME
+unconstrained-threshold coordinates VIBO/MLE/HMC share
+(links.grm_thresholds: kappa_1 = b_free_0, kappa_{c+1} = kappa_c +
+softplus(b_free_c)) — so EM's item estimates compare 1:1 against every
+other method without coordinate juggling (round-4 VERDICT task #2).
+
 Algorithm (Bock & Aitkin 1981):
 - E-step: Gauss-Hermite quadrature over theta ~ N(0,1). Per-person posterior
   weights over the Q nodes come from two (N,M)x(M,Q) matmuls of the masked
@@ -40,8 +50,9 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class EMConfig:
-    irt_model: str = "2pl"         # 1pl | 2pl | 3pl
+    irt_model: str = "2pl"         # 1pl | 2pl | 3pl | grm
     ability_dim: int = 1           # K>1 (2pl only): tensor-product GH grid
+    num_categories: int = 2        # grm only: C response categories
     num_quadrature: int = 61       # per-dim nodes at K=1
     nodes_per_dim: int = 0         # per-dim nodes at K>1; 0 = auto
                                    # (21 at K=2, 13 at K=3, 9 at K=4)
@@ -234,11 +245,113 @@ def m_step_3pl(resp, mask, post, nodes, a, b, g_hat, newton_steps,
     return a, b, g_hat
 
 
+def _grm_node_logprob(nodes, a, b_free):
+    """(Q, M, C) log P(r = c | theta_q, a_j, kappa_j) over the GH nodes.
+
+    K=1 classical: base_qj = x_q * a_j; thresholds go through the shared
+    unconstrained->ordered map (links.grm_thresholds)."""
+    from vibo_tpu.ops import likelihood as lik
+    from vibo_tpu.ops import links
+    base = nodes[:, None] * a[None, :]                 # (Q, M)
+    kappa = links.grm_thresholds(b_free)               # (M, C-1)
+    return lik.graded_logprob_all(base, kappa)         # (Q, M, C)
+
+
+def e_step_grm(resp, mask, nodes, log_w, a, b_free, num_categories):
+    """Graded E-step: posterior node weights (N, Q) + marginal loglik.
+
+    One masked indicator matmul per category c: (N, M) @ (M, Q) against the
+    node log-prob table's category-c slice — C small/static, so the loop
+    unrolls into C MXU matmuls (same shape strategy as the graded training
+    likelihood, ops/likelihood.py)."""
+    logp = _grm_node_logprob(nodes, a, b_free)         # (Q, M, C)
+    ll_nq = jnp.zeros((resp.shape[0], nodes.shape[0]), resp.dtype)
+    for c in range(num_categories):
+        ind = mask * (resp == c)
+        ll_nq = ll_nq + ind @ logp[:, :, c].T
+    log_joint = ll_nq + log_w[None, :]
+    log_marg = jax.scipy.special.logsumexp(log_joint, axis=1)
+    post = jnp.exp(log_joint - log_marg[:, None])
+    return post, log_marg.sum()
+
+
+def m_step_grm(n_qjc, nodes, a, b_free, newton_steps):
+    """Per-item damped Newton over (a_j, b_free_j) on the expected
+    complete-data graded loglik.
+
+    Sufficient stats n_qjc (Q, M, C) = sum_i post_iq mask_ij 1[r_ij = c].
+    The per-item objective f_j(a, b_free) = sum_{q,c} n[q,j,c] log P(c |
+    x_q, a, kappa(b_free)) is a tiny (Q, C) computation, so its gradient
+    and Hessian come from autodiff, vmapped over items — M independent
+    (C x C) solves on the MXU. The graded expected loglik is not globally
+    concave in these coordinates (unlike the 2PL case), hence the ridge on
+    -H and the per-coordinate step clip (same BILOG-style damping spirit
+    as the 3PL Fisher scoring above)."""
+    from vibo_tpu.ops import likelihood as lik
+    from vibo_tpu.ops import links
+
+    def obj(p, n_qc):
+        aj, bf = p[0], p[1:]
+        base = (nodes * aj)[:, None]                   # (Q, 1)
+        kappa = links.grm_thresholds(bf[None, :])      # (1, C-1)
+        logp = lik.graded_logprob_all(base, kappa)[:, 0, :]   # (Q, C)
+        return (n_qc * logp).sum()
+
+    grad_fn = jax.vmap(jax.grad(obj))
+    hess_fn = jax.vmap(jax.hessian(obj))
+    n_jqc = jnp.transpose(n_qjc, (1, 0, 2))            # (M, Q, C)
+    dim = 1 + b_free.shape[1]
+    eye = jnp.eye(dim, dtype=a.dtype)
+
+    def newton(carry, _):
+        a, b_free = carry
+        p = jnp.concatenate([a[:, None], b_free], axis=1)      # (M, D)
+        g = grad_fn(p, n_jqc)                                   # (M, D)
+        h = -hess_fn(p, n_jqc) + 1e-3 * eye                     # (M, D, D)
+        step = jnp.linalg.solve(h, g[..., None])[..., 0]
+        step = jnp.clip(step, -2.0, 2.0)
+        p = p + step
+        # loadings stay SIGNED (unlike binary 2PL's positive-a classical
+        # convention): the grm simulator/HMC/MLE all allow negative a, and
+        # at K=1 the marginal likelihood has the (theta, a) -> (-theta, -a)
+        # reflection gauge — the evaluation layer aligns frames
+        return (jnp.clip(p[:, 0], -10.0, 10.0), p[:, 1:]), None
+
+    (a, b_free), _ = jax.lax.scan(newton, (a, b_free), None,
+                                  length=newton_steps)
+    return a, b_free
+
+
+def _grm_threshold_init(resp, mask, num_categories):
+    """Moment-matched b_free init from empirical cumulative proportions.
+
+    At theta = 0 the model says P(r >= c) = sigmoid(-kappa_c), so
+    kappa_c = -logit(p_ge_c); map ordered kappas back to the unconstrained
+    coordinates by inverting the softplus-cumsum (gaps floored at 1e-2 so
+    ties stay finite)."""
+    obs = mask.sum(0) + 1.0                               # (M,)
+    kappas = []
+    for c in range(1, num_categories):
+        p_ge = ((mask * (resp >= c)).sum(0) + 0.5) / obs
+        p_ge = np.clip(np.asarray(p_ge), 1e-3, 1.0 - 1e-3)
+        kappas.append(-np.log(p_ge / (1.0 - p_ge)))
+    kappa = np.stack(kappas, axis=-1)                     # (M, C-1)
+    b0 = np.empty_like(kappa)
+    b0[:, 0] = kappa[:, 0]
+    if kappa.shape[1] > 1:
+        gaps = np.maximum(np.diff(kappa, axis=-1), 1e-2)
+        b0[:, 1:] = np.log(np.expm1(gaps))                # softplus^-1
+    return jnp.asarray(b0, jnp.float32)
+
+
 def fit_em(resp, mask, cfg: EMConfig):
     """Run EM to convergence. Returns dict with a, b [, g_hat], theta_eap,
     log_marginal, iterations."""
-    if cfg.irt_model not in ("1pl", "2pl", "3pl"):
-        raise ValueError("EM baseline supports irt_model in {'1pl','2pl','3pl'}")
+    if cfg.irt_model not in ("1pl", "2pl", "3pl", "grm"):
+        raise ValueError(
+            "EM baseline supports irt_model in {'1pl','2pl','3pl','grm'}")
+    if cfg.irt_model == "grm":
+        return _fit_em_grm(resp, mask, cfg)
     k = cfg.ability_dim
     if k > 1 and cfg.irt_model != "2pl":
         raise ValueError(
@@ -333,15 +446,90 @@ def fit_em(resp, mask, cfg: EMConfig):
     return out
 
 
+def _fit_em_grm(resp, mask, cfg: EMConfig):
+    """Bock-Aitkin MML for the graded response model (classical K=1).
+
+    Same chunked-scan convergence loop as the binary fit_em; returns the
+    item estimates in the shared unconstrained coordinates ("b" = b_free,
+    as in MLE/VIBO/HMC) plus the ordered "kappa" for inspection."""
+    if cfg.ability_dim > 1:
+        raise ValueError("graded EM is K=1 classical (like 1PL/3PL); use "
+                         "VIBO/MLE/HMC for multidimensional grm")
+    c = cfg.num_categories
+    if c < 3:
+        raise ValueError(f"grm EM needs num_categories >= 3, got {c} "
+                         "(binary data is the 1pl/2pl/3pl family)")
+    resp = jnp.asarray(resp, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    m = resp.shape[1]
+    nodes, w = gauss_hermite_nodes(cfg.num_quadrature)
+    log_w = jnp.log(w)
+    a0 = jnp.ones((m,), jnp.float32)
+    b0 = _grm_threshold_init(resp, mask, c)
+
+    def one_iter(params):
+        a, b_free = params
+        post, ll = e_step_grm(resp, mask, nodes, log_w, a, b_free, c)
+        n_qjc = jnp.stack(
+            [post.T @ (mask * (resp == cat)) for cat in range(c)], axis=-1)
+        a2, b2 = m_step_grm(n_qjc, nodes, a, b_free, cfg.newton_steps)
+        return (a2, b2), ll
+
+    chunk = max(1, min(cfg.host_chunk, cfg.max_iters))
+
+    @jax.jit
+    def run_chunk(params):
+        def body(carry, _):
+            params, ll = one_iter(carry)
+            return params, ll
+        return jax.lax.scan(body, params, None, length=chunk)
+
+    @jax.jit
+    def final_e_step(params):
+        a, b_free = params
+        return e_step_grm(resp, mask, nodes, log_w, a, b_free, c)
+
+    params = (a0, b0)
+    prev = -np.inf
+    iters = 0
+    done = False
+    while iters < cfg.max_iters and not done:
+        params, lls = run_chunk(params)
+        lls = np.asarray(lls)   # ONE host fetch per chunk
+        for ll in lls:
+            iters += 1
+            if abs(ll - prev) < cfg.tol * abs(prev):
+                done = True
+                break
+            prev = float(ll)
+    a, b_free = params
+    post, ll = final_e_step(params)
+    from vibo_tpu.ops import links
+    return {"a": np.asarray(a), "b": np.asarray(b_free),
+            "kappa": np.asarray(links.grm_thresholds(b_free)),
+            "theta_eap": np.asarray(post @ nodes),
+            "log_marginal": float(ll), "iterations": iters,
+            "num_categories": c, "nodes": np.asarray(nodes),
+            "posterior_node_weights": np.asarray(post)}
+
+
 def response_prob(result, nodes=None):
-    """(N, M) posterior-predictive response probabilities from an EM fit:
-    E_q[p(r=1 | theta_q, item)] under each person's node posterior."""
+    """Posterior-predictive response probabilities from an EM fit under
+    each person's node posterior: (N, M) success probs for the binary
+    links, (N, M, C) category probs for grm."""
     if "nodes" in result:
         nodes_arr = jnp.asarray(result["nodes"])
     else:  # pre-round-4 result dicts: K=1, reconstruct from the node count
         q = result["posterior_node_weights"].shape[1]
         nodes_arr, _ = gauss_hermite_nodes(q)
+    post = jnp.asarray(result["posterior_node_weights"])
+    if "kappa" in result:                  # grm: E_q[P(r = c | theta_q, j)]
+        logp = _grm_node_logprob(nodes_arr, jnp.asarray(result["a"]),
+                                 jnp.asarray(result["b"]))   # (Q, M, C)
+        q, m, c = logp.shape
+        probs = post @ jnp.exp(logp).reshape(q, m * c)
+        return np.asarray(probs.reshape(post.shape[0], m, c))
     p = _item_prob(nodes_arr, jnp.asarray(result["a"]),
                    jnp.asarray(result["b"]),
                    jnp.asarray(result["g_hat"]) if "g_hat" in result else None)
-    return np.asarray(jnp.asarray(result["posterior_node_weights"]) @ p)
+    return np.asarray(post @ p)

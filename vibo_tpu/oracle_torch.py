@@ -58,9 +58,67 @@ class TorchVIBO2PL(nn.Module):
         return ll - kl_theta - kl_items
 
 
+class TorchVIBOGRM(nn.Module):
+    """Torch-CPU graded (GRM) VIBO step — the polytomous counterpart of
+    TorchVIBO2PL, used as bench.py's CPU denominator for --irt-model grm.
+    Same generative story as vibo_tpu's graded stack: ordered thresholds
+    kappa via softplus-cumsum over C-1 unconstrained coordinates, stable
+    cumulative-logit category log-probs (ops/likelihood.py identities)."""
+
+    def __init__(self, num_items: int, ability_dim: int = 4,
+                 hidden_dim: int = 256, num_categories: int = 5,
+                 conditional: bool = True):
+        super().__init__()
+        m, k, c = num_items, ability_dim, num_categories
+        self.m, self.k, self.c, self.conditional = m, k, c, conditional
+        self.item_mu_a = nn.Parameter(0.1 * torch.randn(m, k))
+        self.item_lv_a = nn.Parameter(-2.0 * torch.ones(m, k))
+        self.item_mu_b = nn.Parameter(0.1 * torch.randn(m, c - 1))
+        self.item_lv_b = nn.Parameter(-2.0 * torch.ones(m, c - 1))
+        feat = m * (k + c - 1) if conditional else 0
+        self.encoder = nn.Sequential(
+            nn.Linear(2 * m + feat, hidden_dim), nn.ReLU(),
+            nn.Linear(hidden_dim, hidden_dim), nn.ReLU(),
+            nn.Linear(hidden_dim, 2 * k))
+
+    def elbo(self, resp: torch.Tensor, mask: torch.Tensor) -> torch.Tensor:
+        m, k, c = self.m, self.k, self.c
+        a = self.item_mu_a + torch.exp(0.5 * self.item_lv_a) * torch.randn_like(self.item_mu_a)
+        bf = self.item_mu_b + torch.exp(0.5 * self.item_lv_b) * torch.randn_like(self.item_mu_b)
+        x = torch.cat([resp * mask, mask], dim=-1)
+        if self.conditional:
+            feats = torch.cat([a.reshape(-1), bf.reshape(-1)]).expand(resp.shape[0], -1)
+            x = torch.cat([x, feats], dim=-1)
+        out = self.encoder(x)
+        mu, logvar = out[:, :k], out[:, k:].clamp(-8, 8)
+        theta = mu + torch.exp(0.5 * logvar) * torch.randn_like(mu)
+        base = theta @ a.T                                       # (B, M)
+        kappa = torch.cat([bf[:, :1],
+                           bf[:, :1] + torch.cumsum(
+                               torch.nn.functional.softplus(bf[:, 1:]), -1)],
+                          dim=-1)                                # (M, C-1)
+        big = torch.full_like(kappa[:, :1], 50.0)
+        lo = torch.cat([-big, kappa], -1)                        # (M, C)
+        hi = torch.cat([kappa, big], -1)
+        xx = base.unsqueeze(-1) - lo                             # (B, M, C)
+        yy = base.unsqueeze(-1) - hi
+        dd = torch.clamp(lo - hi, max=-1e-6)
+        logp = (-torch.nn.functional.softplus(-xx)
+                - torch.nn.functional.softplus(yy)
+                + torch.log1p(-torch.exp(dd)))
+        onehot = torch.nn.functional.one_hot(resp.long(), c).float()
+        ll = (mask.unsqueeze(-1) * onehot * logp).sum()
+        kl_theta = 0.5 * (mu.pow(2) + logvar.exp() - logvar - 1).sum()
+        kl_items = sum(0.5 * (p.pow(2) + q.exp() - q - 1).sum()
+                       for p, q in ((self.item_mu_a, self.item_lv_a),
+                                    (self.item_mu_b, self.item_lv_b)))
+        return ll - kl_theta - kl_items
+
+
 def time_cpu_reference(num_persons: int = 2048, num_items: int = 1024,
                        ability_dim: int = 4, hidden_dim: int = 256,
-                       steps: int = 3, repeats: int = 7, seed: int = 0
+                       steps: int = 3, repeats: int = 7, seed: int = 0,
+                       irt_model: str = "2pl", num_categories: int = 5
                        ) -> dict:
     """Pinned CPU-reference protocol: cells/sec of the torch-CPU VIBO train
     step, MEDIAN over `repeats` timed windows of `steps` steps each, with the
@@ -76,9 +134,15 @@ def time_cpu_reference(num_persons: int = 2048, num_items: int = 1024,
     import statistics
     import time
     torch.manual_seed(seed)
-    model = TorchVIBO2PL(num_items, ability_dim, hidden_dim)
+    if irt_model == "grm":
+        model = TorchVIBOGRM(num_items, ability_dim, hidden_dim,
+                             num_categories)
+        resp = torch.randint(0, num_categories,
+                             (num_persons, num_items)).float()
+    else:
+        model = TorchVIBO2PL(num_items, ability_dim, hidden_dim)
+        resp = (torch.rand(num_persons, num_items) < 0.5).float()
     opt = torch.optim.Adam(model.parameters(), lr=5e-3)
-    resp = (torch.rand(num_persons, num_items) < 0.5).float()
     mask = (torch.rand(num_persons, num_items) < 0.9).float()
 
     def window() -> float:
