@@ -848,14 +848,19 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
             use_pk = False          # dense XLA graded potential (see
             # _per_person_fn: no fused graded kernel exists)
         if cfg.irt_model == "deep":
-            # The fused deep kernel does NOT auto-enable for sampling: under
-            # the chain-vmap batch dim its internal rank-3 h1 @ w2 matmul
-            # fails Mosaic AOT lowering on this image's remote-compile
-            # helper ("Bad lhs type", observed 2026-08-19 at the nonlinear
-            # 2000x200 deep gold run — the linear kernels lift the same
-            # vmap fine). The chunked XLA deep path is the measured-safe
-            # default; opt back in with use_packed_kernel=True once the
-            # kernel lowers under batching.
+            # The fused deep kernel does NOT auto-enable for sampling — a
+            # PERFORMANCE decision, not a lowering bug (round-5 resolution
+            # of the rounds-2..4 fence): the old "Bad lhs type" failure was
+            # run_hmc's ambient default_matmul_precision('highest')
+            # stamping fp32 contraction onto the kernel's bf16 dots, fixed
+            # by pinning precision inside pallas_deep. The honest f32 mode
+            # (f32_dots=True, required for sampling: bf16 rounding is a
+            # ~10-unit dH noise floor, measured at the 2000x200 gold shape)
+            # now lowers and matches the XLA loss bitwise, but runs 9.12 ms
+            # per chain-vmapped grad vs the chunked XLA path's 5.97 ms
+            # (f32 VMEM pressure halves its student tile) — so XLA stays
+            # the default; opt in with use_packed_kernel=True if the
+            # tradeoff changes at other shapes.
             use_pk = False
     if use_pk and cfg.irt_model == "deep":
         from vibo_tpu.ops import pallas_deep

@@ -157,7 +157,11 @@ def _fused_deep_fwd(theta, d, link, packed, interpret, f32_dots=False):
     # row/column projections outside the kernel (see module docstring)
     t1 = _dot(theta, link["w_theta"], dtype=jnp.float32) + link["b1"]
     t2 = _dot(d, link["w_item"], dtype=jnp.float32)
-    tb = min(STUDENT_BLOCK, _cdiv(bsz0, 8) * 8)
+    # f32 dots keep every pairwise (tb, tm, H) tensor in f32 (no bf16 copy
+    # shrinks the dot operands), which overflows the 16 MB scoped-VMEM
+    # budget at tb=32 (measured 16.66M on v5e) — halve the student tile
+    tb_cap = STUDENT_BLOCK // 2 if f32_dots else STUDENT_BLOCK
+    tb = min(tb_cap, _cdiv(bsz0, 8) * 8)
     tm = min(ITEM_BLOCK, _cdiv(m0, 128) * 128)
     pb, pm = (-bsz0) % tb, (-m0) % tm
     if pb or pm:
