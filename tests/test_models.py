@@ -358,6 +358,150 @@ def test_chol_exogenous_noise_path_matches_keyed():
     assert not np.allclose(float(ll), float(ll0))
 
 
+def test_laplace_anchor_matches_numpy_oracle():
+    """ops.distributions.laplace_anchor_parts: L must equal
+    chol((I + D S D)^-1) from numpy linalg, for K = 1, 2, 4."""
+    from vibo_tpu.ops import distributions as dist
+    rng = np.random.default_rng(0)
+    for k in (1, 2, 4):
+        bsz = 7
+        c = rng.standard_normal((bsz, k)).astype(np.float32)
+        a = rng.standard_normal((40, k))
+        m = rng.random((bsz, 40)) < 0.8
+        pairs = dist.triu_flat_index(k)
+        a2 = np.stack([a[:, i] * a[:, j] for i, j in pairs], -1)
+        s_flat = (m @ a2).astype(np.float32)
+        logvar, off = dist.laplace_anchor_parts(jnp.asarray(c),
+                                                jnp.asarray(s_flat))
+        d_m = np.zeros((bsz, k, k))
+        s_m = np.zeros((bsz, k, k))
+        for b in range(bsz):
+            d_m[b] = np.diag(np.exp(0.5 * c[b]))
+            for n_, (i, j) in enumerate(pairs):
+                s_m[b, i, j] = s_m[b, j, i] = s_flat[b, n_]
+        cov = np.linalg.inv(np.eye(k)[None] + d_m @ s_m @ d_m)
+        want = np.linalg.cholesky(cov)
+        if off is None:
+            got = np.exp(0.5 * np.asarray(logvar))[:, :, None]
+        else:
+            got = np.asarray(dist.tril_matrix(logvar, off))
+        np.testing.assert_allclose(got.reshape(bsz, k, k), want, atol=1e-5)
+
+
+def test_laplace_family_guards_and_head_shape():
+    """laplace: diag-shaped head (2K outputs), c-block bias pre-set to
+    log(0.15); deep link and item_encoder combinations refuse."""
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="laplace")
+    p = VIBO(cfg).init_params(jax.random.key(0))
+    assert p["encoder"][-1]["w"].shape[-1] == 2 * K
+    np.testing.assert_allclose(np.asarray(p["encoder"][-1]["b"][K:]),
+                               np.log(0.15), rtol=1e-6)
+    with pytest.raises(ValueError, match="laplace"):
+        VIBOConfig(num_items=M, irt_model="deep",
+                   theta_posterior="laplace")
+    with pytest.raises(ValueError, match="item_encoder"):
+        VIBOConfig(num_items=M, irt_model="2pl", item_encoder=True,
+                   theta_posterior="laplace")
+
+
+def test_laplace_elbo_packed_matches_dense_and_grads_flow():
+    """Packed and dense ELBOs agree for the laplace family, gradients
+    reach the c-block head columns AND the item loading means through the
+    Fisher pair statistics (the structured-VI coupling)."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="laplace")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    key = jax.random.key(1)
+    b1, _ = model.elbo(params, key, resp, mask, 0.5, 2)
+    b2, _ = model.elbo_packed(params, key, pack_responses(resp, mask), 0.5, 2)
+    np.testing.assert_allclose(float(b2), float(b1), rtol=1e-5)
+    g = jax.grad(lambda p: -model.elbo(p, key, resp, mask, 1.0, 1)[0])(params)
+    c_cols = np.asarray(g["encoder"][-1]["w"])[:, K:]
+    assert np.isfinite(c_cols).all() and np.abs(c_cols).max() > 0
+    # widths depend on the item loading means via S = sum m a a^T
+    ga = np.asarray(g["item_post"]["a"]["mu"])
+    assert np.isfinite(ga).all() and np.abs(ga).max() > 0
+
+
+def test_laplace_width_tracks_information():
+    """The anchored width must SHRINK with response count even at fixed
+    head outputs — the structure the from-scratch heads had to learn and
+    didn't (round-4 VERDICT task #5): a person with every response
+    observed gets a narrower posterior than one with 10% observed."""
+    from vibo_tpu.ops import distributions as dist
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="laplace")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    resp, _ = _data()
+    full = jnp.ones((N, M), jnp.float32)
+    sparse = jnp.concatenate([jnp.ones((N, 2)), jnp.zeros((N, M - 2))], -1)
+    item_mean = model.item_posterior_mean(params)
+    _, lv_full, off_full = model.encode(params, resp, full, item_mean)
+    _, lv_sp, off_sp = model.encode(params, resp, sparse, item_mean)
+    sd_full = np.asarray(dist.tril_marginal_sigma(lv_full, off_full))
+    sd_sp = np.asarray(dist.tril_marginal_sigma(lv_sp, off_sp))
+    assert (sd_full < sd_sp).mean() > 0.95
+    # and stay below the prior sd 1 (information only ever adds)
+    assert (sd_full < 1.0).all()
+
+
+def test_laplace_exogenous_noise_path_runs():
+    """elbo_packed_sums (trainer/DP building block) carries the anchored
+    family: finite, KL >= 0, and the c head columns matter."""
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    resp, mask = _data()
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="laplace")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    packed = jnp.asarray(pack_responses(resp, mask))
+    item_eps, theta_eps = model.sample_noise(params, jax.random.key(3), N, 2)
+    ll, klt, kli = model.elbo_packed_sums(params, packed, item_eps, theta_eps)
+    assert np.isfinite(float(ll)) and float(klt) >= 0
+    p0 = dict(params)
+    p0["encoder"] = list(params["encoder"])
+    last = params["encoder"][-1]
+    p0["encoder"][-1] = {"w": last["w"].at[:, K:].set(0.0),
+                         "b": last["b"].at[K:].set(5.0)}
+    ll0, klt0, _ = model.elbo_packed_sums(p0, packed, item_eps, theta_eps)
+    assert not np.allclose(float(klt), float(klt0))
+
+
+def test_laplace_training_improves_and_serves():
+    """Short laplace-family fit trains and serves marginal sigmas + factor;
+    K=1 degrades to the diagonal token (off None)."""
+    from vibo_tpu.data import holdout_split, simulate_irt
+    from vibo_tpu.train import Trainer, TrainConfig
+    from vibo_tpu import evaluation
+    sim = simulate_irt("2pl", N, M, ability_dim=K, seed=2)
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=2)
+    cfg = VIBOConfig(num_items=M, irt_model="2pl", ability_dim=K,
+                     hidden_dim=32, theta_posterior="laplace")
+    model = VIBO(cfg)
+    res = Trainer(model, TrainConfig(lr=1e-2, epochs=30, eval_every=15,
+                                     log_every=15)).fit(ds)
+    assert np.isfinite(res["final_elbo"])
+    theta, items, sigma, tril = evaluation.infer_posterior_means(
+        model, res["params"], ds, return_scale_tril=True)
+    assert theta.shape == (N, K) and tril.shape == (N, K, K)
+    np.testing.assert_allclose(sigma,
+                               np.sqrt((tril ** 2).sum(-1)), rtol=1e-5)
+    # K=1: diagonal token
+    sim1 = simulate_irt("2pl", N, M, ability_dim=1, seed=3)
+    m1 = VIBO(VIBOConfig(num_items=M, irt_model="2pl", ability_dim=1,
+                         hidden_dim=32, theta_posterior="laplace"))
+    p1 = m1.init_params(jax.random.key(0))
+    _, lv, off = m1.encode(p1, jnp.asarray(sim1.response),
+                           jnp.asarray(sim1.mask),
+                           m1.item_posterior_mean(p1))
+    assert off is None and lv.shape == (N, 1)
+
+
 def test_chol_training_improves_and_serves():
     """Short chol-family fit trains (finite, improving) and the serving /
     posterior-mean path emits marginal sigmas + the Cholesky factor."""

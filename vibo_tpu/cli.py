@@ -202,7 +202,10 @@ def cmd_train(args):
     if test_ds is None and test_items_ds is None:
         # person split reorders rows; item split subsets columns —
         # sim-truth correlations are only valid on the unsplit matrix
-        chol = model.cfg.theta_posterior == "chol" and args.ability_dim > 1
+        # any full-covariance family (chol head OR Fisher-anchored laplace)
+        # carries a scale tril the sigma_vs_hmc frame transport needs
+        chol = (model.cfg.theta_posterior in ("chol", "laplace")
+                and args.ability_dim > 1)
         out_means = evaluation.infer_posterior_means(
             model, res["params"], ds, return_sigma=True,
             return_scale_tril=chol)
@@ -804,12 +807,15 @@ def main(argv=None):
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")
     t.add_argument("--theta-posterior", default="diag",
-                   choices=["diag", "chol"], dest="theta_posterior",
+                   choices=["diag", "chol", "laplace"],
+                   dest="theta_posterior",
                    help="ability-posterior covariance family: independent "
-                        "per-dim Gaussians (reference family) or full "
-                        "covariance via a Cholesky factor — closes the K>1 "
-                        "posterior-width gap vs HMC (VIBOConfig."
-                        "theta_posterior)")
+                        "per-dim Gaussians (reference family), full "
+                        "covariance via a Cholesky factor, or the "
+                        "Fisher-ANCHORED laplace family (the head predicts "
+                        "a per-dim log correction to the closed-form "
+                        "Laplace information — amortized near-gold widths; "
+                        "VIBOConfig.theta_posterior)")
     t.add_argument("--condition-on", default="sample",
                    choices=["sample", "mean", "stats"], dest="condition_on",
                    help="conditional posterior input: per-MC-sample item "
@@ -883,7 +889,8 @@ def main(argv=None):
                    choices=["sample", "mean", "stats"], dest="condition_on",
                    help="VIBO leg: see train --condition-on")
     c.add_argument("--theta-posterior", default="diag",
-                   choices=["diag", "chol"], dest="theta_posterior",
+                   choices=["diag", "chol", "laplace"],
+                   dest="theta_posterior",
                    help="VIBO leg: see train --theta-posterior")
     c.add_argument("--num-posterior-samples", type=int, default=1,
                    help="VIBO leg: MC samples for the training objective")

@@ -117,6 +117,23 @@ class VIBOConfig:
                                         # posteriors are correlated across
                                         # ability dims and a diagonal q
                                         # cannot express that. No-op at K=1.
+                                        # "laplace" = LAPLACE-ANCHORED full
+                                        # covariance: the head predicts only
+                                        # a per-dim log correction c to the
+                                        # closed-form Fisher structure,
+                                        # cov = (I + D S D)^-1 with
+                                        # S_i = sum_j m_ij a_j a_j^T from
+                                        # the item-posterior means and
+                                        # D = diag(exp(c/2)) — the
+                                        # information the data already
+                                        # determines does the heavy lifting
+                                        # (the from-scratch chol head
+                                        # topped out at sd-corr 0.62-0.64
+                                        # vs the K=4 gold while the
+                                        # closed-form Laplace width sits at
+                                        # 0.93; ops.distributions.
+                                        # laplace_anchor_parts). Linear
+                                        # links only; head width == diag.
     item_latent_dim: int = 16           # deep link only
     deep_hidden_dim: int = 128          # deep link MLP width
     item_encoder: bool = False          # amortize q(d_j | r_:,j) from column
@@ -141,10 +158,25 @@ class VIBOConfig:
             raise ValueError(
                 f"condition_on must be 'sample', 'mean' or 'stats', "
                 f"got {self.condition_on!r}")
-        if self.theta_posterior not in ("diag", "chol"):
+        if self.theta_posterior not in ("diag", "chol", "laplace"):
             raise ValueError(
-                f"theta_posterior must be 'diag' or 'chol', "
+                f"theta_posterior must be 'diag', 'chol' or 'laplace', "
                 f"got {self.theta_posterior!r}")
+        if self.theta_posterior == "laplace":
+            if self.irt_model == "deep":
+                raise ValueError(
+                    "theta_posterior='laplace' anchors on the linear-link "
+                    "Fisher pair statistics sum_j m_ij a_j a_j^T; the deep "
+                    "link has no per-item loading vector (its Gauss-Newton "
+                    "width lives in evaluation.laplace_sigma_deep)")
+            if self.item_encoder:
+                raise ValueError(
+                    "theta_posterior='laplace' + item_encoder is not "
+                    "supported: the anchor uses the item-posterior means, "
+                    "which under the amortized item encoder depend on "
+                    "global column statistics the sharded encode paths "
+                    "would have to re-psum (use the free-form item "
+                    "posterior, or theta_posterior='chol')")
         if self.irt_model == "grm":
             if not 3 <= self.num_categories <= 32:
                 raise ValueError(
@@ -178,6 +210,10 @@ class VIBO:
         # halve-in-two contract (networks.split_ability_head)
         self._chol = cfg.theta_posterior == "chol" and cfg.ability_dim > 1
         self._enc_k = cfg.ability_dim if self._chol else None
+        # laplace family: the head is DIAG-SHAPED (mu, c halves; _enc_k
+        # None) — the full-covariance Cholesky comes from the Fisher anchor
+        # (_anchor_theta_head), not from head outputs
+        self._laplace = cfg.theta_posterior == "laplace"
 
     # ------------------------------------------------------------- params
 
@@ -189,6 +225,19 @@ class VIBO:
                 k_enc, cfg.num_items, self._item_feat_dim, cfg.ability_dim,
                 cfg.hidden_dim, chol=self._chol),
         }
+        if self._laplace:
+            # start the anchored information near the Bernoulli Fisher
+            # weight's typical scale (w = p(1-p) averages ~0.15 under the
+            # N(0, I) generative story; w <= 1/4 always) instead of the
+            # c = 0 worst case — the head's c-block bias is the last K
+            # outputs of the final layer
+            head = params["encoder"][-1]
+            b = head["b"]
+            k = cfg.ability_dim
+            params["encoder"][-1] = {
+                "w": head["w"],
+                "b": jnp.concatenate([b[:k], b[k:] + jnp.log(0.15)]),
+            }
         if cfg.item_encoder:
             k_mlp, k_res = jax.random.split(k_item)
             params["item_enc"] = networks.init_item_encoder(
@@ -303,11 +352,50 @@ class VIBO:
 
     # ---------------------------------------------------- ability encoder
 
+    def _fisher_pair_basis(self, params: dict, a: jax.Array | None = None,
+                           num_items: int | None = None) -> jax.Array:
+        """(M, K(K+1)/2) per-item Fisher pair features a_j,i a_j,k (triu
+        order) from the item-posterior MEANS — deterministic given params,
+        matching the eval/serving conditioning; gradients flow to the item
+        means through the anchored widths (structured-VI coupling).
+        a/num_items override for item-sharded tiles (local block)."""
+        cfg = self.cfg
+        k = cfg.ability_dim
+        if cfg.irt_model == "1pl":
+            a = jnp.ones((num_items or cfg.num_items, k), jnp.float32)
+        elif a is None:
+            a = params["item_post"]["a"]["mu"]
+        pairs = dist.triu_flat_index(k)
+        return jnp.stack([a[:, i] * a[:, j] for i, j in pairs], axis=-1)
+
+    def _anchor_theta_head(self, params: dict, head, mask,
+                           items_axis: str | None = None,
+                           a_local: jax.Array | None = None):
+        """laplace family: reinterpret the head's second block as the
+        per-dim log information correction c and produce the anchored
+        (mu, logvar, off) Cholesky token (ops.distributions.
+        laplace_anchor_parts). mask (B, M_local) in any float dtype;
+        items_axis/a_local: on an item-sharded mesh the pair statistics are
+        computed from the LOCAL loading block and psum'd so S_i is the
+        GLOBAL per-person information (exactly the unsharded statistic)."""
+        if not self._laplace:
+            return head
+        mu, c, _ = head
+        a2 = self._fisher_pair_basis(params, a=a_local,
+                                     num_items=mask.shape[-1])
+        s_flat = jnp.dot(mask.astype(jnp.float32), a2,
+                         preferred_element_type=jnp.float32)
+        if items_axis is not None:
+            s_flat = jax.lax.psum(s_flat, items_axis)
+        logvar, off = dist.laplace_anchor_parts(c, s_flat)
+        return mu, logvar, off
+
     def encode(self, params: dict, response: jax.Array, mask: jax.Array,
                item_sample: dict | None):
         """-> (mu, logvar, off): the ability posterior q(theta_i | ...).
         off is None for the diagonal family, else the (B, K(K-1)/2)
-        strict-lower Cholesky entries (theta_posterior='chol')."""
+        strict-lower Cholesky entries (theta_posterior='chol', or the
+        Fisher-anchored 'laplace' family)."""
         if response.shape[-1] != self.cfg.num_items:
             raise ValueError(
                 f"response has {response.shape[-1]} items but the model was "
@@ -316,10 +404,11 @@ class VIBO:
             assert item_sample is not None
         feats, cond = self._cond_args(
             item_sample if self.cfg.conditional_posterior else None)
-        return networks.apply_ability_encoder(
+        head = networks.apply_ability_encoder(
             params["encoder"], response, mask, feats,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
             ability_dim=self._enc_k, cond_mats=cond)
+        return self._anchor_theta_head(params, head, mask)
 
     # ---------------------------------------------- theta-posterior family
 
@@ -524,8 +613,10 @@ class VIBO:
         lower mixing is a per-person K-vector recurrence whose transposed
         form would be written against (K, B) slabs — implementable, but the
         layout win it protects (~28 us/step) is small next to the family's
-        purpose (posterior quality), so it is not built yet."""
-        return (self.cfg.use_pallas and not self._chol
+        purpose (posterior quality), so it is not built yet. The laplace
+        family likewise stays (B, K): its anchor produces a full Cholesky
+        token."""
+        return (self.cfg.use_pallas and not self._chol and not self._laplace
                 and self.cfg.irt_model in ("1pl", "2pl", "3pl"))
 
     def _packed_train_loglik_t(self, params: dict, thetaT: jax.Array,
@@ -562,11 +653,16 @@ class VIBO:
                     f"configured with num_items={self.cfg.num_items}")
             feats, cond = self._cond_args(
                 item_sample if self.cfg.conditional_posterior else None)
-            return networks.apply_ability_encoder_packed(
+            head = networks.apply_ability_encoder_packed(
                 params["encoder"], packed, feats,
                 compute_dtype=jnp.dtype(self.cfg.compute_dtype),
                 transposed_head=transposed, ability_dim=self._enc_k,
                 cond_mats=cond)
+            if not self._laplace:
+                return head
+            # laplace: mask was force-decoded (_decode_if_needed) for the
+            # Fisher pair statistics
+            return self._anchor_theta_head(params, head, mask)
         # item_sample here is ALREADY what the caller wants conditioned on
         # (callers route through _encoder_conditioning) — pass it through
         if transposed:
@@ -579,7 +675,10 @@ class VIBO:
         consumer needs the decoded matrices (fused encoder + fused kernel +
         free-form posterior), saving their HBM materialization."""
         cfg = self.cfg
-        need = (cfg.item_encoder or not self._use_fused_encoder(packed)
+        # laplace: the Fisher anchor needs the decoded mask for its pair
+        # statistics (one extra (B, M) materialization on the packed path)
+        need = (cfg.item_encoder or self._laplace
+                or not self._use_fused_encoder(packed)
                 or not self._use_packed_kernel(params))
         if not need:
             return None, None
@@ -899,9 +998,12 @@ class VIBO:
                 eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
                 item_sample[name] = dist.reparameterize_eps(
                     eps_loc, post[name]["mu"], post[name]["logvar"])
-            mu, logvar, c_off = self._encode_item_sharded(
-                params, response, mask, post, item_sample, item_index,
-                items_axis, cd)
+            mu, logvar, c_off = self._anchor_theta_head(
+                params, self._encode_item_sharded(
+                    params, response, mask, post, item_sample, item_index,
+                    items_axis, cd),
+                mask, items_axis=items_axis,
+                a_local=post.get("a", {}).get("mu"))
             theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -957,9 +1059,12 @@ class VIBO:
                 eps_loc = jax.lax.dynamic_slice_in_dim(i_eps[name], off, m_l, 0)
                 item_sample[name] = dist.reparameterize_eps(
                     eps_loc, post[name]["mu"], post[name]["logvar"])
-            mu, logvar, c_off = self._encode_item_sharded(
-                params, response, mask, post, item_sample, item_index,
-                items_axis, cd)
+            mu, logvar, c_off = self._anchor_theta_head(
+                params, self._encode_item_sharded(
+                    params, response, mask, post, item_sample, item_index,
+                    items_axis, cd),
+                mask, items_axis=items_axis,
+                a_local=post.get("a", {}).get("mu"))
             theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,

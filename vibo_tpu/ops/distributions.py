@@ -143,6 +143,104 @@ def tril_marginal_sigma(logvar: jax.Array, off: jax.Array | None = None
     return jnp.sqrt(var + jnp.stack(parts, axis=-1))
 
 
+def triu_flat_index(k: int):
+    """(rows, cols) of the upper-triangle-incl-diagonal flat order used by
+    the Fisher pair statistics: (0,0),(0,1),..,(0,K-1),(1,1),.. — the same
+    np.triu_indices order evaluation.laplace_sigma_from_items assembles."""
+    return [(i, j) for i in range(k) for j in range(i, k)]
+
+
+def laplace_anchor_parts(c: jax.Array, s_flat: jax.Array):
+    """(logvar, off) of the LAPLACE-ANCHORED posterior Cholesky.
+
+    The amortized-width hybrid (round-4 VERDICT task #5): instead of
+    predicting the posterior scale from scratch — which topped out at
+    sd-correlation 0.62-0.64 vs the K=4 HMC gold while the closed-form
+    Laplace width sits at 0.93-0.94 (RESULTS.md) — the encoder head
+    predicts a small per-dim log correction c to the closed-form Fisher
+    structure the data already determines:
+
+        cov_i = (I_K + D_i S_i D_i)^{-1},   D_i = diag(exp(0.5 c_i)),
+
+    with S_i = sum_j m_ij a_j a_j^T the per-person UNWEIGHTED information
+    (one (B, M) x (M, K(K+1)/2) matmul — the same pair statistic the
+    'stats' conditioning computes). The exact Bernoulli Fisher weight
+    w_ij = p(1-p) in (0, 1/4] multiplies each item's rank-1 term; the head
+    learns the per-person, per-dim part of that weight (c ~ log w-bar),
+    while S_i carries the response-count and loading-direction structure
+    that dominates width variation. c = log(1/4) recovers the worst-case
+    Fisher bound exactly; the family nests the prior (c -> -inf).
+
+    c (..., K); s_flat (..., K(K+1)/2) in triu_flat_index order.
+    Returns (logvar, off) — 2 log diag(L) and strict-lower rows of
+    L = chol(cov) — the exact (mu, logvar, off) token every tril_*
+    consumer (sampling, KL, log q, marginal sigma, frame transport)
+    already handles, so the family rides the chol machinery unchanged.
+    Everything is unrolled over K (K <= 8): two tiny Cholesky
+    factorizations and one triangular inverse as fused elementwise chains,
+    no batched linalg primitives.
+    """
+    k = c.shape[-1]
+    pairs = triu_flat_index(k)
+    idx = {p: n for n, p in enumerate(pairs)}
+    d = [jnp.exp(0.5 * c[..., i]) for i in range(k)]
+    info = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            v = d[i] * d[j] * s_flat[..., idx[(i, j)]]
+            if i == j:
+                v = v + 1.0
+            info[i][j] = info[j][i] = v
+    # R = chol(info), lower (Cholesky-Banachiewicz, unrolled)
+    r = [[None] * k for _ in range(k)]
+    for j in range(k):
+        acc = info[j][j]
+        for p in range(j):
+            acc = acc - jnp.square(r[j][p])
+        r[j][j] = jnp.sqrt(jnp.maximum(acc, 1e-12))
+        for i in range(j + 1, k):
+            acc = info[i][j]
+            for p in range(j):
+                acc = acc - r[i][p] * r[j][p]
+            r[i][j] = acc / r[j][j]
+    if k == 1:
+        # diagonal family token: cov = 1 / info
+        return -2.0 * jnp.log(r[0][0])[..., None], None
+    # W = R^{-1} (lower, forward substitution unrolled)
+    w = [[None] * k for _ in range(k)]
+    for j in range(k):
+        w[j][j] = 1.0 / r[j][j]
+        for i in range(j + 1, k):
+            acc = r[i][j] * w[j][j]
+            for p in range(j + 1, i):
+                acc = acc + r[i][p] * w[p][j]
+            w[i][j] = -acc / r[i][i]
+    # cov = info^{-1} = W^T W (symmetric)
+    cov = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            acc = 0.0
+            for p in range(max(i, j), k):
+                acc = acc + w[p][i] * w[p][j]
+            cov[i][j] = cov[j][i] = acc
+    # L = chol(cov)
+    el = [[None] * k for _ in range(k)]
+    for j in range(k):
+        acc = cov[j][j]
+        for p in range(j):
+            acc = acc - jnp.square(el[j][p])
+        el[j][j] = jnp.sqrt(jnp.maximum(acc, 1e-12))
+        for i in range(j + 1, k):
+            acc = cov[i][j]
+            for p in range(j):
+                acc = acc - el[i][p] * el[j][p]
+            el[i][j] = acc / el[j][j]
+    logvar = jnp.stack([2.0 * jnp.log(el[i][i]) for i in range(k)], axis=-1)
+    off = jnp.stack([el[i][p] for i in range(1, k) for p in range(i)],
+                    axis=-1)
+    return logvar, off
+
+
 def tril_matrix(logvar, off=None):
     """Materialize the (..., K, K) Cholesky factor L (cross-method frame
     transport of the full covariance; evaluation.rotate_tril_sigma)."""
