@@ -48,6 +48,20 @@ python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
     --hmc-chains 4 --hmc-leapfrog 64 --hmc-target-accept 0.65 \
     --hmc-cache artifacts/gold/k4
 
+echo "### K=4 amortized widths: Fisher-anchored laplace family vs the gold"
+python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --ability-dim 4 --hidden-dim 512 --condition-on stats \
+    --theta-posterior laplace --num-posterior-samples 5 --epochs 1500 \
+    --restarts 4 --methods hmc --hmc-warmup 800 --hmc-samples 1600 \
+    --hmc-chains 4 --hmc-leapfrog 64 --hmc-target-accept 0.65 \
+    --hmc-cache artifacts/gold/k4
+
+echo "### cfg3b: CritLangAcq (Rasch/1PL) + Gradescope partial credit (GRM)"
+python -m vibo_tpu.cli compare critlangacq --irt-model 1pl --ability-dim 1 \
+    --epochs 300 --methods mle,em --cpu
+python -m vibo_tpu.cli compare gradescope --irt-model grm \
+    --num-categories 5 --ability-dim 1 --epochs 300 --methods mle,em --cpu
+
 echo "### nonlinear-generated data: deep link vs (misspecified) 2PL, IWAE-100"
 python -m vibo_tpu.cli train synthetic-nonlinear --num-persons 2000 \
     --num-items 200 --ability-dim 2 --epochs 300 --eval-every 100 \
@@ -79,5 +93,12 @@ python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
     --hmc-warmup 800 --hmc-samples 1600 --hmc-chains 4 --hmc-leapfrog 64 \
     --hmc-target-accept 0.65 --hmc-cache artifacts/gold/grm
 
+echo "### graded EM baseline (Bock-Aitkin MML for the GRM, K=1 classical)"
+python -m vibo_tpu.cli baseline synthetic-grm --irt-model grm \
+    --num-categories 5 --num-persons 2000 --num-items 100 --method em --cpu
+
 echo "### throughput north star"
 python bench.py
+
+echo "### graded-family north star: fused GRM kernel at 10,240 x 1,024 (C=5)"
+python bench.py --irt-model grm --ability-dim 2

@@ -238,7 +238,10 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     ("2pl", "sample", "chol"),
     # stats: the compressed conditioning's per-shard statistic blocks must
     # psum to the exact global sufficient statistics
-    ("2pl", "stats", "diag"), ("3pl", "stats", "chol")])
+    ("2pl", "stats", "diag"), ("3pl", "stats", "chol"),
+    # laplace: the Fisher-anchored family's LOCAL pair statistics must psum
+    # over the item axis into the exact global per-person information
+    ("2pl", "stats", "laplace")])
 def test_2d_packed_step_matches_unsharded(eight_devices, irt_model,
                                           condition_on, theta_posterior):
     """One packed step on the 4x2 ('students','items') mesh == jax.grad of
