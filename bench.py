@@ -124,37 +124,42 @@ def measure_kernel_only(irt_model, persons, items, ability_dim,
     rng = np.random.default_rng(0)
     theta0 = jnp.asarray(rng.standard_normal(
         (persons, ability_dim)).astype(np.float32))
+    # differentiate EVERY parameter operand (theta + the item params): the
+    # fused kernels precompute all gradients in their single pass by
+    # contract, so a theta-only comparison would credit the XLA twin with
+    # a backward pass it never has to run in training
     if irt_model == "grm":
         from vibo_tpu.ops import pallas_grm as pg
         a = jnp.asarray(sim.a, jnp.float32)
         kappa = jnp.asarray(sim.b, jnp.float32)   # sim.b = ordered cutpoints
+        args0 = (theta0, a, kappa)
         pairs = {
-            "fused": lambda th: pg.masked_loglik_grm_packed_train(
-                th, a, kappa, pk),
-            "xla": lambda th: pg._xla_train_grm(th, a, kappa, pk),
+            "fused": lambda xs: pg.masked_loglik_grm_packed_train(*xs, pk),
+            "xla": lambda xs: pg._xla_train_grm(*xs, pk),
         }
     elif irt_model == "2pl":
         a = jnp.asarray(sim.a, jnp.float32)
         b = jnp.asarray(sim.b, jnp.float32)
+        args0 = (theta0, a, b)
         pairs = {
-            "fused": lambda th: pe.masked_loglik_2pl_packed_train(
-                th, a, b, pk),
-            "xla": lambda th: pe._xla_train_2pl(th, a, b, pk),
+            "fused": lambda xs: pe.masked_loglik_2pl_packed_train(*xs, pk),
+            "xla": lambda xs: pe._xla_train_2pl(*xs, pk),
         }
     else:
         raise ValueError(f"kernel microbench supports 2pl|grm, "
                          f"got {irt_model}")
 
     def make_run(fn, n):
-        grad = jax.grad(lambda t: -fn(t).sum())
+        grad = jax.grad(lambda xs: -fn(xs).sum())
 
         @jax.jit
-        def run(th):
+        def run(xs):
             def body(carry, _):
-                # theta update serializes iterations (data dependence)
-                return carry - 1e-6 * grad(carry), ()
-            th, _ = jax.lax.scan(body, th, None, length=n)
-            return th.sum()
+                # param update serializes iterations (data dependence)
+                g = grad(carry)
+                return jax.tree.map(lambda x, gx: x - 1e-6 * gx, carry, g), ()
+            xs, _ = jax.lax.scan(body, xs, None, length=n)
+            return xs[0].sum()
         return run
 
     out = {}
@@ -163,12 +168,12 @@ def measure_kernel_only(irt_model, persons, items, ability_dim,
         runs = {}
         for n in (n_small, n_large):
             runs[n] = make_run(fn, n)
-            float(runs[n](theta0))  # compile + warm, forced
+            float(runs[n](args0))  # compile + warm, forced
         times = {n_small: float("inf"), n_large: float("inf")}
         for _ in range(repeats):
             for n in (n_small, n_large):   # interleaved (see module header)
                 t0 = time.perf_counter()
-                float(runs[n](theta0))
+                float(runs[n](args0))
                 times[n] = min(times[n], time.perf_counter() - t0)
         per_call = (times[n_large] - times[n_small]) / (n_large - n_small)
         out[f"{name}_grad_us"] = round(per_call * 1e6, 2)
