@@ -450,6 +450,38 @@ def test_laplace_width_tracks_information():
     assert (sd_full < 1.0).all()
 
 
+@pytest.mark.parametrize("irt_model", ["1pl", "2pl", "3pl", "grm"])
+def test_laplace_weighted_c0_equals_closed_form(irt_model):
+    """laplace-w with the head's c-block forced to 0 must reproduce the
+    closed-form Laplace covariance at the SAME theta mean — the family
+    nests the post-hoc estimator exactly (its design contract), for every
+    linear link including the graded model."""
+    from vibo_tpu import evaluation
+    from vibo_tpu.ops import distributions as dist
+    c = 4 if irt_model == "grm" else 2
+    sim = simulate_irt(irt_model, N, M, ability_dim=K, seed=6,
+                       missing_rate=0.2, num_categories=c)
+    cfg = VIBOConfig(num_items=M, irt_model=irt_model, ability_dim=K,
+                     hidden_dim=32, num_categories=c,
+                     theta_posterior="laplace-w")
+    model = VIBO(cfg)
+    params = model.init_params(jax.random.key(0))
+    # force c = 0: zero the c-block of the head
+    last = params["encoder"][-1]
+    params["encoder"] = list(params["encoder"])
+    params["encoder"][-1] = {"w": last["w"].at[:, K:].set(0.0),
+                             "b": last["b"].at[K:].set(0.0)}
+    resp = jnp.asarray(sim.response)
+    mask = jnp.asarray(sim.mask)
+    item_mean = model.item_posterior_mean(params)
+    mu, logvar, off = model.encode(params, resp, mask, item_mean)
+    got = np.asarray(dist.tril_marginal_sigma(logvar, off))
+    items_np = {k_: np.asarray(v) for k_, v in item_mean.items()}
+    want = evaluation.laplace_sigma_from_items(
+        items_np, irt_model, np.asarray(sim.mask), np.asarray(mu))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
 def test_laplace_exogenous_noise_path_runs():
     """elbo_packed_sums (trainer/DP building block) carries the anchored
     family: finite, KL >= 0, and the c head columns matter."""

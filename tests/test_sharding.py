@@ -240,8 +240,10 @@ def test_dp_fit_nondivisible_persons(eight_devices):
     # psum to the exact global sufficient statistics
     ("2pl", "stats", "diag"), ("3pl", "stats", "chol"),
     # laplace: the Fisher-anchored family's LOCAL pair statistics must psum
-    # over the item axis into the exact global per-person information
-    ("2pl", "stats", "laplace")])
+    # over the item axis into the exact global per-person information;
+    # laplace-w additionally computes the Fisher weights from the LOCAL
+    # (a, b) blocks at the (already-global) psum'd encoder mean
+    ("2pl", "stats", "laplace"), ("2pl", "sample", "laplace-w")])
 def test_2d_packed_step_matches_unsharded(eight_devices, irt_model,
                                           condition_on, theta_posterior):
     """One packed step on the 4x2 ('students','items') mesh == jax.grad of

@@ -204,7 +204,7 @@ def cmd_train(args):
         # sim-truth correlations are only valid on the unsplit matrix
         # any full-covariance family (chol head OR Fisher-anchored laplace)
         # carries a scale tril the sigma_vs_hmc frame transport needs
-        chol = (model.cfg.theta_posterior in ("chol", "laplace")
+        chol = (model.cfg.theta_posterior != "diag"
                 and args.ability_dim > 1)
         out_means = evaluation.infer_posterior_means(
             model, res["params"], ds, return_sigma=True,
@@ -807,14 +807,16 @@ def main(argv=None):
     t.add_argument("--mean-field", action="store_true",
                    help="ablation: q(theta|r) without item conditioning")
     t.add_argument("--theta-posterior", default="diag",
-                   choices=["diag", "chol", "laplace"],
+                   choices=["diag", "chol", "laplace", "laplace-w"],
                    dest="theta_posterior",
                    help="ability-posterior covariance family: independent "
                         "per-dim Gaussians (reference family), full "
                         "covariance via a Cholesky factor, or the "
-                        "Fisher-ANCHORED laplace family (the head predicts "
-                        "a per-dim log correction to the closed-form "
-                        "Laplace information — amortized near-gold widths; "
+                        "Fisher-ANCHORED laplace families (the head "
+                        "predicts a per-dim log correction to the "
+                        "closed-form Laplace information; laplace-w "
+                        "weights each item by its exact Fisher weight at "
+                        "the amortized mean — amortized near-gold widths; "
                         "VIBOConfig.theta_posterior)")
     t.add_argument("--condition-on", default="sample",
                    choices=["sample", "mean", "stats"], dest="condition_on",
@@ -889,7 +891,7 @@ def main(argv=None):
                    choices=["sample", "mean", "stats"], dest="condition_on",
                    help="VIBO leg: see train --condition-on")
     c.add_argument("--theta-posterior", default="diag",
-                   choices=["diag", "chol", "laplace"],
+                   choices=["diag", "chol", "laplace", "laplace-w"],
                    dest="theta_posterior",
                    help="VIBO leg: see train --theta-posterior")
     c.add_argument("--num-posterior-samples", type=int, default=1,

@@ -134,6 +134,15 @@ class VIBOConfig:
                                         # 0.93; ops.distributions.
                                         # laplace_anchor_parts). Linear
                                         # links only; head width == diag.
+                                        # "laplace-w" additionally weights
+                                        # each item's rank-1 term by the
+                                        # EXPECTED FISHER WEIGHT at the
+                                        # head's own mean (w = p(1-p) etc.)
+                                        # — c = 0 then IS the closed-form
+                                        # Laplace covariance, and the head
+                                        # learns only the curvature-vs-
+                                        # spread residual. One extra (B, M)
+                                        # predictor matmul per encode.
     item_latent_dim: int = 16           # deep link only
     deep_hidden_dim: int = 128          # deep link MLP width
     item_encoder: bool = False          # amortize q(d_j | r_:,j) from column
@@ -158,11 +167,12 @@ class VIBOConfig:
             raise ValueError(
                 f"condition_on must be 'sample', 'mean' or 'stats', "
                 f"got {self.condition_on!r}")
-        if self.theta_posterior not in ("diag", "chol", "laplace"):
+        if self.theta_posterior not in ("diag", "chol", "laplace",
+                                        "laplace-w"):
             raise ValueError(
-                f"theta_posterior must be 'diag', 'chol' or 'laplace', "
-                f"got {self.theta_posterior!r}")
-        if self.theta_posterior == "laplace":
+                f"theta_posterior must be 'diag', 'chol', 'laplace' or "
+                f"'laplace-w', got {self.theta_posterior!r}")
+        if self.theta_posterior.startswith("laplace"):
             if self.irt_model == "deep":
                 raise ValueError(
                     "theta_posterior='laplace' anchors on the linear-link "
@@ -210,10 +220,13 @@ class VIBO:
         # halve-in-two contract (networks.split_ability_head)
         self._chol = cfg.theta_posterior == "chol" and cfg.ability_dim > 1
         self._enc_k = cfg.ability_dim if self._chol else None
-        # laplace family: the head is DIAG-SHAPED (mu, c halves; _enc_k
+        # laplace families: the head is DIAG-SHAPED (mu, c halves; _enc_k
         # None) — the full-covariance Cholesky comes from the Fisher anchor
-        # (_anchor_theta_head), not from head outputs
-        self._laplace = cfg.theta_posterior == "laplace"
+        # (_anchor_theta_head), not from head outputs. laplace-w
+        # additionally weights each item's rank-1 term by the expected
+        # Fisher weight at the head's own mean.
+        self._laplace = cfg.theta_posterior.startswith("laplace")
+        self._laplace_weighted = cfg.theta_posterior == "laplace-w"
 
     # ------------------------------------------------------------- params
 
@@ -225,12 +238,14 @@ class VIBO:
                 k_enc, cfg.num_items, self._item_feat_dim, cfg.ability_dim,
                 cfg.hidden_dim, chol=self._chol),
         }
-        if self._laplace:
+        if self._laplace and not self._laplace_weighted:
             # start the anchored information near the Bernoulli Fisher
             # weight's typical scale (w = p(1-p) averages ~0.15 under the
             # N(0, I) generative story; w <= 1/4 always) instead of the
             # c = 0 worst case — the head's c-block bias is the last K
-            # outputs of the final layer
+            # outputs of the final layer. laplace-w keeps c = 0: its
+            # statistic already carries the exact weights, so zero
+            # correction IS the closed-form Laplace covariance.
             head = params["encoder"][-1]
             b = head["b"]
             k = cfg.ability_dim
@@ -352,39 +367,57 @@ class VIBO:
 
     # ---------------------------------------------------- ability encoder
 
-    def _fisher_pair_basis(self, params: dict, a: jax.Array | None = None,
-                           num_items: int | None = None) -> jax.Array:
-        """(M, K(K+1)/2) per-item Fisher pair features a_j,i a_j,k (triu
-        order) from the item-posterior MEANS — deterministic given params,
-        matching the eval/serving conditioning; gradients flow to the item
-        means through the anchored widths (structured-VI coupling).
-        a/num_items override for item-sharded tiles (local block)."""
-        cfg = self.cfg
-        k = cfg.ability_dim
-        if cfg.irt_model == "1pl":
-            a = jnp.ones((num_items or cfg.num_items, k), jnp.float32)
-        elif a is None:
-            a = params["item_post"]["a"]["mu"]
-        pairs = dist.triu_flat_index(k)
-        return jnp.stack([a[:, i] * a[:, j] for i, j in pairs], axis=-1)
-
     def _anchor_theta_head(self, params: dict, head, mask,
                            items_axis: str | None = None,
-                           a_local: jax.Array | None = None):
-        """laplace family: reinterpret the head's second block as the
-        per-dim log information correction c and produce the anchored
-        (mu, logvar, off) Cholesky token (ops.distributions.
-        laplace_anchor_parts). mask (B, M_local) in any float dtype;
-        items_axis/a_local: on an item-sharded mesh the pair statistics are
-        computed from the LOCAL loading block and psum'd so S_i is the
-        GLOBAL per-person information (exactly the unsharded statistic)."""
+                           item_post: dict | None = None):
+        """laplace / laplace-w families: reinterpret the head's second
+        block as the per-dim log information correction c and produce the
+        anchored (mu, logvar, off) Cholesky token
+        (ops.distributions.laplace_anchor_parts).
+
+        mask (B, M_local) in any float dtype. 'laplace' anchors on the
+        UNWEIGHTED pair statistic S_i = sum_j m_ij a_j a_j^T; 'laplace-w'
+        additionally multiplies each item's rank-1 term by the expected
+        Fisher weight w_ij AT THE HEAD'S OWN MEAN (w = p(1-p) etc.,
+        ops.likelihood.*fisher_weight*) — with c = 0 that IS the
+        closed-form Laplace covariance, so the head only learns the
+        residual between the curvature at the amortized mean and the true
+        posterior spread (one extra (B, M) predictor matmul per encode).
+        All statistics use the item-posterior MEANS (deterministic given
+        data, matching eval/serving); gradients flow to the item means —
+        and in laplace-w to the encoder mean through w — the structured-VI
+        coupling. items_axis/item_post: on an item-sharded mesh the LOCAL
+        block's statistics psum to the exact global per-person
+        information."""
         if not self._laplace:
             return head
         mu, c, _ = head
-        a2 = self._fisher_pair_basis(params, a=a_local,
-                                     num_items=mask.shape[-1])
-        s_flat = jnp.dot(mask.astype(jnp.float32), a2,
-                         preferred_element_type=jnp.float32)
+        cfg = self.cfg
+        k = cfg.ability_dim
+        post = item_post if item_post is not None else params["item_post"]
+        m_local = mask.shape[-1]
+        if cfg.irt_model == "1pl":
+            a = jnp.ones((m_local, k), jnp.float32)
+        else:
+            a = post["a"]["mu"]
+        pairs = dist.triu_flat_index(k)
+        a2 = jnp.stack([a[:, i] * a[:, j] for i, j in pairs], axis=-1)
+        maskf = mask.astype(jnp.float32)
+        if self._laplace_weighted:
+            mu32 = mu.astype(jnp.float32)
+            if cfg.irt_model == "grm":
+                w = lik.graded_fisher_weight(
+                    links.grm_base(mu32, a),
+                    links.grm_thresholds(post["b"]["mu"]))
+            elif cfg.irt_model == "3pl":
+                w = lik.fisher_weight_3pl(
+                    links.logits_2pl(mu32, a, post["b"]["mu"][:, 0]),
+                    post["g_hat"]["mu"][:, 0])
+            else:   # 1pl shares the Bernoulli weight with unit loadings
+                w = lik.bernoulli_fisher_weight(
+                    links.logits_2pl(mu32, a, post["b"]["mu"][:, 0]))
+            maskf = maskf * w
+        s_flat = jnp.dot(maskf, a2, preferred_element_type=jnp.float32)
         if items_axis is not None:
             s_flat = jax.lax.psum(s_flat, items_axis)
         logvar, off = dist.laplace_anchor_parts(c, s_flat)
@@ -1002,8 +1035,7 @@ class VIBO:
                 params, self._encode_item_sharded(
                     params, response, mask, post, item_sample, item_index,
                     items_axis, cd),
-                mask, items_axis=items_axis,
-                a_local=post.get("a", {}).get("mu"))
+                mask, items_axis=items_axis, item_post=post)
             theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,
@@ -1063,8 +1095,7 @@ class VIBO:
                 params, self._encode_item_sharded(
                     params, response, mask, post, item_sample, item_index,
                     items_axis, cd),
-                mask, items_axis=items_axis,
-                a_local=post.get("a", {}).get("mu"))
+                mask, items_axis=items_axis, item_post=post)
             theta = dist.tril_reparameterize_eps(t_eps, mu, logvar, c_off)
             if use_packed_kernel:
                 ll = self._packed_train_loglik(params, theta, item_sample,

@@ -128,6 +128,45 @@ def graded_loglik_per_person(base: jax.Array, kappa: jax.Array,
     return graded_loglik_cells(base, kappa, response, mask).sum(-1)
 
 
+# ------------------------------------------------- expected Fisher weights
+#
+# Per-cell expected information of the linear predictor eta — the w_ij in
+# the closed-form Laplace ability covariance (I + sum_j m_ij w_ij a_j
+# a_j^T)^-1 (evaluation.laplace_sigma_from_items holds the numpy eval-path
+# twins). These jax forms feed the Fisher-ANCHORED variational family's
+# weighted pair statistics (models/vibo.VIBO._anchor_theta_head).
+
+def bernoulli_fisher_weight(logits: jax.Array) -> jax.Array:
+    """w = p(1-p) for the 1PL/2PL Bernoulli likelihood."""
+    s = jax.nn.sigmoid(logits)
+    return s * (1.0 - s)
+
+
+def fisher_weight_3pl(logits: jax.Array, g_hat: jax.Array) -> jax.Array:
+    """3PL: w = ((1-g) s(1-s))^2 / (p(1-p)), g = sigmoid(g_hat) (M,)."""
+    g = jax.nn.sigmoid(g_hat)[..., None, :]
+    s = jax.nn.sigmoid(logits)
+    p = g + (1.0 - g) * s
+    num = jnp.square((1.0 - g) * s * (1.0 - s))
+    return num / jnp.clip(p * (1.0 - p), 1e-12, None)
+
+
+def graded_fisher_weight(base: jax.Array, kappa: jax.Array) -> jax.Array:
+    """GRM: w = sum_c (s'_c - s'_{c+1})^2 / P_c with s_c = sigmoid(base -
+    kappa_c), boundary derivatives 0 — the polytomous generalization of
+    p(1-p). Materializes the (B, M, C) category axis; callers on big
+    matrices should stream person blocks."""
+    sc = jax.nn.sigmoid(base[..., None] - kappa)            # (..., B, M, C-1)
+    z = jnp.zeros(sc.shape[:-1] + (1,), sc.dtype)
+    s_lo = jnp.concatenate([jnp.ones_like(z), sc], -1)       # P(>= c)
+    s_hi = jnp.concatenate([sc, z], -1)                      # P(>= c+1)
+    pcat = jnp.clip(s_lo - s_hi, 1e-12, None)
+    d = sc * (1.0 - sc)
+    d_lo = jnp.concatenate([z, d], -1)
+    d_hi = jnp.concatenate([d, z], -1)
+    return (jnp.square(d_lo - d_hi) / pcat).sum(-1)
+
+
 def masked_loglik_per_person(logits: jax.Array, response: jax.Array, mask: jax.Array,
                              g_hat: jax.Array | None = None) -> jax.Array:
     """Sum the masked Bernoulli log-lik over the item axis -> (..., B)."""

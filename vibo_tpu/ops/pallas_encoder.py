@@ -59,12 +59,26 @@ def _decode(pk_f32):
     return jnp.minimum(pk_f32, 1.0), jnp.maximum(pk_f32 - 1.0, 0.0)
 
 
+def _decode_cd(pk_ref, cd):
+    """Decode the int8 code DIRECTLY at the compute dtype.
+
+    Bit-identical to f32-decode-then-cast for every representable code:
+    values are small integers (0..32 — binary 0/1/2, graded 1+category with
+    C <= 32), all exact in bf16, and min/subtract on exact integers are
+    exact. Decoding at cd halves the kernel's scratch (two (tb, tm) views)
+    — the f32 temps were the dominant stack term that OOM'd scoped VMEM at
+    the (1024, 1024, h=512) backward tiles (19.4 MB vs the 16 MB budget)."""
+    pk = pk_ref[:].astype(cd)
+    one = jnp.asarray(1.0, cd)
+    return jnp.minimum(pk, one), jnp.maximum(pk - one, jnp.asarray(0.0, cd))
+
+
 def _fwd_kernel(cd, pk_ref, wr_ref, wm_ref, out_ref):
     j = pl.program_id(1)
-    m, rm = _decode(pk_ref[:].astype(jnp.float32))
-    partial = jax.lax.dot(rm.astype(cd), wr_ref[:].astype(cd),
+    m, rm = _decode_cd(pk_ref, cd)
+    partial = jax.lax.dot(rm, wr_ref[:].astype(cd),
                           preferred_element_type=jnp.float32)
-    partial = partial + jax.lax.dot(m.astype(cd), wm_ref[:].astype(cd),
+    partial = partial + jax.lax.dot(m, wm_ref[:].astype(cd),
                                     preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
@@ -78,13 +92,13 @@ def _fwd_kernel(cd, pk_ref, wr_ref, wm_ref, out_ref):
 
 def _bwd_kernel(cd, pk_ref, dh_ref, dwr_ref, dwm_ref):
     i = pl.program_id(1)
-    m, rm = _decode(pk_ref[:].astype(jnp.float32))
+    m, rm = _decode_cd(pk_ref, cd)
     dh = dh_ref[:].astype(cd)
     # contract over the student axis: (tb, tm)^T @ (tb, H) -> (tm, H)
-    dwr = jax.lax.dot_general(rm.astype(cd), dh,
+    dwr = jax.lax.dot_general(rm, dh,
                               dimension_numbers=(((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dwm = jax.lax.dot_general(m.astype(cd), dh,
+    dwm = jax.lax.dot_general(m, dh,
                               dimension_numbers=(((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
 
@@ -153,10 +167,19 @@ def _fwd_pallas(packed, wr, wm, cd, interpret):
 def _bwd_pallas(packed, dh, h_shape, cd, interpret):
     m0, h0 = packed.shape[1], h_shape
     tb, tm = _tiles(*packed.shape, h_shape)
-    # no weight tiles resident in the backward: the student tile can grow to
-    # BWD_STUDENT_BLOCK as long as the (tb, h) dh tile stays in budget
+    # Full stack accounting for the backward tile pick (a fresh Mosaic
+    # compile at (tb=1024, tm=1024, h=512) measured 19.4 MB against the
+    # 16 MB scoped-VMEM budget — the old cap only counted the dh tile):
+    # per grid step, double-buffered: the int8 pk tile (1 B/cell), its two
+    # decoded cd views (2 x cd bytes/cell), the dh tile (4 B) + its cd
+    # cast; single-buffered (inner-grid-invariant index maps): both (tm, h)
+    # f32 accumulator outputs.
     hp = max(_cdiv(h_shape, 128) * 128, 128)
-    bwd_cap = max(((2 * _H_TILE_BUDGET) // (4 * hp)) // 8 * 8, 8)
+    cd_b = jnp.dtype(cd).itemsize
+    out_bytes = 2 * 4 * tm * hp
+    per_tb = 2 * ((1 + 2 * cd_b) * tm + (4 + cd_b) * hp)
+    budget = 13 << 20
+    bwd_cap = max(int((budget - out_bytes) // per_tb) // 8 * 8, 8)
     tb = min(BWD_STUDENT_BLOCK, bwd_cap, _cdiv(packed.shape[0], 8) * 8)
     wr_dummy = jnp.zeros((packed.shape[1], h0), jnp.float32)
     packed, wr_dummy, _ = _pad(packed, wr_dummy, wr_dummy, tb, tm)

@@ -115,6 +115,19 @@ def check_transplant_compat(src_cfg: dict, dst_cfg) -> None:
     if (src_cfg.get("theta_posterior", "diag") == "chol"
             and dst["theta_posterior"] == "diag"):
         raise ValueError("warm-start cannot narrow chol -> diag q(theta)")
+    src_tp = src_cfg.get("theta_posterior", "diag")
+    dst_tp = dst["theta_posterior"]
+    if (src_tp.startswith("laplace") or dst_tp.startswith("laplace")) \
+            and src_tp != dst_tp:
+        # the laplace head's second block is the log information correction
+        # c, which is SHAPE-compatible with the diag family's logvar block
+        # (and laplace vs laplace-w give c different meanings: absolute
+        # ~log-weight vs residual over exact weights) — a cross-family copy
+        # would be silently mis-scaled, not merely suboptimal
+        raise ValueError(
+            f"warm-start theta_posterior {src_tp!r} -> {dst_tp!r}: the "
+            "Fisher-anchored families' c-block is not interchangeable with "
+            "logvar/chol heads (same shape, different semantics)")
     if src_cfg.get("conditional_posterior", True) and dst["conditional_posterior"]:
         s, d = src_cfg.get("condition_on", "sample"), dst["condition_on"]
         if s != d and "stats" in (s, d):
