@@ -25,18 +25,24 @@ COUNT_RE = re.compile(
 
 
 def collect(extra=()):
+    """-> (selected, collected) from one pytest --collect-only run.
+
+    pytest prints "N tests collected" when nothing is deselected and
+    "S/N tests collected (D deselected)" otherwise — the conftest
+    deselects -m slow by default, so the plain run shows BOTH numbers;
+    taking only the first (as this script originally did) reported the
+    default profile as the total and "0 slow".
+    """
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
          *extra],
         cwd=ROOT, capture_output=True, text=True)
-    m = re.search(r"(\d+)(?:/\d+)? tests collected", out.stdout)
-    if not m:
-        m = re.search(r"(\d+) (?:tests? )?(?:selected|deselected)",
-                      out.stdout)
+    m = re.search(r"(\d+)(?:/(\d+))? tests collected", out.stdout)
     if not m:
         raise SystemExit(f"could not parse pytest collect output:\n"
                          f"{out.stdout[-2000:]}")
-    return int(m.group(1))
+    selected = int(m.group(1))
+    return selected, int(m.group(2) or selected)
 
 
 def main():
@@ -44,12 +50,13 @@ def main():
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
-    total = collect()
-    default = collect(["-m", "not slow"])
+    default, total = collect()
     slow = total - default
     # functions: count unique test function names (parametrize collapses)
+    # over the FULL collection (-m '' overrides the default deselection)
     out = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "-m", ""],
         cwd=ROOT, capture_output=True, text=True)
     funcs = len({line.split("[")[0] for line in out.stdout.splitlines()
                  if "::" in line})
