@@ -56,6 +56,14 @@ python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
     --hmc-chains 4 --hmc-leapfrog 64 --hmc-target-accept 0.65 \
     --hmc-cache artifacts/gold/k4
 
+echo "### K=4 amortized widths at the closed-form ceiling: weighted anchor"
+python -m vibo_tpu.cli compare synthetic-2pl --num-persons 10240 \
+    --num-items 1024 --ability-dim 4 --hidden-dim 512 --condition-on stats \
+    --theta-posterior laplace-w --num-posterior-samples 5 --epochs 1500 \
+    --restarts 4 --methods hmc --hmc-warmup 800 --hmc-samples 1600 \
+    --hmc-chains 4 --hmc-leapfrog 64 --hmc-target-accept 0.65 \
+    --hmc-cache artifacts/gold/k4
+
 echo "### cfg3b: CritLangAcq (Rasch/1PL) + Gradescope partial credit (GRM)"
 python -m vibo_tpu.cli compare critlangacq --irt-model 1pl --ability-dim 1 \
     --epochs 300 --methods mle,em --cpu
