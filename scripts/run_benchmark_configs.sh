@@ -101,6 +101,24 @@ python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
     --hmc-warmup 800 --hmc-samples 1600 --hmc-chains 4 --hmc-leapfrog 64 \
     --hmc-target-accept 0.65 --hmc-cache artifacts/gold/grm
 
+echo "### graded response model at K=2: NUTS gold + parity (round 5)"
+# samples the K=2 GRM gold (NUTS) into artifacts/gold/grm-k2 on first run
+python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
+    --num-categories 5 --num-persons 2000 --num-items 200 --ability-dim 2 \
+    --epochs 500 --num-posterior-samples 5 --restarts 2 --steps 600 \
+    --methods mle,hmc --hmc-warmup 800 --hmc-samples 1200 --hmc-chains 4 \
+    --hmc-trajectory nuts --hmc-tree-depth 7 --hmc-target-accept 0.8 \
+    --hmc-cache artifacts/gold/grm-k2
+
+echo "### graded K=2 amortized widths: stats conditioning + weighted anchor"
+python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
+    --num-categories 5 --num-persons 2000 --num-items 200 --ability-dim 2 \
+    --epochs 500 --num-posterior-samples 5 --restarts 2 \
+    --condition-on stats --theta-posterior laplace-w \
+    --methods hmc --hmc-warmup 800 --hmc-samples 1200 --hmc-chains 4 \
+    --hmc-trajectory nuts --hmc-tree-depth 7 --hmc-target-accept 0.8 \
+    --hmc-cache artifacts/gold/grm-k2
+
 echo "### graded EM baseline (Bock-Aitkin MML for the GRM, K=1 classical)"
 python -m vibo_tpu.cli baseline synthetic-grm --irt-model grm \
     --num-categories 5 --num-persons 2000 --num-items 100 --method em --cpu
