@@ -268,6 +268,50 @@ def test_grm_dp_step_matches_unsharded(eight_devices):
         np.asarray(x), np.asarray(y), rtol=2e-3, atol=1e-5), p_dp, p_ref)
 
 
+def test_grm_2d_laplace_w_step_matches_unsharded(eight_devices):
+    """The flagship graded recipe (stats conditioning + Fisher-WEIGHTED
+    anchor) on the 4x2 ('students','items') mesh == jax.grad of the
+    identical unsharded packed loss: the per-shard weighted pair blocks
+    must psum over 'items' into the exact global per-person information,
+    with the graded Fisher weights evaluated at the (already-global)
+    psum'd head mean (RESULTS.md 'GRM at K=2')."""
+    import optax
+    from vibo_tpu.ops import objectives
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    from vibo_tpu.parallel import make_mesh
+    sim, ds, model = _grm_setup(condition_on="stats",
+                                theta_posterior="laplace-w")
+    packed = jnp.asarray(pack_responses(ds.response, ds.train_mask))
+    rowv = jnp.ones(N, jnp.float32)
+    key0, key1 = jax.random.key(0), jax.random.key(7)
+
+    mesh = make_mesh(eight_devices, item_axis=2)
+    tr = Trainer(model, TrainConfig(lr=1e-2), mesh=mesh)
+    tr.optimizer = optax.sgd(0.1)
+    p0, o0 = tr.init_state(key0)
+    step = tr.make_step_packed_dp(0.8, 2)
+    sh_pk, sh_rv = tr._dp_in_shardings()
+    p_dp, _, _ = step(p0, o0, key1,
+                      jax.device_put(packed, sh_pk),
+                      jax.device_put(rowv, sh_rv))
+
+    tr1 = Trainer(model, TrainConfig(lr=1e-2))
+    tr1.optimizer = optax.sgd(0.1)
+    p1, o1 = tr1.init_state(key0)
+    item_eps, theta_eps = model.sample_noise(p1, key1, N, 2)
+
+    def loss_fn(p):
+        ll, klt, kli = model.elbo_packed_sums(p, packed, item_eps, theta_eps,
+                                              rowv)
+        return -objectives.elbo(ll, klt, kli, 0.8)
+
+    g = jax.grad(loss_fn)(p1)
+    upd, _ = tr1.optimizer.update(g, o1, p1)
+    p_ref = optax.apply_updates(p1, upd)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=2e-3, atol=1e-5), p_dp, p_ref)
+
+
 # ----------------------------------------------------------------- recovery
 
 @pytest.mark.slow
