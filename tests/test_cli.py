@@ -94,6 +94,28 @@ def test_compare_subcommand(capsys):
     assert all(r["seconds"] > 0 for r in rep["compare"])
 
 
+def test_compare_item_agreement_vs_hmc(capsys):
+    """Cross-method ITEM-parameter agreement (SURVEY.md section 3.3: the
+    real-data protocol correlates inferred item params against HMC too):
+    every non-HMC row carries b_vs_hmc and a_vs_hmc, difficulties
+    rotation-invariant, loadings transported through the theta Procrustes
+    frame; the HMC row anchors both at 1.0."""
+    from vibo_tpu.cli import main
+    main(["compare", "synthetic-2pl", "--num-persons", "120",
+          "--num-items", "30", "--ability-dim", "2", "--epochs", "20",
+          "--steps", "60", "--hmc-warmup", "30", "--hmc-samples", "40",
+          "--methods", "mle,hmc"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = json.loads(out[-1])
+    hmc_row = next(r for r in rep["compare"] if r["method"] == "hmc")
+    assert hmc_row["b_vs_hmc"] == 1.0 and hmc_row["a_vs_hmc"] == 1.0
+    for r in rep["compare"]:
+        if r["method"] == "hmc":
+            continue
+        assert -1.0 <= r["b_vs_hmc"] <= 1.0
+        assert -1.0 <= r["a_vs_hmc"] <= 1.0
+
+
 def test_profile_flag(tmp_path):
     prof_dir = tmp_path / "trace"
     run(["train", "synthetic-1pl", "--num-persons", "64", "--num-items", "16",

@@ -214,6 +214,13 @@ def cmd_train(args):
         # (cmd_compare) — stripped from the printed summary
         summary["_theta_hat"] = theta_hat
         summary["_theta_sigma"] = theta_sigma
+        # item-posterior means for cross-method item agreement (b_vs_hmc /
+        # a_vs_hmc in cmd_compare; GRM "b" stays in the shared
+        # unconstrained-threshold coordinates all methods use)
+        if "b" in items:
+            summary["_b_hat"] = np.asarray(items["b"])
+        if "a" in items:
+            summary["_a_hat"] = np.asarray(items["a"])
         if chol:
             # full covariance factor: sigma_vs_hmc frame transport must
             # rotate the whole covariance, not just its diagonal
@@ -317,6 +324,9 @@ def cmd_baseline(args):
         summary["final_loss"] = loss
         summary["heldout_acc"] = impute_acc(np.asarray(mle.response_prob(params, cfg)))
         summary["_theta_hat"] = np.asarray(params["theta"])
+        summary["_b_hat"] = np.asarray(params["b"])
+        if "a" in params:
+            summary["_a_hat"] = np.asarray(params["a"])
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 np.asarray(params["theta"]), sim.theta,
@@ -335,6 +345,9 @@ def cmd_baseline(args):
         summary["heldout_acc"] = impute_acc(em.response_prob(res))
         theta = res["theta_eap"]
         summary["_theta_hat"] = theta[:, None] if theta.ndim == 1 else theta
+        summary["_b_hat"] = np.asarray(res["b"])
+        if "a" in res:
+            summary["_a_hat"] = np.asarray(res["a"])
         if sim is not None:
             if em_dim > 1:
                 summary["theta_pearson"] = round(evaluation.correlation(
@@ -401,6 +414,14 @@ def cmd_baseline(args):
                                     deep_params=deep_params))
         summary["_theta_hat"] = out["samples"]["theta"].mean(0)
         summary["_theta_sd"] = out["samples"]["theta"].std(0)
+        # item-parameter posterior means for cross-method agreement (the
+        # paper correlates INFERRED ITEM parameters against HMC on real
+        # data too, SURVEY.md section 3.3 "Evaluation suite"); persisted
+        # into --hmc-cache golds like the theta summaries above
+        if "b" in out["samples"]:
+            summary["_b_hat"] = np.asarray(out["samples"]["b"].mean(0))
+        if "a" in out["samples"]:
+            summary["_a_hat"] = np.asarray(out["samples"]["a"].mean(0))
         if sim is not None:
             summary["theta_pearson"] = round(evaluation.correlation(
                 summary["_theta_hat"], sim.theta,
@@ -624,10 +645,49 @@ def cmd_compare(args):
                     sd_r = np.sqrt((tr_r ** 2).sum(-1))
                 r["refined_sigma_vs_hmc"] = round(evaluation.correlation(
                     sd_r, hmc_row["_theta_sd"])["pearson"], 4)
+            # Item-parameter agreement vs the HMC posterior (the paper's
+            # real-data protocol covers INFERRED ITEM parameters as well as
+            # abilities, SURVEY.md section 3.3 "Evaluation suite").
+            # Difficulties/thresholds are rotation-invariant; GRM's shared
+            # unconstrained b_free maps through the ordered-threshold
+            # transform before correlating (as for b_pearson vs truth).
+            if "_b_hat" in r and "_b_hat" in hmc_row:
+                b_r = np.asarray(r["_b_hat"])
+                b_ref = np.asarray(hmc_row["_b_hat"])
+                if args.irt_model == "grm":
+                    from vibo_tpu.ops import links as _links
+                    import jax.numpy as _jnp
+                    b_r = np.asarray(_links.grm_thresholds(_jnp.asarray(b_r)))
+                    b_ref = np.asarray(_links.grm_thresholds(
+                        _jnp.asarray(b_ref)))
+                if b_r.size == b_ref.size:
+                    r["b_vs_hmc"] = round(evaluation.correlation(
+                        b_r.ravel(), b_ref.ravel())["pearson"], 4)
+            # Discrimination loadings live in each method's latent frame
+            # (the same likelihood-null O(K) orbit as theta): transport
+            # through the Procrustes rotation of the ability MEANS, exactly
+            # as for sigma_vs_hmc above. K=1 reduces to the joint sign flip.
+            if ("_a_hat" in r and "_a_hat" in hmc_row
+                    and r_hat.shape == ref.shape):
+                a_r = np.asarray(r["_a_hat"])
+                a_ref = np.asarray(hmc_row["_a_hat"])
+                if a_r.ndim == 1:
+                    a_r = a_r[:, None]
+                if a_ref.ndim == 1:
+                    a_ref = a_ref[:, None]
+                if a_r.shape == a_ref.shape:
+                    w = evaluation.procrustes_rotation(r_hat, ref)
+                    r["a_vs_hmc"] = round(evaluation.correlation(
+                        (a_r @ w).ravel(), a_ref.ravel())["pearson"], 4)
         hmc_row["theta_vs_hmc"] = 1.0
+        if "_b_hat" in hmc_row:
+            hmc_row["b_vs_hmc"] = 1.0
+        if "_a_hat" in hmc_row:
+            hmc_row["a_vs_hmc"] = 1.0
 
     cols = ("method", "seconds", "heldout_acc", "ece", "theta_pearson",
             "theta_vs_hmc", "sigma_vs_hmc", "laplace_sigma_vs_hmc",
+            "b_vs_hmc", "a_vs_hmc",
             "refined_theta_vs_hmc", "refined_sigma_vs_hmc",
             "refine_elbo_gain_per_person",
             "rhat_max", "converged", "cached", "dim_note")
