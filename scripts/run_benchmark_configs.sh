@@ -101,6 +101,15 @@ python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
     --hmc-warmup 800 --hmc-samples 1600 --hmc-chains 4 --hmc-leapfrog 64 \
     --hmc-target-accept 0.65 --hmc-cache artifacts/gold/grm
 
+echo "### item-parameter agreement sweep vs a NUTS gold (b_vs_hmc / a_vs_hmc)"
+python -m vibo_tpu.cli compare synthetic-2pl --num-persons 2000 \
+    --num-items 200 --ability-dim 2 --epochs 500 \
+    --num-posterior-samples 5 --restarts 2 --condition-on stats \
+    --theta-posterior laplace-w --methods mle,em,hmc \
+    --hmc-warmup 800 --hmc-samples 1200 --hmc-chains 4 \
+    --hmc-trajectory nuts --hmc-tree-depth 7 --hmc-target-accept 0.8 \
+    --hmc-cache artifacts/gold/k2-nuts
+
 echo "### graded response model at K=2: NUTS gold + parity (round 5)"
 # samples the K=2 GRM gold (NUTS) into artifacts/gold/grm-k2 on first run
 python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
