@@ -137,6 +137,15 @@ python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
     --hmc-trajectory nuts --hmc-tree-depth 7 --hmc-target-accept 0.8 \
     --hmc-cache artifacts/gold/grm-k2
 
+echo "### graded K=4: the binary flagship's ability dimension, same recipe"
+python -m vibo_tpu.cli compare synthetic-grm --irt-model grm \
+    --num-categories 5 --num-persons 2000 --num-items 200 --ability-dim 4 \
+    --epochs 1500 --num-posterior-samples 5 --restarts 4 --hidden-dim 512 \
+    --condition-on stats --theta-posterior laplace-w \
+    --methods mle,hmc --hmc-warmup 800 --hmc-samples 1200 --hmc-chains 4 \
+    --hmc-trajectory nuts --hmc-tree-depth 7 --hmc-target-accept 0.8 \
+    --hmc-cache artifacts/gold/grm-k4
+
 echo "### graded EM baseline (Bock-Aitkin MML for the GRM, K=1 classical)"
 python -m vibo_tpu.cli baseline synthetic-grm --irt-model grm \
     --num-categories 5 --num-persons 2000 --num-items 100 --method em --cpu
