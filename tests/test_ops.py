@@ -365,3 +365,156 @@ def test_grm_loglik_grads_finite_extreme(rng):
     val, g = jax.value_and_grad(loss)(b_free)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------- GPCM ops
+
+def _gpcm_probs_np(base, kap):
+    """Naive f64 oracle: (B, M, C) category probabilities under the
+    generalized partial credit model, z_c = c*base - kap_c, z_0 = 0."""
+    c = kap.shape[-1] + 1
+    cats = np.arange(1, c, dtype=np.float64)
+    z = base[..., None] * cats - kap
+    z = np.concatenate([np.zeros(z.shape[:-1] + (1,)), z], -1)
+    e = np.exp(z - z.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def test_gpcm_cumsteps_and_table_dispatch(rng):
+    b_free = rng.standard_normal((7, 4)).astype(np.float32)
+    kap = np.asarray(links.gpcm_cumsteps(jnp.array(b_free)))
+    np.testing.assert_allclose(kap, np.cumsum(b_free, -1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(links.categorical_table("gpcm", jnp.array(b_free))), kap)
+    np.testing.assert_allclose(
+        np.asarray(links.categorical_table("grm", jnp.array(b_free))),
+        np.asarray(links.grm_thresholds(jnp.array(b_free))))
+    with pytest.raises(ValueError):
+        links.categorical_table("2pl", jnp.array(b_free))
+
+
+def test_gpcm_logprob_all_vs_naive(rng):
+    b_num, m, c = 6, 9, 5
+    base = (1.5 * rng.standard_normal((b_num, m))).astype(np.float32)
+    kap = rng.standard_normal((m, c - 1)).astype(np.float32)  # unordered: OK
+    got = np.asarray(lik.gpcm_logprob_all(jnp.array(base), jnp.array(kap)))
+    want = np.log(_gpcm_probs_np(base.astype(np.float64),
+                                 kap.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
+    # dispatcher agrees
+    np.testing.assert_allclose(
+        np.asarray(lik.categorical_logprob_all("gpcm", jnp.array(base),
+                                               jnp.array(kap))), got)
+
+
+def test_gpcm_loglik_cells_matches_gather_of_all(rng):
+    b_num, m, c = 5, 8, 4
+    base = rng.standard_normal((b_num, m)).astype(np.float32)
+    kap = rng.standard_normal((m, c - 1)).astype(np.float32)
+    resp = rng.integers(0, c, (b_num, m)).astype(np.float32)
+    mask = (rng.random((b_num, m)) < 0.8).astype(np.float32)
+    got = np.asarray(lik.gpcm_loglik_cells(
+        jnp.array(base), jnp.array(kap), jnp.array(resp), jnp.array(mask)))
+    allp = np.asarray(lik.gpcm_logprob_all(jnp.array(base), jnp.array(kap)))
+    want = mask * np.take_along_axis(
+        allp, resp[..., None].astype(np.int64), -1)[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[mask == 0] == 0.0)
+
+
+def test_gpcm_two_categories_match_bernoulli(rng):
+    """C=2 GPCM with kap = b reduces exactly to the 2PL Bernoulli loglik:
+    softmax([0, base - b]) is sigmoid(base - b)."""
+    b_num, m, k = 6, 7, 2
+    theta = rng.standard_normal((b_num, k)).astype(np.float32)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((m,)).astype(np.float32)
+    resp = rng.integers(0, 2, (b_num, m)).astype(np.float32)
+    mask = (rng.random((b_num, m)) < 0.9).astype(np.float32)
+    base = links.grm_base(jnp.array(theta), jnp.array(a))
+    got = np.asarray(lik.gpcm_loglik_per_person(
+        base, jnp.array(b)[:, None], jnp.array(resp), jnp.array(mask)))
+    logits = links.logits_2pl(jnp.array(theta), jnp.array(a), jnp.array(b))
+    want = np.asarray(lik.masked_loglik_per_person(
+        logits, jnp.array(resp), jnp.array(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gpcm_extreme_base_stable(rng):
+    """The GPCM softmax needs no sentinel/clamp: extreme predictors keep
+    the certain category's log-prob ~0, probs summing to 1, grads finite."""
+    m, c = 6, 5
+    kap = np.cumsum(rng.standard_normal((m, c - 1)), -1).astype(np.float32)
+    for mag in (45.0, 200.0, 1e4):
+        base = np.full((3, m), -mag, np.float32)     # far left: r=0 certain
+        ll0 = np.asarray(lik.gpcm_loglik_cells(
+            jnp.array(base), jnp.array(kap),
+            jnp.zeros((3, m), np.float32), jnp.ones((3, m), np.float32)))
+        assert np.all(ll0 > -1e-4), (mag, ll0.min())
+        base = np.full((3, m), mag, np.float32)      # far right: r=C-1
+        lltop = np.asarray(lik.gpcm_loglik_cells(
+            jnp.array(base), jnp.array(kap),
+            jnp.full((3, m), c - 1, np.float32), jnp.ones((3, m), np.float32)))
+        assert np.all(lltop > -1e-4), (mag, lltop.min())
+        allp = np.exp(np.asarray(lik.gpcm_logprob_all(
+            jnp.array(base), jnp.array(kap))))
+        np.testing.assert_allclose(allp.sum(-1), 1.0, atol=1e-5)
+
+    def loss(bf):
+        return lik.gpcm_loglik_cells(
+            jnp.full((1, m), 40.0), links.gpcm_cumsteps(bf),
+            jnp.full((1, m), 1.0), jnp.ones((1, m))).sum()
+
+    val, g = jax.value_and_grad(loss)(jnp.asarray(kap))
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_gpcm_score_identities(rng):
+    """The GPCM score wrt the linear predictor is r - E[c] and wrt kap_c is
+    p_c - 1[r = c] — the exponential-family identities the fused kernel
+    (ops/pallas_gpcm.py) hard-codes; pin them against autodiff here."""
+    b_num, m, c = 4, 5, 4
+    base = rng.standard_normal((b_num, m)).astype(np.float32)
+    kap = rng.standard_normal((m, c - 1)).astype(np.float32)
+    resp = rng.integers(0, c, (b_num, m)).astype(np.float32)
+    mask = np.ones((b_num, m), np.float32)
+
+    g_base = jax.grad(lambda x: lik.gpcm_loglik_cells(
+        x, jnp.array(kap), jnp.array(resp), jnp.array(mask)).sum())(
+        jnp.array(base))
+    g_kap = jax.grad(lambda t: lik.gpcm_loglik_cells(
+        jnp.array(base), t, jnp.array(resp), jnp.array(mask)).sum())(
+        jnp.array(kap))
+    p = _gpcm_probs_np(base.astype(np.float64), kap.astype(np.float64))
+    cats = np.arange(c, dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(g_base), resp - (p * cats).sum(-1),
+                               rtol=1e-4, atol=1e-5)
+    onehot = np.eye(c)[resp.astype(np.int64)]                  # (B, M, C)
+    want_kap = (p - onehot)[..., 1:].sum(0)                    # (M, C-1)
+    np.testing.assert_allclose(np.asarray(g_kap), want_kap, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_gpcm_fisher_weight_matches_autodiff(rng):
+    """gpcm_fisher_weight == sum_c P_c (d log P_c / d eta)^2 from autodiff
+    (= Var[c], the expected information wrt the linear predictor)."""
+    c = 5
+    kap = np.cumsum(rng.standard_normal((1, c - 1)), -1).astype(np.float32)
+    eta = 0.7
+
+    def logp_c(e, cat):
+        return lik.gpcm_logprob_all(jnp.full((1, 1), e),
+                                    jnp.asarray(kap))[0, 0, cat]
+
+    w_auto = 0.0
+    for cat in range(c):
+        g = jax.grad(logp_c)(jnp.float32(eta), cat)
+        w_auto += float(jnp.exp(logp_c(jnp.float32(eta), cat))) * float(g) ** 2
+    w_got = float(lik.gpcm_fisher_weight(jnp.full((1, 1), eta),
+                                         jnp.asarray(kap))[0, 0])
+    np.testing.assert_allclose(w_got, w_auto, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(lik.categorical_fisher_weight("gpcm", jnp.full((1, 1), eta),
+                                            jnp.asarray(kap))[0, 0]),
+        w_auto, rtol=1e-4)

@@ -128,6 +128,115 @@ def graded_loglik_per_person(base: jax.Array, kappa: jax.Array,
     return graded_loglik_cells(base, kappa, response, mask).sum(-1)
 
 
+# --------------------------------------- generalized partial credit (GPCM)
+#
+# Polytomous responses r in {0..C-1} under adjacent-category logits
+# (Muraki's generalized partial credit model — the second classical
+# polytomous family next to the graded model above):
+#   P(r_ij = c) = softmax_c( z_c ),  z_c = c * base_ij - kap_jc,
+# with kap_jc = sum_{v <= c} delta_jv (links.gpcm_cumsteps) and z_0 = 0.
+# The softmax is exactly stable under max-subtraction, so unlike the GRM
+# there is no sentinel algebra and no clamp: any real (base, delta) is fine.
+#
+# TPU shape strategy mirrors the graded path: NO (B, M, C) tensor on the
+# training path — the C-way logit scan unrolls (C small, static) into
+# mul-adds on (B, M) arrays with a streaming max, then C-1 exps feed one
+# log. The observed category's logit z_r is gathered by the same unrolled
+# select. Gradients are the textbook softmax forms: d ll / d base =
+# r - E[c] (observed minus expected category) and d ll / d kap_c =
+# p_c - 1[r = c] — which is what makes the fused kernel (ops/pallas_gpcm)
+# even cheaper than the graded one.
+
+
+def gpcm_loglik_cells(base: jax.Array, kap: jax.Array, response: jax.Array,
+                      mask: jax.Array) -> jax.Array:
+    """Elementwise masked GPCM log P(r | base, kap).
+
+    base (..., B, M) linear predictor; kap (M, C-1) cumulative step sums
+    (links.gpcm_cumsteps); response (..., B, M) float categories in
+    {0..C-1}; mask 1.0 observed / 0.0 missing."""
+    cm1 = kap.shape[-1]
+    zr = jnp.zeros_like(base)                      # z_0 = 0 (category 0)
+    mx = jnp.zeros_like(base)                      # running max over z_c
+    zs = []
+    for c in range(cm1):
+        z = (c + 1) * base - kap[..., :, c]
+        zs.append(z)
+        zr = jnp.where(response == c + 1, z, zr)
+        mx = jnp.maximum(mx, z)
+    s = jnp.exp(-mx)                               # category-0 term
+    for z in zs:
+        s = s + jnp.exp(z - mx)
+    return mask * (zr - mx - jnp.log(s))
+
+
+def gpcm_logprob_all(base: jax.Array, kap: jax.Array) -> jax.Array:
+    """All-category GPCM log-probabilities -> (..., B, M, C).
+
+    Evaluation-path form (imputation argmax, calibration): materializes the
+    category axis, so callers stream person blocks."""
+    cm1 = kap.shape[-1]
+    cats = jnp.arange(1, cm1 + 1, dtype=base.dtype)            # (C-1,)
+    z = base[..., None] * cats - kap                           # (..., B, M, C-1)
+    z = jnp.concatenate([jnp.zeros(z.shape[:-1] + (1,), z.dtype), z], -1)
+    return jax.nn.log_softmax(z, axis=-1)
+
+
+def gpcm_loglik_per_person(base: jax.Array, kap: jax.Array,
+                           response: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked GPCM log-lik summed over the item axis -> (..., B)."""
+    return gpcm_loglik_cells(base, kap, response, mask).sum(-1)
+
+
+def gpcm_fisher_weight(base: jax.Array, kap: jax.Array) -> jax.Array:
+    """GPCM: w = Var[c] under the category softmax — since d ll / d base =
+    r - E[c], the expected information wrt the linear predictor is exactly
+    the category variance (the polytomous exponential-family analog of
+    p(1-p)). Materializes the (B, M, C) category axis; callers on big
+    matrices should stream person blocks."""
+    p = jnp.exp(gpcm_logprob_all(base, kap))                   # (..., B, M, C)
+    cats = jnp.arange(p.shape[-1], dtype=p.dtype)
+    e1 = (p * cats).sum(-1)
+    e2 = (p * cats * cats).sum(-1)
+    return e2 - e1 * e1
+
+
+# ------------------------------------- categorical (polytomous) dispatchers
+#
+# Single switch between the two polytomous families for every consumer
+# (VIBO decode, MLE/EM/HMC potentials, evaluation, serving). `table` is the
+# family's per-item category table — links.categorical_table(irt_model,
+# b_free): ordered thresholds (grm) or cumulative step sums (gpcm).
+
+def categorical_loglik_cells(irt_model: str, base, table, response, mask):
+    if irt_model == "grm":
+        return graded_loglik_cells(base, table, response, mask)
+    if irt_model == "gpcm":
+        return gpcm_loglik_cells(base, table, response, mask)
+    raise ValueError(f"not a categorical irt_model: {irt_model!r}")
+
+
+def categorical_loglik_per_person(irt_model: str, base, table, response, mask):
+    return categorical_loglik_cells(irt_model, base, table, response,
+                                    mask).sum(-1)
+
+
+def categorical_logprob_all(irt_model: str, base, table):
+    if irt_model == "grm":
+        return graded_logprob_all(base, table)
+    if irt_model == "gpcm":
+        return gpcm_logprob_all(base, table)
+    raise ValueError(f"not a categorical irt_model: {irt_model!r}")
+
+
+def categorical_fisher_weight(irt_model: str, base, table):
+    if irt_model == "grm":
+        return graded_fisher_weight(base, table)
+    if irt_model == "gpcm":
+        return gpcm_fisher_weight(base, table)
+    raise ValueError(f"not a categorical irt_model: {irt_model!r}")
+
+
 # ------------------------------------------------- expected Fisher weights
 #
 # Per-cell expected information of the linear predictor eta — the w_ij in

@@ -29,7 +29,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-IRT_MODELS = ("1pl", "2pl", "3pl", "grm", "deep")
+IRT_MODELS = ("1pl", "2pl", "3pl", "grm", "gpcm", "deep")
+
+# The polytomous (ordinal, C >= 3 categories) families. Both share the item
+# parameterization {a: (M, K), b: (M, C-1) unconstrained} and the linear
+# predictor base = a . theta; they differ only in how the C-1 coordinates
+# become the per-category table (categorical_table) and in the category
+# distribution given (base, table) — cumulative logits (grm) vs
+# adjacent-category logits (gpcm). Everything downstream (encoders, KLs,
+# bit-codes, sharding, serving) treats them uniformly via this tuple.
+CATEGORICAL_MODELS = ("grm", "gpcm")
 
 
 def logits_1pl(theta: jax.Array, b: jax.Array) -> jax.Array:
@@ -70,6 +79,36 @@ def grm_base(theta: jax.Array, a: jax.Array) -> jax.Array:
     """GRM linear predictor a_j . theta_i -> (..., B, M). The cumulative
     logit for category boundary c is base - kappa_c (grm_thresholds)."""
     return jnp.einsum("...bk,mk->...bm", theta, a)
+
+
+def gpcm_cumsteps(b_free: jax.Array) -> jax.Array:
+    """GPCM cumulative step sums from unconstrained step parameters.
+
+    b_free (..., M, C-1) are the per-item step parameters delta_1..delta_{C-1}
+    of Muraki's generalized partial credit model; the category-c logit is
+    z_c = c * base - sum_{v <= c} delta_v (z_0 = 0), so the per-item table
+    this returns is kap_c = cumsum(delta)_c. Unlike the graded model's
+    thresholds, GPCM steps need NO ordering constraint — any real deltas give
+    a valid categorical distribution (the softmax normalizes) — so the
+    unconstrained coordinates ARE the natural parameters: the N(0, I) prior
+    and the Gaussian variational posterior sit on them directly, and the
+    only reparameterization the kernels differentiate through is this cumsum
+    (generalized partial credit model, Muraki 1992; the second classical
+    polytomous IRT family next to the journal extension's graded model,
+    arXiv:2108.11579)."""
+    return jnp.cumsum(b_free, axis=-1)
+
+
+def categorical_table(irt_model: str, b_free: jax.Array) -> jax.Array:
+    """(..., M, C-1) per-item category table from the unconstrained item
+    coordinates: ordered thresholds (grm) or cumulative step sums (gpcm).
+    The single dispatch point between the two polytomous families' item
+    parameterizations — likelihood.categorical_* consume its output."""
+    if irt_model == "grm":
+        return grm_thresholds(b_free)
+    if irt_model == "gpcm":
+        return gpcm_cumsteps(b_free)
+    raise ValueError(f"not a categorical irt_model: {irt_model!r}")
 
 
 def prob_1pl(theta, b):
