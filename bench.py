@@ -36,7 +36,7 @@ def build(num_persons, num_items, ability_dim, hidden_dim, use_pallas,
     sim = simulate_irt(irt_model, num_persons, num_items,
                        ability_dim=ability_dim, seed=0, missing_rate=0.1,
                        num_categories=num_categories)
-    c = num_categories if irt_model == "grm" else 2
+    c = num_categories if irt_model in ("grm", "gpcm") else 2
     ds = holdout_split(sim.response, sim.mask, 0.1, seed=0, name="bench",
                        num_categories=c)
     model = VIBO(VIBOConfig(num_items=num_items, irt_model=irt_model,
@@ -137,6 +137,15 @@ def measure_kernel_only(irt_model, persons, items, ability_dim,
             "fused": lambda xs: pg.masked_loglik_grm_packed_train(*xs, pk),
             "xla": lambda xs: pg._xla_train_grm(*xs, pk),
         }
+    elif irt_model == "gpcm":
+        from vibo_tpu.ops import pallas_gpcm as pc
+        a = jnp.asarray(sim.a, jnp.float32)
+        kap = jnp.cumsum(jnp.asarray(sim.b, jnp.float32), -1)  # sim.b = steps
+        args0 = (theta0, a, kap)
+        pairs = {
+            "fused": lambda xs: pc.masked_loglik_gpcm_packed_train(*xs, pk),
+            "xla": lambda xs: pc._xla_train_gpcm(*xs, pk),
+        }
     elif irt_model == "2pl":
         a = jnp.asarray(sim.a, jnp.float32)
         b = jnp.asarray(sim.b, jnp.float32)
@@ -146,7 +155,7 @@ def measure_kernel_only(irt_model, persons, items, ability_dim,
             "xla": lambda xs: pe._xla_train_2pl(*xs, pk),
         }
     else:
-        raise ValueError(f"kernel microbench supports 2pl|grm, "
+        raise ValueError(f"kernel microbench supports 2pl|grm|gpcm, "
                          f"got {irt_model}")
 
     def make_run(fn, n):
@@ -287,12 +296,13 @@ def main():
     ap.add_argument("--items", type=int, default=1024)
     ap.add_argument("--ability-dim", type=int, default=4)
     ap.add_argument("--hidden-dim", type=int, default=256)
-    ap.add_argument("--irt-model", default="2pl", choices=["2pl", "grm"],
-                    help="grm: the graded (polytomous) family at the same "
+    ap.add_argument("--irt-model", default="2pl",
+                    choices=["2pl", "grm", "gpcm"],
+                    help="grm/gpcm: the polytomous families at the same "
                          "north-star scale — fused graded kernel + "
                          "categorical eval (round-4 VERDICT task #1)")
     ap.add_argument("--num-categories", type=int, default=5,
-                    help="grm only: ordinal response categories C")
+                    help="grm/gpcm only: ordinal response categories C")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--no-packed", action="store_true",
                     help="use the dense f32 response/mask pipeline instead of "

@@ -52,7 +52,7 @@ def _data():
 
 def cases():
     from vibo_tpu.ops import links, pallas_deep, pallas_elbo, pallas_encoder
-    from vibo_tpu.ops import pallas_grm
+    from vibo_tpu.ops import pallas_gpcm, pallas_grm
 
     pk, rng = _data()
     theta = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
@@ -110,6 +110,14 @@ def cases():
     yield ("loglik_grm_train", "vmap",
            lambda: vmapped(pallas_grm.masked_loglik_grm_packed_train,
                            3)(theta, a, kappa, pk_grm))
+    kap_pc = links.gpcm_cumsteps(
+        jnp.asarray(rng.standard_normal((M, 4)), jnp.float32))
+    yield ("loglik_gpcm_train", "plain",
+           lambda: grad_sum(pallas_gpcm.masked_loglik_gpcm_packed_train,
+                            theta, a, kap_pc, pk_grm))
+    yield ("loglik_gpcm_train", "vmap",
+           lambda: vmapped(pallas_gpcm.masked_loglik_gpcm_packed_train,
+                           3)(theta, a, kap_pc, pk_grm))
     yield ("encoder_first_layer", "plain",
            lambda: jax.jit(jax.grad(
                lambda wr: pallas_encoder.packed_first_layer(

@@ -450,7 +450,7 @@ def test_laplace_width_tracks_information():
     assert (sd_full < 1.0).all()
 
 
-@pytest.mark.parametrize("irt_model", ["1pl", "2pl", "3pl", "grm"])
+@pytest.mark.parametrize("irt_model", ["1pl", "2pl", "3pl", "grm", "gpcm"])
 def test_laplace_weighted_c0_equals_closed_form(irt_model):
     """laplace-w with the head's c-block forced to 0 must reproduce the
     closed-form Laplace covariance at the SAME theta mean — the family
@@ -458,7 +458,7 @@ def test_laplace_weighted_c0_equals_closed_form(irt_model):
     linear link including the graded model."""
     from vibo_tpu import evaluation
     from vibo_tpu.ops import distributions as dist
-    c = 4 if irt_model == "grm" else 2
+    c = 4 if irt_model in ("grm", "gpcm") else 2
     sim = simulate_irt(irt_model, N, M, ability_dim=K, seed=6,
                        missing_rate=0.2, num_categories=c)
     cfg = VIBOConfig(num_items=M, irt_model=irt_model, ability_dim=K,

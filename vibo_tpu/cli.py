@@ -34,16 +34,16 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("dataset",
-                   help="synthetic-{1pl,2pl,3pl,nonlinear,grm} | pisa "
+                   help="synthetic-{1pl,2pl,3pl,nonlinear,grm,gpcm} | pisa "
                         "| duolingo | wordbank "
                         "| critlangacq | gradescope")
     p.add_argument("--num-persons", type=int, default=1000)
     p.add_argument("--num-items", type=int, default=100)
     p.add_argument("--ability-dim", type=int, default=1)
     p.add_argument("--num-categories", type=int, default=5,
-                   help="ordinal categories C for the graded response model "
-                        "(synthetic-grm data / --irt-model grm); binary "
-                        "links ignore this")
+                   help="ordinal categories C for the polytomous families "
+                        "(synthetic-{grm,gpcm} data / --irt-model grm|gpcm);"
+                        " binary links ignore this")
     p.add_argument("--artificial-missing-perc", type=float, default=0.1,
                    help="fraction of observed cells hidden for imputation eval")
     p.add_argument("--missing-rate", type=float, default=0.0,
@@ -68,7 +68,7 @@ def _load(args):
     if args.dataset.startswith("synthetic-"):
         model = args.dataset.split("-", 1)[1]
         kw = ({"num_categories": args.num_categories}
-              if model == "grm" else {})
+              if model in ("grm", "gpcm") else {})
         sim = simulate_irt(model, args.num_persons, args.num_items,
                            ability_dim=args.ability_dim, seed=args.seed,
                            missing_rate=args.missing_rate, **kw)
@@ -80,13 +80,14 @@ def _load(args):
     ds = load_dataset(args.dataset, data_dir=args.data_dir,
                       holdout_frac=args.artificial_missing_perc,
                       seed=args.seed,
-                      # gradescope --irt-model grm --num-categories C:
-                      # polytomous partial credit for the graded response
-                      # model (loaders.py); binary links load binarized
+                      # gradescope --irt-model grm|gpcm
+                      # --num-categories C: polytomous partial credit for
+                      # the graded/partial-credit families (loaders.py);
+                      # binary links load binarized
                       num_categories=(
                           args.num_categories
-                          if getattr(args, "irt_model", None) == "grm"
-                          else None))
+                          if getattr(args, "irt_model", None)
+                          in ("grm", "gpcm") else None))
     return ds, None
 
 
@@ -118,10 +119,10 @@ def cmd_train(args):
         ds, test_items_ds = split_items(ds, test_frac=args.eval_new_items,
                                         seed=args.seed)
     n, m = ds.shape
-    if (ds.num_categories > 2) != (args.irt_model == "grm"):
+    if (ds.num_categories > 2) != (args.irt_model in ("grm", "gpcm")):
         raise SystemExit(
             f"dataset has {ds.num_categories} response categories but "
-            f"--irt-model {args.irt_model}: polytomous data needs grm, "
+            f"--irt-model {args.irt_model}: polytomous data needs grm/gpcm, "
             f"binary data a binary link (1pl/2pl/3pl/deep)")
     model = VIBO(VIBOConfig(
         num_items=m, irt_model=args.irt_model, ability_dim=args.ability_dim,
@@ -132,11 +133,13 @@ def cmd_train(args):
         theta_posterior=getattr(args, "theta_posterior", "diag"),
         item_encoder=getattr(args, "item_encoder", False),
         item_latent_dim=args.item_latent_dim,
-        # grm runs its own one-pass fused graded kernel (ops/pallas_grm.py)
-        # plus the packed int8 fused ENCODER first layer — its decode
-        # (mask, category) is the same clamp pair
+        # grm/gpcm run their own one-pass fused polytomous kernels
+        # (ops/pallas_grm.py, ops/pallas_gpcm.py) plus the packed int8
+        # fused ENCODER first layer — their decode (mask, category) is the
+        # same clamp pair
         use_pallas=(jax.default_backend() == "tpu"
-                    and args.irt_model in ("1pl", "2pl", "3pl", "grm"))))
+                    and args.irt_model in ("1pl", "2pl", "3pl", "grm",
+                                           "gpcm"))))
     mesh = None
     if args.data_parallel and jax.device_count() > 1:
         from vibo_tpu.parallel import make_mesh
@@ -248,15 +251,20 @@ def cmd_train(args):
             summary["theta_pearson"] = round(evaluation.correlation(
                 theta_hat[:sim.theta.shape[0]], sim.theta,
                 align_rotation=True)["pearson"], 4)
-            if "b" in items and args.irt_model == "grm":
-                # recover the ORDERED thresholds from the unconstrained
-                # posterior means before correlating with sim.b (kappa)
+            if "b" in items and args.irt_model in ("grm", "gpcm"):
+                # recover the family's table (grm: ORDERED thresholds vs
+                # sim.b = kappa; gpcm: cumulative steps vs cumsum of
+                # sim.b = the delta steps) from the unconstrained posterior
+                # means before correlating
                 from vibo_tpu.ops import links as _links
                 import jax.numpy as _jnp
-                kappa_hat = np.asarray(_links.grm_thresholds(
+                kappa_hat = np.asarray(_links.categorical_table(
+                    args.irt_model,
                     _jnp.asarray(items["b"])))[:sim.b.shape[0]]
+                sim_tab = (sim.b if args.irt_model == "grm"
+                           else np.cumsum(sim.b, -1))
                 summary["b_pearson"] = round(evaluation.correlation(
-                    kappa_hat.ravel(), sim.b.ravel())["pearson"], 4)
+                    kappa_hat.ravel(), sim_tab.ravel())["pearson"], 4)
             elif "b" in items:
                 summary["b_pearson"] = round(evaluation.correlation(
                     items["b"][:sim.b.shape[0], 0], sim.b)["pearson"], 4)
@@ -308,10 +316,10 @@ def cmd_baseline(args):
             "the deep link has no closed-form MLE/EM baseline (nonlinear "
             "decoder); only --method hmc samples it, under a trained decoder")
     if args.irt_model != "deep" and \
-            (ds.num_categories > 2) != (args.irt_model == "grm"):
+            (ds.num_categories > 2) != (args.irt_model in ("grm", "gpcm")):
         raise SystemExit(
             f"dataset has {ds.num_categories} response categories but "
-            f"--irt-model {args.irt_model}: polytomous data needs grm, "
+            f"--irt-model {args.irt_model}: polytomous data needs grm/gpcm, "
             f"binary data a binary link")
     if args.method == "mle" or args.method == "map":
         from vibo_tpu.models import mle
@@ -538,7 +546,7 @@ def cmd_compare(args):
                           if method == "hmc" and getattr(args, "hmc_cache",
                                                          None)
                           else None)
-        if args.irt_model in ("1pl", "2pl", "3pl", "grm"):
+        if args.irt_model in ("1pl", "2pl", "3pl", "grm", "gpcm"):
             b_args.irt_model = args.irt_model
         elif method == "hmc":
             # deep: HMC samples (theta, d) under the decoder the VIBO run
@@ -654,12 +662,13 @@ def cmd_compare(args):
             if "_b_hat" in r and "_b_hat" in hmc_row:
                 b_r = np.asarray(r["_b_hat"])
                 b_ref = np.asarray(hmc_row["_b_hat"])
-                if args.irt_model == "grm":
+                if args.irt_model in ("grm", "gpcm"):
                     from vibo_tpu.ops import links as _links
                     import jax.numpy as _jnp
-                    b_r = np.asarray(_links.grm_thresholds(_jnp.asarray(b_r)))
-                    b_ref = np.asarray(_links.grm_thresholds(
-                        _jnp.asarray(b_ref)))
+                    b_r = np.asarray(_links.categorical_table(
+                        args.irt_model, _jnp.asarray(b_r)))
+                    b_ref = np.asarray(_links.categorical_table(
+                        args.irt_model, _jnp.asarray(b_ref)))
                 if b_r.size == b_ref.size:
                     r["b_vs_hmc"] = round(evaluation.correlation(
                         b_r.ravel(), b_ref.ravel())["pearson"], 4)
@@ -831,7 +840,7 @@ def main(argv=None):
     t = sub.add_parser("train", help="train + evaluate a VIBO model")
     _add_common(t)
     t.add_argument("--irt-model", default="2pl",
-                   choices=["1pl", "2pl", "3pl", "grm", "deep"])
+                   choices=["1pl", "2pl", "3pl", "grm", "gpcm", "deep"])
     t.add_argument("--hidden-dim", type=int, default=256)
     t.add_argument("--item-latent-dim", type=int, default=16)
     t.add_argument("--lr", type=float, default=5e-3)
@@ -909,7 +918,7 @@ def main(argv=None):
     b.add_argument("--method", required=True,
                    choices=["mle", "map", "em", "hmc"])
     b.add_argument("--irt-model", default="2pl",
-                   choices=["1pl", "2pl", "3pl", "grm", "deep"])
+                   choices=["1pl", "2pl", "3pl", "grm", "gpcm", "deep"])
     b.add_argument("--deep-ckpt", default=None,
                    help="--irt-model deep + --method hmc: checkpoint "
                         "(best.npz from a deep `train --out-dir`) whose "
@@ -939,7 +948,7 @@ def main(argv=None):
                             "dataset (accuracy, recovery, wall-clock)")
     _add_common(c)
     c.add_argument("--irt-model", default="2pl",
-                   choices=["1pl", "2pl", "3pl", "grm", "deep"])
+                   choices=["1pl", "2pl", "3pl", "grm", "gpcm", "deep"])
     c.add_argument("--methods", default="mle,em,hmc",
                    help="comma-separated baselines to include")
     c.add_argument("--hidden-dim", type=int, default=256)

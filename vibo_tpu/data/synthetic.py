@@ -113,6 +113,58 @@ def simulate_grm(num_persons: int, num_items: int, ability_dim: int = 1,
                         seed=seed, num_categories=c)
 
 
+def simulate_gpcm(num_persons: int, num_items: int, ability_dim: int = 1,
+                  num_categories: int = 5, seed: int = 0,
+                  missing_rate: float = 0.0) -> SyntheticIRT:
+    """Simulate ordinal responses under Muraki's generalized partial credit
+    model (the second classical polytomous family next to the graded model):
+
+      P(r_ij = c) = softmax_c( c * a_j . theta_i - sum_{v <= c} delta_jv ).
+
+    Step parameters delta_jv ~ N(beta_j, 0.5^2) around an item location
+    beta_j ~ N(0, 1) — the model's natural unconstrained coordinates
+    (ops.links.gpcm_cumsteps; steps need no ordering), chosen so categories
+    stay populated under theta ~ N(0, I). Sampling streams person blocks
+    (the (B, M, C) probability tensor never exceeds ~block x M x C f32) and
+    uses one uniform per cell against the category CDF. The `b` field holds
+    the delta steps; `prob` the expected normalized score E[r]/(C-1)."""
+    rng = np.random.default_rng(seed)
+    k, c = ability_dim, num_categories
+    if c < 3:
+        raise ValueError("simulate_gpcm needs num_categories >= 3")
+    theta = rng.standard_normal((num_persons, k)).astype(np.float32)
+    a = (rng.standard_normal((num_items, k)) / np.sqrt(k)).astype(np.float32)
+    beta = rng.standard_normal((num_items, 1))
+    delta = (beta + 0.5 * rng.standard_normal((num_items, c - 1))
+             ).astype(np.float32)
+    kap = np.cumsum(delta, -1)                                # (M, C-1)
+    cats = np.arange(1, c, dtype=np.float32)
+    response = np.empty((num_persons, num_items), np.float32)
+    expected = np.empty((num_persons, num_items), np.float32)
+    for s in range(0, num_persons, 2048):
+        e = min(s + 2048, num_persons)
+        base = theta[s:e] @ a.T                               # (B, M)
+        z = base[..., None] * cats - kap[None]                # (B, M, C-1)
+        z = np.concatenate(
+            [np.zeros(z.shape[:-1] + (1,), np.float32), z], -1)
+        z -= z.max(-1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(-1, keepdims=True)                         # (B, M, C)
+        cdf = np.cumsum(p[..., :-1], -1)                      # P(r <= c)
+        u = rng.random((e - s, num_items, 1), np.float32)
+        response[s:e] = (u > cdf).sum(-1)
+        expected[s:e] = (p * np.arange(c, dtype=np.float32)).sum(-1) / (c - 1)
+    if missing_rate > 0.0:
+        mask = (rng.random((num_persons, num_items))
+                >= missing_rate).astype(np.float32)
+    else:
+        mask = np.ones((num_persons, num_items), dtype=np.float32)
+    response = response * mask
+    return SyntheticIRT(response=response, mask=mask, theta=theta, a=a,
+                        b=delta, g_hat=None, prob=expected, irt_model="gpcm",
+                        seed=seed, num_categories=c)
+
+
 def simulate_irt(irt_model: str, num_persons: int, num_items: int,
                  ability_dim: int = 1, seed: int = 0,
                  missing_rate: float = 0.0,
@@ -121,14 +173,17 @@ def simulate_irt(irt_model: str, num_persons: int, num_items: int,
     under the NONLINEAR deep generative family ("nonlinear": fixed random
     tanh-MLP + multiplicative interaction link over (theta_i, d_j) — the
     data regime where the deep link earns its existence; see
-    _nonlinear_logits), or ordinal responses under "grm" (simulate_grm;
-    num_categories applies only there)."""
+    _nonlinear_logits), or ordinal responses under "grm" / "gpcm"
+    (simulate_grm / simulate_gpcm; num_categories applies only there)."""
     if irt_model == "grm":
         return simulate_grm(num_persons, num_items, ability_dim,
                             num_categories, seed, missing_rate)
+    if irt_model == "gpcm":
+        return simulate_gpcm(num_persons, num_items, ability_dim,
+                             num_categories, seed, missing_rate)
     if irt_model not in ("1pl", "2pl", "3pl", "nonlinear"):
-        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl/nonlinear/grm, "
-                         f"got {irt_model!r}")
+        raise ValueError(f"simulate_irt supports 1pl/2pl/3pl/nonlinear/grm/"
+                         f"gpcm, got {irt_model!r}")
     rng = np.random.default_rng(seed)
     k = ability_dim
     theta = rng.standard_normal((num_persons, k)).astype(np.float32)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.stats
 
+from vibo_tpu.ops import links
+
 from vibo_tpu.data.masking import Dataset
 from vibo_tpu.models.vibo import VIBO
 
@@ -191,7 +193,7 @@ def _impute_stats_fn(cfg):
     @jax.jit
     def stats(params, item_mean, code):
         resp, tmask, hmask = _decode_bits(code, c)
-        if cfg.irt_model == "grm":
+        if cfg.irt_model in links.CATEGORICAL_MODELS:
             pred = model.impute_category_with_items(
                 params, resp, tmask, item_mean).astype(jnp.float32)
         else:
@@ -378,17 +380,17 @@ def _refine_theta_fn(cfg, steps: int, num_samples: int, lr: float):
     from vibo_tpu.models import networks
     from vibo_tpu.ops import distributions as dist
     from vibo_tpu.ops import likelihood as lik_ops
-    from vibo_tpu.ops import links
 
     def loglik(theta, items, resp, tmask):
         if cfg.irt_model == "deep":
             logits = networks.apply_deep_link(items["__deep__"], theta,
                                               items["d"], item_chunk=256)
             return lik_ops.masked_loglik_per_person(logits, resp, tmask)
-        if cfg.irt_model == "grm":
-            return lik_ops.graded_loglik_per_person(
-                links.grm_base(theta, items["a"]),
-                links.grm_thresholds(items["b"]), resp, tmask)
+        if cfg.irt_model in links.CATEGORICAL_MODELS:
+            return lik_ops.categorical_loglik_per_person(
+                cfg.irt_model, links.grm_base(theta, items["a"]),
+                links.categorical_table(cfg.irt_model, items["b"]),
+                resp, tmask)
         b = items["b"].reshape(-1)                  # item means carry a
         g = (items["g_hat"].reshape(-1)             # trailing param axis
              if cfg.irt_model == "3pl" else None)
@@ -588,7 +590,7 @@ def laplace_theta_sigma(model: VIBO, params, ds: Dataset,
     frame transport). The deep link routes to laplace_sigma_deep (the same
     Fisher/Gauss-Newton information with the link Jacobian from autodiff)."""
     cfg = model.cfg
-    if cfg.irt_model not in ("1pl", "2pl", "3pl", "grm", "deep"):
+    if cfg.irt_model not in ("1pl", "2pl", "3pl", "grm", "gpcm", "deep"):
         raise ValueError(
             f"laplace_theta_sigma: unknown link {cfg.irt_model!r}")
     items = full_item_mean(model, params, ds)
@@ -621,6 +623,11 @@ def laplace_sigma_from_items(items: dict, irt_model: str, mask, theta,
                                               -1)], -1)
         m = kappa.shape[0]
         b = None
+    elif irt_model == "gpcm":
+        # kap (M, C-1) cumulative step sums from the unconstrained means
+        kappa = np.cumsum(np.asarray(items["b"], np.float64), -1)
+        m = kappa.shape[0]
+        b = None
     else:
         b = np.asarray(items["b"], np.float64).reshape(-1)
         m = b.shape[0]
@@ -634,6 +641,32 @@ def laplace_sigma_from_items(items: dict, irt_model: str, mask, theta,
     factors = np.empty((n, k, k)) if return_factor else None
     eye = np.eye(k)
     for s, e in _person_blocks(n, block_size):
+        if irt_model == "gpcm":
+            # expected Fisher info wrt eta for the partial-credit
+            # likelihood: the score is r - E[c], so w = Var[c] under the
+            # category softmax (ops.likelihood.gpcm_fisher_weight's numpy
+            # twin)
+            eta = theta[s:e] @ a.T                          # (B, M)
+            cats = np.arange(1, kappa.shape[-1] + 1, dtype=np.float64)
+            z = eta[..., None] * cats - kappa[None]         # (B, M, C-1)
+            z = np.concatenate(
+                [np.zeros(z.shape[:-1] + (1,)), z], -1)
+            z -= z.max(-1, keepdims=True)
+            pcat = np.exp(z)
+            pcat /= pcat.sum(-1, keepdims=True)             # (B, M, C)
+            call = np.arange(pcat.shape[-1], dtype=np.float64)
+            e1 = (pcat * call).sum(-1)
+            w = (pcat * call * call).sum(-1) - e1 * e1      # Var[c]
+            flat = (mask[s:e] * w) @ a2
+            info = np.empty((e - s, k, k))
+            info[:, iu[0], iu[1]] = flat
+            info[:, iu[1], iu[0]] = flat
+            info += eye[None]
+            cov = np.linalg.inv(info)
+            sds[s:e] = np.sqrt(np.diagonal(cov, axis1=1, axis2=2))
+            if return_factor:
+                factors[s:e] = np.linalg.cholesky(cov)
+            continue
         if irt_model == "grm":
             # expected Fisher info wrt eta for the graded likelihood:
             # w = sum_c (s'_c - s'_{c+1})^2 / P_c with s_c = sigmoid(eta -
@@ -808,7 +841,7 @@ def _calib_stats_fn(cfg, bins: int):
     @jax.jit
     def stats(params, item_mean, code):
         resp, tmask, hmask = _decode_bits(code, cfg.num_categories)
-        if cfg.irt_model == "grm":
+        if cfg.irt_model in links.CATEGORICAL_MODELS:
             # multiclass calibration: confidence = max category probability,
             # correct = argmax category match, Brier = sum_c (p_c - 1[r=c])^2
             mu, _, _ = model.encode(params, resp, tmask, item_mean)
@@ -1033,7 +1066,7 @@ def _impute_stats_sharded_fn(cfg, mesh, bins: int):
 
     def local(params, item_mean, code):
         resp, tmask, hmask = _decode_bits(code, cfg.num_categories)
-        if cfg.irt_model == "grm":
+        if cfg.irt_model in links.CATEGORICAL_MODELS:
             # the sharded counterpart of _calib_stats_fn's multiclass branch
             mu, _, _ = model.encode(params, resp, tmask, item_mean)
             logp = model.category_logprobs(params, mu, item_mean)

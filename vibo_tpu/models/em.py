@@ -50,9 +50,9 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class EMConfig:
-    irt_model: str = "2pl"         # 1pl | 2pl | 3pl | grm
+    irt_model: str = "2pl"         # 1pl | 2pl | 3pl | grm | gpcm
     ability_dim: int = 1           # K>1 (2pl only): tensor-product GH grid
-    num_categories: int = 2        # grm only: C response categories
+    num_categories: int = 2        # grm/gpcm only: C response categories
     num_quadrature: int = 61       # per-dim nodes at K=1
     nodes_per_dim: int = 0         # per-dim nodes at K>1; 0 = auto
                                    # (21 at K=2, 13 at K=3, 9 at K=4)
@@ -245,26 +245,33 @@ def m_step_3pl(resp, mask, post, nodes, a, b, g_hat, newton_steps,
     return a, b, g_hat
 
 
-def _grm_node_logprob(nodes, a, b_free):
-    """(Q, M, C) log P(r = c | theta_q, a_j, kappa_j) over the GH nodes.
+def _categorical_node_logprob(irt_model, nodes, a, b_free):
+    """(Q, M, C) log P(r = c | theta_q, a_j, b_free_j) over the GH nodes.
 
-    K=1 classical: base_qj = x_q * a_j; thresholds go through the shared
-    unconstrained->ordered map (links.grm_thresholds)."""
+    K=1 classical: base_qj = x_q * a_j; the unconstrained item coordinates
+    go through the shared family map (links.categorical_table: ordered grm
+    thresholds / gpcm cumulative steps)."""
     from vibo_tpu.ops import likelihood as lik
     from vibo_tpu.ops import links
     base = nodes[:, None] * a[None, :]                 # (Q, M)
-    kappa = links.grm_thresholds(b_free)               # (M, C-1)
-    return lik.graded_logprob_all(base, kappa)         # (Q, M, C)
+    table = links.categorical_table(irt_model, b_free)  # (M, C-1)
+    return lik.categorical_logprob_all(irt_model, base, table)
 
 
-def e_step_grm(resp, mask, nodes, log_w, a, b_free, num_categories):
-    """Graded E-step: posterior node weights (N, Q) + marginal loglik.
+def _grm_node_logprob(nodes, a, b_free):
+    """Back-compat alias (pre-round-5 result dicts): the graded node table."""
+    return _categorical_node_logprob("grm", nodes, a, b_free)
+
+
+def e_step_grm(resp, mask, nodes, log_w, a, b_free, num_categories,
+               irt_model="grm"):
+    """Polytomous E-step: posterior node weights (N, Q) + marginal loglik.
 
     One masked indicator matmul per category c: (N, M) @ (M, Q) against the
     node log-prob table's category-c slice — C small/static, so the loop
-    unrolls into C MXU matmuls (same shape strategy as the graded training
-    likelihood, ops/likelihood.py)."""
-    logp = _grm_node_logprob(nodes, a, b_free)         # (Q, M, C)
+    unrolls into C MXU matmuls (same shape strategy as the polytomous
+    training likelihoods, ops/likelihood.py)."""
+    logp = _categorical_node_logprob(irt_model, nodes, a, b_free)
     ll_nq = jnp.zeros((resp.shape[0], nodes.shape[0]), resp.dtype)
     for c in range(num_categories):
         ind = mask * (resp == c)
@@ -275,9 +282,20 @@ def e_step_grm(resp, mask, nodes, log_w, a, b_free, num_categories):
     return post, log_marg.sum()
 
 
-def m_step_grm(n_qjc, nodes, a, b_free, newton_steps):
+def m_step_grm(n_qjc, nodes, a, b_free, newton_steps, irt_model="grm",
+               prior_var=None):
     """Per-item damped Newton over (a_j, b_free_j) on the expected
-    complete-data graded loglik.
+    complete-data polytomous (grm/gpcm) loglik.
+
+    prior_var: optional N(0, prior_var) MAP ridge on the unconstrained
+    (a, b_free) — the BILOG-style stabilization the 3PL guess logit gets.
+    The partial-credit family NEEDS it: its category-c predictor scales the
+    cumulative steps, so items whose boundary categories are rarely
+    observed have near-flat marginal likelihood in the top steps and
+    unregularized MML drifts them to +-15-20 (measured at 600 x 40, C=5:
+    kappa recovery 0.86 unregularized vs 0.98 with the same N(0,1) prior
+    every other method in the framework places on these coordinates).
+    None (the graded default) preserves the pure-MML estimates.
 
     Sufficient stats n_qjc (Q, M, C) = sum_i post_iq mask_ij 1[r_ij = c].
     The per-item objective f_j(a, b_free) = sum_{q,c} n[q,j,c] log P(c |
@@ -293,9 +311,13 @@ def m_step_grm(n_qjc, nodes, a, b_free, newton_steps):
     def obj(p, n_qc):
         aj, bf = p[0], p[1:]
         base = (nodes * aj)[:, None]                   # (Q, 1)
-        kappa = links.grm_thresholds(bf[None, :])      # (1, C-1)
-        logp = lik.graded_logprob_all(base, kappa)[:, 0, :]   # (Q, C)
-        return (n_qc * logp).sum()
+        table = links.categorical_table(irt_model, bf[None, :])  # (1, C-1)
+        logp = lik.categorical_logprob_all(irt_model, base,
+                                           table)[:, 0, :]      # (Q, C)
+        out = (n_qc * logp).sum()
+        if prior_var is not None:
+            out = out - 0.5 * jnp.square(p).sum() / prior_var
+        return out
 
     grad_fn = jax.vmap(jax.grad(obj))
     hess_fn = jax.vmap(jax.hessian(obj))
@@ -347,11 +369,11 @@ def _grm_threshold_init(resp, mask, num_categories):
 def fit_em(resp, mask, cfg: EMConfig):
     """Run EM to convergence. Returns dict with a, b [, g_hat], theta_eap,
     log_marginal, iterations."""
-    if cfg.irt_model not in ("1pl", "2pl", "3pl", "grm"):
-        raise ValueError(
-            "EM baseline supports irt_model in {'1pl','2pl','3pl','grm'}")
-    if cfg.irt_model == "grm":
-        return _fit_em_grm(resp, mask, cfg)
+    if cfg.irt_model not in ("1pl", "2pl", "3pl", "grm", "gpcm"):
+        raise ValueError("EM baseline supports irt_model in "
+                         "{'1pl','2pl','3pl','grm','gpcm'}")
+    if cfg.irt_model in ("grm", "gpcm"):
+        return _fit_em_categorical(resp, mask, cfg)
     k = cfg.ability_dim
     if k > 1 and cfg.irt_model != "2pl":
         raise ValueError(
@@ -446,18 +468,39 @@ def fit_em(resp, mask, cfg: EMConfig):
     return out
 
 
-def _fit_em_grm(resp, mask, cfg: EMConfig):
-    """Bock-Aitkin MML for the graded response model (classical K=1).
+def _gpcm_step_init(resp, mask, num_categories):
+    """Moment-matched GPCM step init from adjacent-category proportions.
+
+    At theta = 0 the model says P(c) / P(c-1) = exp(-delta_c), so
+    delta_c = log(P(c-1) / P(c)); empirical per-item category counts with
+    +0.5 smoothing keep empty categories finite."""
+    deltas = []
+    prev = (mask * (resp == 0)).sum(0) + 0.5              # (M,)
+    for c in range(1, num_categories):
+        cur = (mask * (resp == c)).sum(0) + 0.5
+        deltas.append(np.log(np.asarray(prev) / np.asarray(cur)))
+        prev = cur
+    return jnp.asarray(np.stack(deltas, axis=-1), jnp.float32)  # (M, C-1)
+
+
+def _fit_em_categorical(resp, mask, cfg: EMConfig):
+    """Bock-Aitkin MML for the polytomous families (classical K=1): the
+    graded response model and the generalized partial credit model share
+    the E-step (indicator matmuls against the family's node log-prob table)
+    and the vmapped damped-Newton M-step over (a, b_free) in the SAME
+    unconstrained coordinates VIBO/MLE/HMC use.
 
     Same chunked-scan convergence loop as the binary fit_em; returns the
-    item estimates in the shared unconstrained coordinates ("b" = b_free,
-    as in MLE/VIBO/HMC) plus the ordered "kappa" for inspection."""
+    item estimates in the shared unconstrained coordinates ("b" = b_free)
+    plus the family's table ("kappa" ordered thresholds for grm, "kap"
+    cumulative steps for gpcm) for inspection."""
+    fam = cfg.irt_model
     if cfg.ability_dim > 1:
-        raise ValueError("graded EM is K=1 classical (like 1PL/3PL); use "
-                         "VIBO/MLE/HMC for multidimensional grm")
+        raise ValueError(f"{fam} EM is K=1 classical (like 1PL/3PL); use "
+                         f"VIBO/MLE/HMC for multidimensional {fam}")
     c = cfg.num_categories
     if c < 3:
-        raise ValueError(f"grm EM needs num_categories >= 3, got {c} "
+        raise ValueError(f"{fam} EM needs num_categories >= 3, got {c} "
                          "(binary data is the 1pl/2pl/3pl family)")
     resp = jnp.asarray(resp, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
@@ -465,14 +508,20 @@ def _fit_em_grm(resp, mask, cfg: EMConfig):
     nodes, w = gauss_hermite_nodes(cfg.num_quadrature)
     log_w = jnp.log(w)
     a0 = jnp.ones((m,), jnp.float32)
-    b0 = _grm_threshold_init(resp, mask, c)
+    b0 = (_grm_threshold_init(resp, mask, c) if fam == "grm"
+          else _gpcm_step_init(resp, mask, c))
+    # gpcm: MAP ridge on the unconstrained item coordinates (see
+    # m_step_grm prior_var); grm keeps pure MML
+    prior_var = 1.0 if fam == "gpcm" else None
 
     def one_iter(params):
         a, b_free = params
-        post, ll = e_step_grm(resp, mask, nodes, log_w, a, b_free, c)
+        post, ll = e_step_grm(resp, mask, nodes, log_w, a, b_free, c,
+                              irt_model=fam)
         n_qjc = jnp.stack(
             [post.T @ (mask * (resp == cat)) for cat in range(c)], axis=-1)
-        a2, b2 = m_step_grm(n_qjc, nodes, a, b_free, cfg.newton_steps)
+        a2, b2 = m_step_grm(n_qjc, nodes, a, b_free, cfg.newton_steps,
+                            irt_model=fam, prior_var=prior_var)
         return (a2, b2), ll
 
     chunk = max(1, min(cfg.host_chunk, cfg.max_iters))
@@ -487,7 +536,8 @@ def _fit_em_grm(resp, mask, cfg: EMConfig):
     @jax.jit
     def final_e_step(params):
         a, b_free = params
-        return e_step_grm(resp, mask, nodes, log_w, a, b_free, c)
+        return e_step_grm(resp, mask, nodes, log_w, a, b_free, c,
+                          irt_model=fam)
 
     params = (a0, b0)
     prev = -np.inf
@@ -505,8 +555,10 @@ def _fit_em_grm(resp, mask, cfg: EMConfig):
     a, b_free = params
     post, ll = final_e_step(params)
     from vibo_tpu.ops import links
+    table_key = "kappa" if fam == "grm" else "kap"
     return {"a": np.asarray(a), "b": np.asarray(b_free),
-            "kappa": np.asarray(links.grm_thresholds(b_free)),
+            table_key: np.asarray(links.categorical_table(fam, b_free)),
+            "irt_model": fam,
             "theta_eap": np.asarray(post @ nodes),
             "log_marginal": float(ll), "iterations": iters,
             "num_categories": c, "nodes": np.asarray(nodes),
@@ -523,9 +575,13 @@ def response_prob(result, nodes=None):
         q = result["posterior_node_weights"].shape[1]
         nodes_arr, _ = gauss_hermite_nodes(q)
     post = jnp.asarray(result["posterior_node_weights"])
-    if "kappa" in result:                  # grm: E_q[P(r = c | theta_q, j)]
-        logp = _grm_node_logprob(nodes_arr, jnp.asarray(result["a"]),
-                                 jnp.asarray(result["b"]))   # (Q, M, C)
+    fam = result.get("irt_model")
+    if fam in ("grm", "gpcm") or "kappa" in result:
+        # polytomous: E_q[P(r = c | theta_q, j)] ("kappa" alone = a
+        # pre-round-5 graded result dict)
+        logp = _categorical_node_logprob(fam or "grm", nodes_arr,
+                                         jnp.asarray(result["a"]),
+                                         jnp.asarray(result["b"]))
         q, m, c = logp.shape
         probs = post @ jnp.exp(logp).reshape(q, m * c)
         return np.asarray(probs.reshape(post.shape[0], m, c))

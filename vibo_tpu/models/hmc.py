@@ -140,7 +140,7 @@ class HMCConfig:
 def _flatten_spec(n, m, cfg):
     if cfg.irt_model == "deep":
         return {"theta": (n, cfg.ability_dim), "d": (m, cfg.deep_latent_dim)}
-    if cfg.irt_model == "grm":
+    if cfg.irt_model in ("grm", "gpcm"):
         return {"theta": (n, cfg.ability_dim), "a": (m, cfg.ability_dim),
                 "b": (m, cfg.num_categories - 1)}
     spec = {"theta": (n, cfg.ability_dim), "b": (m,)}
@@ -221,15 +221,19 @@ def _per_person_fn(cfg: HMCConfig, m: int, use_pk: bool):
             return lik.masked_loglik_per_person(logits, data["resp"],
                                                 data["mask"])
         return per_person
-    if cfg.irt_model == "grm":
+    if cfg.irt_model in ("grm", "gpcm"):
         if use_pk:
-            raise ValueError("no fused packed kernel exists for the graded "
-                             "likelihood; grm runs the dense XLA potential")
+            raise ValueError(
+                "the polytomous potentials run dense XLA (fused graded/"
+                "partial-credit kernels exist for TRAINING but are not "
+                "wired into sampling; same performance posture as the deep "
+                "gate below)")
+        fam = cfg.irt_model
 
         def per_person(params, data):
-            return lik.graded_loglik_per_person(
-                links.grm_base(params["theta"], params["a"]),
-                links.grm_thresholds(params["b"]),
+            return lik.categorical_loglik_per_person(
+                fam, links.grm_base(params["theta"], params["a"]),
+                links.categorical_table(fam, params["b"]),
                 data["resp"], data["mask"])
         return per_person
     if use_pk:
@@ -336,7 +340,8 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
     # K > 1 linear links carry a CONTINUOUS O(K) gauge symmetry
     # (theta, a) -> (theta R, a R); see the rotation Gibbs move in step().
     # grm shares it: its base a.theta and its thresholds are R-invariant
-    do_rot = cfg.ability_dim > 1 and cfg.irt_model in ("2pl", "3pl", "grm")
+    do_rot = cfg.ability_dim > 1 and cfg.irt_model in ("2pl", "3pl", "grm",
+                                                        "gpcm")
     kdim = cfg.ability_dim
 
     per_person = _per_person_fn(cfg, m, use_pk)
@@ -631,11 +636,16 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
 
             def ridge_sweep(carry, kk):
                 theta_q, a_q, b_q = carry
-                # grm: b_q is (M, C-1) UNCONSTRAINED threshold coordinates;
+                # polytomous: b_q is (M, C-1) UNCONSTRAINED coordinates;
                 # the location ridge theta_k += c shifts the linear
-                # predictor by c*a_k, compensated by kappa_jc += c*a_jk for
-                # EVERY cutpoint — i.e. only b_q[:, 0] moves (the increments
-                # are shift-invariant), so the prior ratio sees b_q[:, 0]
+                # predictor by c*a_k, compensated per family:
+                #   grm — kappa_jc += c*a_jk for EVERY cutpoint, and since
+                #   kappa = b0 + softplus-cumsum, only b_q[:, 0] moves (the
+                #   increments are shift-invariant): prior sees b_q[:, 0];
+                #   gpcm — the category-c logit is c*base - cumsum(delta)_c,
+                #   so cumsum(delta)_c += c*(cp*a_jk), i.e. EVERY step
+                #   column moves by cp*a_jk: prior sees all C-1 columns
+                #   (sum term b_q.sum(1).a, quadratic term x (C-1))
                 grm_b = b_q is not None and b_q.ndim == 2
                 for kd in range(kdim):
                     k1, k2, k3, k4 = (jax.random.fold_in(kk, 4 * kd + i)
@@ -654,17 +664,27 @@ def _chain_programs(key_cfg: HMCConfig, n: int, m: int):
                         ak = a_q[:, kd]
                     else:
                         ak = jnp.ones_like(b_q)
-                    b0 = b_q[:, 0] if grm_b else b_q
+                    if grm_b and cfg.irt_model == "gpcm":
+                        b0 = b_q.sum(1)
+                        ncols = b_q.shape[1]
+                    else:
+                        b0 = b_q[:, 0] if grm_b else b_q
+                        ncols = 1
                     cp = sig_c * jax.random.normal(k3)
                     logr = -0.5 * (2 * cp * theta_q[:, kd].sum()
                                    + n * cp * cp
                                    + 2 * cp * (b0 * ak).sum()
-                                   + cp * cp * jnp.square(ak).sum())
+                                   + ncols * cp * cp
+                                   * jnp.square(ak).sum())
                     ok = jnp.log(jax.random.uniform(k4)) < logr
                     cc = jnp.where(ok, cp, 0.0)
                     theta_q = theta_q.at[:, kd].add(cc)
-                    b_q = (b_q.at[:, 0].add(cc * ak) if grm_b
-                           else b_q + cc * ak)
+                    if grm_b and cfg.irt_model == "gpcm":
+                        b_q = b_q + (cc * ak)[:, None]
+                    elif grm_b:
+                        b_q = b_q.at[:, 0].add(cc * ak)
+                    else:
+                        b_q = b_q + cc * ak
                 return (theta_q, a_q, b_q), None
 
             if do_ridge:
@@ -844,9 +864,10 @@ def _run_hmc_impl(resp, mask, cfg: HMCConfig, key=None, deep_params=None):
     if use_pk is None:
         from vibo_tpu.ops.pallas_elbo import _is_tpu
         use_pk = _is_tpu()
-        if cfg.irt_model == "grm":
-            use_pk = False          # dense XLA graded potential (see
-            # _per_person_fn: no fused graded kernel exists)
+        if cfg.irt_model in ("grm", "gpcm"):
+            use_pk = False          # dense XLA polytomous potential (see
+            # _per_person_fn: the fused training kernels are not wired
+            # into sampling)
         if cfg.irt_model == "deep":
             # The fused deep kernel does NOT auto-enable for sampling — a
             # PERFORMANCE decision, not a lowering bug (round-5 resolution
@@ -1216,11 +1237,12 @@ def posterior_mean_prob(samples: dict, irt_model: str,
             lambda ti, ai, bi: jax.nn.sigmoid(links.logits_2pl(ti, ai, bi))
         )(t, a, b).sum(0))
         args = ("theta", "a", "b")
-    elif irt_model == "grm":
+    elif irt_model in ("grm", "gpcm"):
         # (N, M, C) posterior-predictive CATEGORY probabilities
         chunk_sum = jax.jit(lambda t, a, b: jax.vmap(
-            lambda ti, ai, bi: jnp.exp(lik.graded_logprob_all(
-                links.grm_base(ti, ai), links.grm_thresholds(bi)))
+            lambda ti, ai, bi: jnp.exp(lik.categorical_logprob_all(
+                irt_model, links.grm_base(ti, ai),
+                links.categorical_table(irt_model, bi)))
         )(t, a, b).sum(0))
         args = ("theta", "a", "b")
     else:

@@ -25,7 +25,7 @@ from vibo_tpu.ops import links
 class MLEConfig:
     irt_model: str = "2pl"
     ability_dim: int = 1
-    num_categories: int = 2     # grm only
+    num_categories: int = 2     # grm/gpcm only
     map_prior: bool = True      # False => pure MLE
     lr: float = 0.05
     steps: int = 500
@@ -38,10 +38,10 @@ def init_point_params(key, num_persons, num_items, cfg: MLEConfig):
         "theta": 0.1 * jax.random.normal(k1, (num_persons, cfg.ability_dim)),
         "b": (0.1 * jax.random.normal(k3, (num_items,
                                            cfg.num_categories - 1))
-              if cfg.irt_model == "grm"
+              if cfg.irt_model in links.CATEGORICAL_MODELS
               else 0.1 * jax.random.normal(k3, (num_items,))),
     }
-    if cfg.irt_model in ("2pl", "3pl", "grm"):
+    if cfg.irt_model in ("2pl", "3pl", "grm", "gpcm"):
         params["a"] = (jax.random.normal(k2, (num_items, cfg.ability_dim))
                        / jnp.sqrt(cfg.ability_dim) * 0.5 + 0.0)
     if cfg.irt_model == "3pl":
@@ -52,12 +52,14 @@ def init_point_params(key, num_persons, num_items, cfg: MLEConfig):
 
 def neg_log_posterior(params, resp, mask, cfg: MLEConfig):
     theta = params["theta"]
-    if cfg.irt_model == "grm":
-        # "b" holds the UNCONSTRAINED threshold coordinates (links.
-        # grm_thresholds), exactly like the VIBO/HMC parameterization
-        ll = lik.graded_loglik_cells(
-            links.grm_base(theta, params["a"]),
-            links.grm_thresholds(params["b"]), resp, mask).sum()
+    if cfg.irt_model in links.CATEGORICAL_MODELS:
+        # "b" holds the UNCONSTRAINED coordinates (links.categorical_table:
+        # grm thresholds / gpcm steps), exactly like the VIBO/HMC
+        # parameterization
+        ll = lik.categorical_loglik_cells(
+            cfg.irt_model, links.grm_base(theta, params["a"]),
+            links.categorical_table(cfg.irt_model, params["b"]),
+            resp, mask).sum()
     else:
         if cfg.irt_model == "1pl":
             logits = links.logits_1pl(theta, params["b"])
@@ -100,11 +102,11 @@ def fit_mle(resp, mask, cfg: MLEConfig, key=None):
 
 
 def response_prob(params, cfg: MLEConfig):
-    """(N, M) predicted probabilities from the point estimates (grm:
+    """(N, M) predicted probabilities from the point estimates (grm/gpcm:
     (N, M, C) category probabilities)."""
     item = {k: v for k, v in params.items() if k != "theta"}
-    if cfg.irt_model == "grm":
-        return jnp.exp(lik.graded_logprob_all(
-            links.grm_base(params["theta"], item["a"]),
-            links.grm_thresholds(item["b"])))
+    if cfg.irt_model in links.CATEGORICAL_MODELS:
+        return jnp.exp(lik.categorical_logprob_all(
+            cfg.irt_model, links.grm_base(params["theta"], item["a"]),
+            links.categorical_table(cfg.irt_model, item["b"])))
     return links.response_prob(cfg.irt_model, params["theta"], item)

@@ -299,16 +299,17 @@ def item_head_spec(irt_model: str, ability_dim: int,
                    item_latent_dim: int = 0, num_categories: int = 2) -> dict:
     """Ordered {param_name: dim} for one item's parameters under each link.
 
-    grm: "b" holds the C-1 UNCONSTRAINED threshold coordinates
-    (links.grm_thresholds maps them to ordered cutpoints), so the Gaussian
-    prior/posterior machinery below is link-agnostic."""
+    grm / gpcm: "b" holds the C-1 UNCONSTRAINED coordinates (ordered
+    cutpoints via links.grm_thresholds for grm; raw partial-credit steps,
+    links.gpcm_cumsteps, for gpcm), so the Gaussian prior/posterior
+    machinery below is link-agnostic."""
     if irt_model == "1pl":
         return {"b": 1}
     if irt_model == "2pl":
         return {"a": ability_dim, "b": 1}
     if irt_model == "3pl":
         return {"a": ability_dim, "b": 1, "g_hat": 1}
-    if irt_model == "grm":
+    if irt_model in ("grm", "gpcm"):
         return {"a": ability_dim, "b": num_categories - 1}
     if irt_model == "deep":
         return {"d": item_latent_dim}
@@ -339,7 +340,7 @@ def init_item_posterior(key, num_items: int, irt_model: str, ability_dim: int,
     if irt_model == "3pl":
         return {"a": gauss(keys[0], ability_dim), "b": gauss(keys[1], 1),
                 "g_hat": gauss(keys[2], 1)}
-    if irt_model == "grm":
+    if irt_model in ("grm", "gpcm"):
         return {"a": gauss(keys[0], ability_dim),
                 "b": gauss(keys[1], num_categories - 1)}
     if irt_model == "deep":
@@ -352,6 +353,7 @@ def item_feat_dim(num_items: int, irt_model: str, ability_dim: int,
     """Flattened width of one item-parameter sample (encoder conditioning)."""
     dims = {"1pl": 1, "2pl": ability_dim + 1, "3pl": ability_dim + 2,
             "grm": ability_dim + num_categories - 1,
+            "gpcm": ability_dim + num_categories - 1,
             "deep": item_latent_dim}[irt_model]
     return num_items * dims
 
@@ -414,10 +416,13 @@ def condition_stat_mats(item_sample: dict, num_items: int,
         return s * d, s * d
     b = item_sample["b"]                                       # (M, 1)
     if b.shape[-1] > 1:
-        # grm: the C-1 unconstrained threshold coordinates collapse to the
-        # mean ORDERED cutpoint — the difficulty-like sufficient summary
+        # polytomous: the C-1 unconstrained coordinates collapse to the
+        # difficulty-like sufficient summary — the mean ORDERED cutpoint
+        # (grm) or the mean partial-credit step, i.e. the classical item
+        # location (gpcm)
         from vibo_tpu.ops import links as _links
-        b = _links.grm_thresholds(b).mean(-1, keepdims=True)
+        b = (_links.grm_thresholds(b).mean(-1, keepdims=True)
+             if irt_model == "grm" else b.mean(-1, keepdims=True))
     if irt_model == "1pl":
         return s * b, s * jnp.concatenate([b, b * b], -1)
     a = item_sample["a"]                                       # (M, K)

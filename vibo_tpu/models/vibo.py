@@ -70,8 +70,8 @@ def _mc_eps(one_sample, item_eps: dict, theta_eps: jax.Array):
 @dataclasses.dataclass(frozen=True)
 class VIBOConfig:
     num_items: int
-    irt_model: str = "2pl"              # 1pl | 2pl | 3pl | grm | deep
-    num_categories: int = 2             # grm only: ordinal categories C >= 3
+    irt_model: str = "2pl"              # 1pl | 2pl | 3pl | grm | gpcm | deep
+    num_categories: int = 2             # grm/gpcm: ordinal categories C >= 3
                                         # (responses in {0..C-1}; binary
                                         # links require the default 2). The
                                         # packed int8 code and the eval
@@ -187,15 +187,17 @@ class VIBOConfig:
                     "global column statistics the sharded encode paths "
                     "would have to re-psum (use the free-form item "
                     "posterior, or theta_posterior='chol')")
-        if self.irt_model == "grm":
+        if self.irt_model in links.CATEGORICAL_MODELS:
             if not 3 <= self.num_categories <= 32:
                 raise ValueError(
-                    "grm needs num_categories in [3, 32] (2 categories IS "
-                    f"the 2pl model), got {self.num_categories}")
+                    f"{self.irt_model} needs num_categories in [3, 32] "
+                    f"(2 categories IS the 2pl model), "
+                    f"got {self.num_categories}")
         elif self.num_categories != 2:
             raise ValueError(
-                f"num_categories={self.num_categories} only applies to "
-                f"irt_model='grm' (binary links are 2-category)")
+                f"num_categories={self.num_categories} only applies to the "
+                f"polytomous families {links.CATEGORICAL_MODELS} (binary "
+                f"links are 2-category)")
 
 
 class VIBO:
@@ -405,10 +407,11 @@ class VIBO:
         maskf = mask.astype(jnp.float32)
         if self._laplace_weighted:
             mu32 = mu.astype(jnp.float32)
-            if cfg.irt_model == "grm":
-                w = lik.graded_fisher_weight(
-                    links.grm_base(mu32, a),
-                    links.grm_thresholds(post["b"]["mu"]))
+            if cfg.irt_model in links.CATEGORICAL_MODELS:
+                w = lik.categorical_fisher_weight(
+                    cfg.irt_model, links.grm_base(mu32, a),
+                    links.categorical_table(cfg.irt_model,
+                                            post["b"]["mu"]))
             elif cfg.irt_model == "3pl":
                 w = lik.fisher_weight_3pl(
                     links.logits_2pl(mu32, a, post["b"]["mu"][:, 0]),
@@ -463,13 +466,14 @@ class VIBO:
 
     def _link_params(self, item_sample: dict) -> dict:
         """Item-sample dict -> link-function kwargs (squeeze scalar dims;
-        grm keeps its (M, C-1) unconstrained threshold block whole)."""
+        grm/gpcm keep their (M, C-1) unconstrained coordinate block whole)."""
         out = {}
         if "a" in item_sample:
             out["a"] = item_sample["a"]
         if "b" in item_sample:
             b = item_sample["b"]
-            out["b"] = b if self.cfg.irt_model == "grm" else b[..., 0]
+            out["b"] = (b if self.cfg.irt_model in links.CATEGORICAL_MODELS
+                        else b[..., 0])
         if "g_hat" in item_sample:
             out["g_hat"] = item_sample["g_hat"][..., 0]
         return out
@@ -485,10 +489,11 @@ class VIBO:
                 compute_dtype=jnp.dtype(cfg.compute_dtype))
             return lik.masked_loglik_per_person(logits, response, mask)
         lp = self._link_params(item_sample)
-        if cfg.irt_model == "grm":
+        if cfg.irt_model in links.CATEGORICAL_MODELS:
             base = links.grm_base(theta, lp["a"])
-            kappa = links.grm_thresholds(lp["b"])
-            return lik.graded_loglik_per_person(base, kappa, response, mask)
+            table = links.categorical_table(cfg.irt_model, lp["b"])
+            return lik.categorical_loglik_per_person(cfg.irt_model, base,
+                                                     table, response, mask)
         if cfg.use_pallas and cfg.irt_model in ("1pl", "2pl", "3pl"):
             from vibo_tpu.ops import pallas_elbo
             a = lp.get("a")
@@ -510,8 +515,8 @@ class VIBO:
                       ) -> jax.Array:
         """p(r_ij = 1) matrix (B, M) — used for imputation."""
         cfg = self.cfg
-        if cfg.irt_model == "grm":
-            raise ValueError("grm responses are polytomous: use "
+        if cfg.irt_model in links.CATEGORICAL_MODELS:
+            raise ValueError(f"{cfg.irt_model} responses are polytomous: use "
                              "category_logprobs / impute_category_with_items")
         if cfg.irt_model == "deep":
             return jax.nn.sigmoid(networks.apply_deep_link(
@@ -522,15 +527,18 @@ class VIBO:
 
     def category_logprobs(self, params: dict, theta: jax.Array,
                           item_sample: dict) -> jax.Array:
-        """GRM all-category log-probabilities -> (..., B, M, C). Evaluation
-        path (imputation argmax, calibration); the training path never
-        materializes the category axis (ops.likelihood.graded_loglik_cells)."""
+        """Polytomous all-category log-probabilities -> (..., B, M, C).
+        Evaluation path (imputation argmax, calibration); the training path
+        never materializes the category axis (ops.likelihood
+        .categorical_loglik_cells)."""
         del params
-        if self.cfg.irt_model != "grm":
-            raise ValueError("category_logprobs is the grm evaluation path")
+        if self.cfg.irt_model not in links.CATEGORICAL_MODELS:
+            raise ValueError("category_logprobs is the grm/gpcm evaluation "
+                             "path")
         lp = self._link_params(item_sample)
-        return lik.graded_logprob_all(links.grm_base(theta, lp["a"]),
-                                      links.grm_thresholds(lp["b"]))
+        return lik.categorical_logprob_all(
+            self.cfg.irt_model, links.grm_base(theta, lp["a"]),
+            links.categorical_table(self.cfg.irt_model, lp["b"]))
 
     # --------------------------------------------------------------- ELBO
 
@@ -616,6 +624,11 @@ class VIBO:
             # chains through the tiny softplus-cumsum in plain JAX
             return pallas_grm.masked_loglik_grm_packed_train(
                 theta, lp["a"], links.grm_thresholds(lp["b"]), packed)
+        if cfg.irt_model == "gpcm":
+            from vibo_tpu.ops import pallas_gpcm
+            # same pattern: the cumsum reparameterization chains outside
+            return pallas_gpcm.masked_loglik_gpcm_packed_train(
+                theta, lp["a"], links.gpcm_cumsteps(lp["b"]), packed)
         a = lp.get("a")
         if a is None:  # 1PL == 2PL with unit discriminations on summed
             # theta; sized from the data so item-sharded tiles work
@@ -729,7 +742,7 @@ class VIBO:
             from vibo_tpu.ops import pallas_deep
             return (self.cfg.deep_fused_kernel
                     and pallas_deep.supports(params["deep_link"]))
-        return self.cfg.irt_model in ("1pl", "2pl", "3pl", "grm")
+        return self.cfg.irt_model in ("1pl", "2pl", "3pl", "grm", "gpcm")
 
     def elbo_packed(self, params: dict, key: jax.Array, packed: jax.Array,
                     item_scale: float | jax.Array = 1.0, num_samples: int = 1,
@@ -1240,7 +1253,8 @@ class VIBO:
     def impute_category_with_items(self, params: dict, response: jax.Array,
                                    mask: jax.Array, item_mean: dict
                                    ) -> jax.Array:
-        """GRM imputation: most-probable category per cell -> (B, M) int32.
+        """Polytomous (grm/gpcm) imputation: most-probable category per
+        cell -> (B, M) int32.
 
         Same protocol as impute_prob_with_items (encode the train-visible
         responses, posterior means through the link), with the binary

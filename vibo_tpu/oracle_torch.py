@@ -115,6 +115,56 @@ class TorchVIBOGRM(nn.Module):
         return ll - kl_theta - kl_items
 
 
+class TorchVIBOGPCM(nn.Module):
+    """Torch-CPU partial-credit (GPCM) VIBO step — bench.py's CPU
+    denominator for --irt-model gpcm and the independent numerical oracle
+    for the JAX partial-credit stack (tests/test_oracle.py). Same generative
+    story as vibo_tpu's gpcm: adjacent-category softmax over
+    z_c = c * (a . theta) - cumsum(delta)_c with z_0 = 0
+    (ops/likelihood.py gpcm_*; steps are unconstrained)."""
+
+    def __init__(self, num_items: int, ability_dim: int = 4,
+                 hidden_dim: int = 256, num_categories: int = 5,
+                 conditional: bool = True):
+        super().__init__()
+        m, k, c = num_items, ability_dim, num_categories
+        self.m, self.k, self.c, self.conditional = m, k, c, conditional
+        self.item_mu_a = nn.Parameter(0.1 * torch.randn(m, k))
+        self.item_lv_a = nn.Parameter(-2.0 * torch.ones(m, k))
+        self.item_mu_b = nn.Parameter(0.1 * torch.randn(m, c - 1))
+        self.item_lv_b = nn.Parameter(-2.0 * torch.ones(m, c - 1))
+        feat = m * (k + c - 1) if conditional else 0
+        self.encoder = nn.Sequential(
+            nn.Linear(2 * m + feat, hidden_dim), nn.ReLU(),
+            nn.Linear(hidden_dim, hidden_dim), nn.ReLU(),
+            nn.Linear(hidden_dim, 2 * k))
+
+    def elbo(self, resp: torch.Tensor, mask: torch.Tensor) -> torch.Tensor:
+        m, k, c = self.m, self.k, self.c
+        a = self.item_mu_a + torch.exp(0.5 * self.item_lv_a) * torch.randn_like(self.item_mu_a)
+        bf = self.item_mu_b + torch.exp(0.5 * self.item_lv_b) * torch.randn_like(self.item_mu_b)
+        x = torch.cat([resp * mask, mask], dim=-1)
+        if self.conditional:
+            feats = torch.cat([a.reshape(-1), bf.reshape(-1)]).expand(resp.shape[0], -1)
+            x = torch.cat([x, feats], dim=-1)
+        out = self.encoder(x)
+        mu, logvar = out[:, :k], out[:, k:].clamp(-8, 8)
+        theta = mu + torch.exp(0.5 * logvar) * torch.randn_like(mu)
+        base = theta @ a.T                                       # (B, M)
+        kap = torch.cumsum(bf, dim=-1)                           # (M, C-1)
+        cats = torch.arange(1, c, dtype=base.dtype)
+        z = base.unsqueeze(-1) * cats - kap                      # (B, M, C-1)
+        z = torch.cat([torch.zeros_like(z[..., :1]), z], dim=-1)
+        logp = torch.log_softmax(z, dim=-1)                      # (B, M, C)
+        onehot = torch.nn.functional.one_hot(resp.long(), c).float()
+        ll = (mask.unsqueeze(-1) * onehot * logp).sum()
+        kl_theta = 0.5 * (mu.pow(2) + logvar.exp() - logvar - 1).sum()
+        kl_items = sum(0.5 * (p.pow(2) + q.exp() - q - 1).sum()
+                       for p, q in ((self.item_mu_a, self.item_lv_a),
+                                    (self.item_mu_b, self.item_lv_b)))
+        return ll - kl_theta - kl_items
+
+
 def time_cpu_reference(num_persons: int = 2048, num_items: int = 1024,
                        ability_dim: int = 4, hidden_dim: int = 256,
                        steps: int = 3, repeats: int = 7, seed: int = 0,
@@ -137,6 +187,11 @@ def time_cpu_reference(num_persons: int = 2048, num_items: int = 1024,
     if irt_model == "grm":
         model = TorchVIBOGRM(num_items, ability_dim, hidden_dim,
                              num_categories)
+        resp = torch.randint(0, num_categories,
+                             (num_persons, num_items)).float()
+    elif irt_model == "gpcm":
+        model = TorchVIBOGPCM(num_items, ability_dim, hidden_dim,
+                              num_categories)
         resp = torch.randint(0, num_categories,
                              (num_persons, num_items)).float()
     else:

@@ -97,7 +97,7 @@ class AbilityScorer:
             else:
                 item_mean = model.item_posterior_mean(params, response, mask)
             mu, logvar, off = model.encode(params, response, mask, item_mean)
-            if model.cfg.irt_model == "grm":
+            if model.cfg.irt_model in ("grm", "gpcm"):
                 # polytomous serving: (B, M, C) category probabilities
                 prob = jnp.exp(model.category_logprobs(params, mu, item_mean))
             else:
