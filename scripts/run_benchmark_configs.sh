@@ -155,3 +155,15 @@ python bench.py
 
 echo "### graded-family north star: fused GRM kernel at 10,240 x 1,024 (C=5)"
 python bench.py --irt-model grm --ability-dim 2
+
+echo "### generalized partial credit (GPCM, C=5): parity sweep vs MLE/EM + NUTS gold"
+# the second polytomous family (round 5); gold cached in artifacts/gold/gpcm
+python -m vibo_tpu.cli compare synthetic-gpcm --irt-model gpcm \
+    --num-categories 5 --num-persons 2000 --num-items 100 --epochs 500 \
+    --num-posterior-samples 5 --restarts 2 --steps 600 \
+    --hmc-warmup 800 --hmc-samples 1600 --hmc-chains 4 \
+    --hmc-trajectory nuts --hmc-tree-depth 7 --hmc-target-accept 0.8 \
+    --hmc-cache artifacts/gold/gpcm
+
+echo "### partial-credit north star: fused GPCM kernel at 10,240 x 1,024 (C=5)"
+python bench.py --irt-model gpcm --ability-dim 2

@@ -244,3 +244,19 @@ def test_train_gradescope_polytomous(tmp_path):
     b = run(["train", "gradescope", "--epochs", "5", "--eval-every", "5",
              "--out-dir", str(tmp_path)])
     assert b["heldout_base_rate"] != s["heldout_base_rate"]
+
+
+def test_compare_synthetic_gpcm(capsys):
+    """compare synthetic-gpcm: the partial-credit family's full parity
+    sweep (vibo / mle / em / hmc) runs end-to-end with category-exact
+    accuracy and item-agreement columns."""
+    main(["compare", "synthetic-gpcm", "--num-persons", "100",
+          "--num-items", "16", "--num-categories", "4", "--irt-model",
+          "gpcm", "--epochs", "25", "--steps", "60",
+          "--hmc-warmup", "30", "--hmc-samples", "30"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    methods = [r["method"] for r in rep["compare"]]
+    assert methods == ["vibo", "mle", "em", "hmc"]
+    for r in rep["compare"]:
+        assert 0 <= r["heldout_acc"] <= 1
+    assert "theta_vs_hmc" in rep["compare"][0]

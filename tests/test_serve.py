@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from vibo_tpu import evaluation
 from vibo_tpu.data import simulate_irt, holdout_split
@@ -105,14 +106,16 @@ def test_scorer_refine_improves_and_shapes():
     assert out["elbo_gain_per_person"] > 0
 
 
-def test_scorer_grm_polytomous(tmp_path):
-    """GRM serving: score returns (B, M, C) category probabilities that
-    normalize over C; refine runs the graded per-person SVI program."""
-    sim = simulate_irt("grm", 300, 24, ability_dim=1, num_categories=4,
+@pytest.mark.parametrize("family", ["grm", "gpcm"])
+def test_scorer_polytomous(tmp_path, family):
+    """Polytomous serving (grm AND gpcm): score returns (B, M, C) category
+    probabilities that normalize over C; refine runs the family's
+    per-person SVI program."""
+    sim = simulate_irt(family, 300, 24, ability_dim=1, num_categories=4,
                        seed=7, missing_rate=0.1)
-    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7, name="grm",
+    ds = holdout_split(sim.response, sim.mask, 0.1, seed=7, name=family,
                        num_categories=4)
-    model = VIBO(VIBOConfig(num_items=24, irt_model="grm", num_categories=4,
+    model = VIBO(VIBOConfig(num_items=24, irt_model=family, num_categories=4,
                             ability_dim=1, hidden_dim=24))
     Trainer(model, TrainConfig(lr=8e-3, epochs=60, eval_every=60,
                                log_every=60, out_dir=str(tmp_path))
