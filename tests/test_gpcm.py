@@ -359,3 +359,29 @@ def test_gpcm_recovery():
     assert kc["pearson"] > 0.9
     ev = evaluation.imputation_accuracy(model, res["params"], ds)
     assert ev["acc"] > ev["base_rate"] + 0.02
+
+
+@pytest.mark.parametrize("family", ["grm", "gpcm"])
+def test_hmc_packed_potential_matches_dense(family):
+    """The fused-kernel polytomous potential (use_packed_kernel=True) ==
+    the dense XLA potential, value AND gradient (round 5: sampling rides
+    the same one-pass kernels as the binary links)."""
+    from vibo_tpu.models import hmc
+    from vibo_tpu.ops.pallas_elbo import pack_responses
+    sim = simulate_irt(family, 40, 16, ability_dim=2, num_categories=4,
+                       seed=11, missing_rate=0.2)
+    cfg = hmc.HMCConfig(irt_model=family, ability_dim=2, num_categories=4)
+    pk = jnp.asarray(pack_responses(sim.response, sim.mask))
+    u_dense = hmc.make_potential(sim.response, sim.mask, cfg)
+    u_pack = hmc.make_potential(sim.response, sim.mask, cfg, packed=pk)
+    rng = np.random.default_rng(0)
+    params = {
+        "theta": jnp.asarray(rng.standard_normal((40, 2)), jnp.float32),
+        "a": jnp.asarray(rng.standard_normal((16, 2)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((16, 3)), jnp.float32),
+    }
+    v1, g1 = jax.value_and_grad(u_dense)(params)
+    v2, g2 = jax.value_and_grad(u_pack)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-4), g1, g2)

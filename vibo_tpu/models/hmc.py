@@ -222,13 +222,32 @@ def _per_person_fn(cfg: HMCConfig, m: int, use_pk: bool):
                                                 data["mask"])
         return per_person
     if cfg.irt_model in ("grm", "gpcm"):
-        if use_pk:
-            raise ValueError(
-                "the polytomous potentials run dense XLA (fused graded/"
-                "partial-credit kernels exist for TRAINING but are not "
-                "wired into sampling; same performance posture as the deep "
-                "gate below)")
         fam = cfg.irt_model
+        if use_pk:
+            # The polytomous potentials ride the same one-pass fused
+            # kernels as the binary links (round 5): the uniform-cotangent
+            # contract holds by construction (U consumes -ll.sum()), the
+            # K <= 4 contraction is too short for the bf16-vs-f32 dot
+            # concern that gates the deep kernel (run_hmc docstring), and
+            # the kernels emit value + ALL gradients in one pass — exactly
+            # the value_and_grad HMC is bound on. The grm kernel's +-30
+            # base saturation only zeroes gradients beyond |eta| = 30,
+            # unreachable under the N(0, I) priors the potential includes.
+            if fam == "grm":
+                from vibo_tpu.ops import pallas_grm as _pg
+
+                def per_person(params, data):
+                    return _pg.masked_loglik_grm_packed_train(
+                        params["theta"], params["a"],
+                        links.grm_thresholds(params["b"]), data["pk"])
+                return per_person
+            from vibo_tpu.ops import pallas_gpcm as _pc
+
+            def per_person(params, data):
+                return _pc.masked_loglik_gpcm_packed_train(
+                    params["theta"], params["a"],
+                    links.gpcm_cumsteps(params["b"]), data["pk"])
+            return per_person
 
         def per_person(params, data):
             return lik.categorical_loglik_per_person(
